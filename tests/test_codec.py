@@ -1,0 +1,81 @@
+"""Image codec tests: raw + pure numpy/zlib PNG, PSNR gate."""
+
+import numpy as np
+import pytest
+import zlib
+
+from xutil_spark.kernels import codec
+
+
+def _pattern(w, h, seed):
+    """Deterministic gradient + hash-noise test image (FIXTURES.md §1)."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = (xx * 255 // max(w - 1, 1)).astype(np.uint8)
+    g = (yy * 255 // max(h - 1, 1)).astype(np.uint8)
+    b = ((xx * 31 + yy * 17 + seed) % 256).astype(np.uint8)
+    return np.stack([r, g, b], axis=-1)
+
+
+@pytest.mark.parametrize("w,h", [(16, 16), (32, 24), (64, 48), (1, 1), (7, 3)])
+def test_raw_roundtrip(w, h):
+    img = _pattern(w, h, 42)
+    data = codec.encode_raw(img)
+    assert len(data) == w * h * 3
+    back = codec.decode_raw(data, w, h)
+    np.testing.assert_array_equal(back, img)
+
+
+@pytest.mark.parametrize("w,h", [(16, 16), (32, 24), (64, 48), (1, 1), (7, 3)])
+def test_png_roundtrip(w, h):
+    img = _pattern(w, h, 7)
+    data = codec.encode_png(img)
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    back = codec.decode_png(data)
+    np.testing.assert_array_equal(back, img)
+
+
+def test_png_decoder_handles_sub_and_up_filters():
+    """Build a PNG with filter types 1 (Sub) and 2 (Up) by hand."""
+    import struct
+
+    img = _pattern(4, 2, 3)
+    h, w = img.shape[:2]
+    flat = img.reshape(h, w * 3).astype(np.int32)
+    rows = []
+    # row 0: Sub filter
+    r0 = flat[0].copy()
+    enc0 = r0.copy()
+    enc0[3:] = (r0[3:] - r0[:-3]) & 0xFF
+    rows.append(bytes([1]) + bytes(enc0.astype(np.uint8)))
+    # row 1: Up filter
+    enc1 = (flat[1] - flat[0]) & 0xFF
+    rows.append(bytes([2]) + bytes(enc1.astype(np.uint8)))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = zlib.compress(b"".join(rows))
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + codec._chunk(b"IHDR", ihdr)
+        + codec._chunk(b"IDAT", payload)
+        + codec._chunk(b"IEND", b"")
+    )
+    back = codec.decode_png(png)
+    np.testing.assert_array_equal(back, img)
+
+
+def test_encode_image_dispatch_and_stub():
+    img = _pattern(8, 8, 1)
+    assert codec.decode_image(codec.encode_image(img, "raw"), 8, 8, "raw").shape == (8, 8, 3)
+    assert codec.decode_image(codec.encode_image(img, "png"), 8, 8, "png").shape == (8, 8, 3)
+    with pytest.raises(NotImplementedError):
+        codec.encode_image(img, "jpeg")  # codec libs absent — stubbed
+
+
+def test_psnr():
+    img = _pattern(32, 32, 9)
+    assert codec.psnr(img, img) == float("inf")
+    noisy = img.astype(np.int32).copy()
+    noisy[0, 0, 0] += 4
+    p = codec.psnr(img, np.clip(noisy, 0, 255).astype(np.uint8))
+    assert p > 40.0  # single tiny perturbation stays above the lossy gate
+    very_noisy = np.clip(img.astype(np.int32) + 64, 0, 255).astype(np.uint8)
+    assert codec.psnr(img, very_noisy) < 40.0

@@ -1,0 +1,163 @@
+"""Image codecs in pure numpy + zlib (PIL is not available in this env).
+
+Formats (the ``fmt`` column of the images table, FIXTURES.md §1):
+
+* ``raw`` — uncompressed RGB, row-major, h*w*3 bytes.
+* ``png`` — real PNG: 8-bit RGB color type 2, one IDAT, filter 0 on
+  every scanline (encoder); the decoder handles all five standard
+  filters so externally-produced PNGs decode too.
+
+Both are lossless, so the per-row invariant (decoded pixels allclose,
+PSNR ≥ 40 dB for lossy formats — BASELINE.json input_hint) is exact for
+them; ``psnr`` is provided for the lossy gate.
+
+These run inside ``mapInPandas`` batches (xutil_spark.raster.images) —
+one Python call per Arrow batch, never per row.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_raw(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → raw RGB bytes."""
+    if pixels.dtype != np.uint8 or pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("expect (h, w, 3) uint8")
+    return pixels.tobytes()
+
+
+def decode_raw(data: bytes, w: int, h: int) -> np.ndarray:
+    arr = np.frombuffer(data, dtype=np.uint8)
+    if arr.size != w * h * 3:
+        raise ValueError(f"raw size {arr.size} != {w}x{h}x3")
+    return arr.reshape(h, w, 3)
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → PNG bytes (color type 2, filter 0)."""
+    if pixels.dtype != np.uint8 or pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("expect (h, w, 3) uint8")
+    h, w = pixels.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    # prepend filter byte 0 to each scanline
+    raw = np.empty((h, w * 3 + 1), dtype=np.uint8)
+    raw[:, 0] = 0
+    raw[:, 1:] = pixels.reshape(h, w * 3)
+    idat = zlib.compress(raw.tobytes(), 6)
+    return (
+        _PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", idat)
+        + _chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes → (h, w, 3) uint8.  Supports 8-bit RGB (color type 2),
+    all five scanline filters, no interlace.
+    """
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos = 8
+    w = h = None
+    idat = b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if depth != 8 or ctype != 2 or inter != 0:
+                raise ValueError(
+                    f"unsupported PNG: depth={depth} ctype={ctype} interlace={inter}"
+                )
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("no IHDR")
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    stride = w * 3 + 1
+    if raw.size != h * stride:
+        raise ValueError("bad PNG payload size")
+    raw = raw.reshape(h, stride)
+    filters = raw[:, 0]
+    out = np.zeros((h, w * 3), dtype=np.uint8)
+    bpp = 3
+    for row in range(h):
+        f = filters[row]
+        cur = raw[row, 1:].astype(np.int32)
+        prev = out[row - 1].astype(np.int32) if row > 0 else np.zeros(w * 3, np.int32)
+        if f == 0:
+            line = cur
+        elif f == 2:  # Up
+            line = (cur + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth need left-scan
+            line = np.zeros(w * 3, dtype=np.int32)
+            for i in range(w * 3):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                if f == 1:
+                    line[i] = (cur[i] + a) & 0xFF
+                elif f == 3:
+                    line[i] = (cur[i] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = prev[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    line[i] = (cur[i] + pr) & 0xFF
+        else:
+            raise ValueError(f"bad filter {f}")
+        out[row] = line.astype(np.uint8)
+    return out.reshape(h, w, 3)
+
+
+def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
+    if fmt == "raw":
+        return encode_raw(pixels)
+    if fmt == "png":
+        return encode_png(pixels)
+    raise NotImplementedError(
+        f"codec {fmt!r} not available in this environment (no PIL/ffmpeg); "
+        "plumbing supports any fmt whose codec is registered here"
+    )
+
+
+def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+    if fmt == "raw":
+        return decode_raw(data, w, h)
+    if fmt == "png":
+        return decode_png(bytes(data))
+    raise NotImplementedError(f"codec {fmt!r} not available")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB between two uint8 images
+    (inf when identical) — the lossy-format acceptance gate (≥ 40 dB).
+    """
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    mse = np.mean((a - b) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(20.0 * np.log10(255.0) - 10.0 * np.log10(mse))
