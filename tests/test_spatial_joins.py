@@ -1,0 +1,149 @@
+"""Spatial-join operators vs brute-force numpy oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from xutil_spark.data import synth
+from xutil_spark.functions import native
+from xutil_spark.kernels import distance as K_dist
+from xutil_spark.kernels import geometry as K_geom
+from xutil_spark.kernels import tiles as K_tiles
+from xutil_spark.operators import spatial_join as SJ
+
+
+@pytest.fixture(scope="module")
+def points_df(spark):
+    return synth.with_location(
+        synth.images_table(spark, 400, with_bytes=False)
+    ).select("image_id", "lon", "lat").cache()
+
+
+@pytest.fixture(scope="module")
+def points_pd(points_df):
+    return points_df.toPandas().sort_values("image_id").reset_index(drop=True)
+
+
+def test_point_in_tile_join_matches_kernel(spark, points_df, points_pd):
+    tiles_df = synth.tiles_table(spark, zoom=10)
+    got = SJ.point_in_tile_join(points_df, tiles_df, zoom=10).toPandas()
+    # full bbox coverage → every point matches exactly one tile
+    assert len(got) == len(points_pd)
+    exp_cell = K_tiles.cell_encode(
+        points_pd["lon"].to_numpy(), points_pd["lat"].to_numpy(), 10
+    )
+    got = got.sort_values("image_id").reset_index(drop=True)
+    np.testing.assert_array_equal(got["cell"].to_numpy(np.int64), exp_cell)
+    # tile_id string corresponds to the decoded cell
+    x, y, z = K_tiles.cell_decode(exp_cell)
+    exp_tid = [f"z10x{int(a)}y{int(b)}" for a, b in zip(x, y)]
+    assert list(got["tile_id"]) == exp_tid
+
+
+def test_point_in_tile_join_sparse_anti(spark, points_df, points_pd):
+    """Sparse tile dim (every 3rd tile) → only matching points survive;
+    left join marks the rest null (no-match path)."""
+    sparse = synth.tiles_table(spark, zoom=10, sample_stride=3)
+    inner = SJ.point_in_tile_join(points_df, sparse, zoom=10, how="inner")
+    left = SJ.point_in_tile_join(points_df, sparse, zoom=10, how="left")
+    n_inner = inner.count()
+    assert 0 < n_inner < len(points_pd)
+    assert left.count() == len(points_pd)
+    assert left.filter(F.col("tile_id").isNull()).count() == len(points_pd) - n_inner
+
+
+def test_point_in_polygon_join_vs_oracle(spark):
+    # skewed points: 30% land inside the metro polygons → real hits
+    pts = synth.with_location(
+        synth.images_table(spark, 600, skew=True, with_bytes=False)
+    ).select("image_id", "lon", "lat").cache()
+    pts_pd = pts.toPandas()
+    polys = synth.irregular_tiles_table(spark, zoom=12)
+    got = (
+        SJ.point_in_polygon_join(pts, polys, zoom=12)
+        .select("image_id", "poly_id")
+        .toPandas()
+    )
+    got_set = set(map(tuple, got.to_numpy()))
+    exp_set = set()
+    for r in polys.collect():
+        g = K_geom.from_wkt(r["wkt"])
+        inside = K_geom.point_in_geo(
+            pts_pd["lon"].to_numpy(), pts_pd["lat"].to_numpy(), g
+        )
+        for pid in pts_pd.loc[inside, "image_id"]:
+            exp_set.add((pid, r["poly_id"]))
+    assert got_set == exp_set
+    assert len(exp_set) > 50  # fixture actually exercises hits
+
+
+def _brute_knn(points_pd, refs_pd, k):
+    exp = {}
+    for _, p in points_pd.iterrows():
+        d = K_dist.point_dist_haversine(
+            p["lon"], p["lat"], refs_pd["lon"].to_numpy(), refs_pd["lat"].to_numpy()
+        )
+        order = sorted(zip(np.round(d, 3), refs_pd["ref_id"]))[:k]
+        exp[p["image_id"]] = [r for _, r in order]
+    return exp
+
+
+def test_knn_join_vs_brute_force(spark, points_df, points_pd):
+    refs = synth.ref_points_table(spark, 250).cache()
+    refs_pd = refs.toPandas()
+    got = SJ.knn_join(points_df, refs, k=3, zoom=8).toPandas()
+    exp = _brute_knn(points_pd, refs_pd, 3)
+    assert set(got["image_id"]) == set(exp.keys())
+    for pid, grp in got.groupby("image_id"):
+        ordered = list(grp.sort_values("rank")["ref_id"])
+        assert ordered == exp[pid], pid
+
+
+def test_knn_join_sparse_refs_escalates_rings(spark, points_df, points_pd):
+    """Only 12 refs nationwide → ring-1 at z8 is usually empty; the
+    escalation loop must still find the true k nearest for every point."""
+    refs = synth.ref_points_table(spark, 12).cache()
+    refs_pd = refs.toPandas()
+    got = SJ.knn_join(points_df, refs, k=2, zoom=8).toPandas()
+    exp = _brute_knn(points_pd, refs_pd, 2)
+    assert set(got["image_id"]) == set(exp.keys())
+    mism = 0
+    for pid, grp in got.groupby("image_id"):
+        if list(grp.sort_values("rank")["ref_id"]) != exp[pid]:
+            mism += 1
+    assert mism == 0
+
+
+def test_distance_join_vs_brute_force(spark, points_df, points_pd):
+    refs = synth.ref_points_table(spark, 150).cache()
+    refs_pd = refs.toPandas()
+    radius = 75000.0
+    got = SJ.distance_join(points_df, refs, radius_m=radius, zoom=8).toPandas()
+    got_set = set(zip(got["image_id"], got["ref_id"]))
+    exp_set = set()
+    for _, p in points_pd.iterrows():
+        d = K_dist.point_dist_haversine(
+            p["lon"], p["lat"], refs_pd["lon"].to_numpy(), refs_pd["lat"].to_numpy()
+        )
+        for rid in refs_pd.loc[d <= radius, "ref_id"]:
+            exp_set.add((p["image_id"], rid))
+    assert got_set == exp_set
+    assert len(exp_set) > 0
+
+
+def test_salted_join_equals_plain_join(spark):
+    pts = SJ.with_cell(
+        synth.with_location(synth.images_table(spark, 3000, skew=True, with_bytes=False)),
+        zoom=10,
+    ).select("image_id", "cell")
+    tiles_df = synth.tiles_table(spark, zoom=10)
+    plain = pts.join(tiles_df, "cell", "inner").select("image_id", "tile_id")
+    s_pts, s_dim, hot = SJ.salt_hot_cells(pts, tiles_df, salt=4, hot_threshold=100)
+    salted = s_pts.join(
+        s_dim.select("cell", "_salt", "tile_id"), on=["cell", "_salt"], how="inner"
+    ).select("image_id", "tile_id")
+    a = set(map(tuple, plain.toPandas().to_numpy()))
+    b = set(map(tuple, salted.toPandas().to_numpy()))
+    assert a == b
+    assert hot.count() >= 3  # the 3 urban cells are detected as hot

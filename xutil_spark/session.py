@@ -1,0 +1,50 @@
+"""SparkSession factory with the engine's tuned defaults.
+
+Local-mode testbed for a multi-executor design: shuffle partitions sized
+to cores (not the 200 default), AQE on (runtime coalesce + skew-join
+splitting), Arrow enabled for the pandas-UDF kernels, UTC session TZ so
+DuckDB-oracle comparisons are stable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_session(
+    master: str | None = None,
+    app_name: str = "xutil_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    n_threads = master.split("[")[-1].rstrip("]") if "[" in master else "4"
+    try:
+        n = int(n_threads.replace("*", "0")) or (os.cpu_count() or 4)
+    except ValueError:
+        n = os.cpu_count() or 4
+    if shuffle_partitions is None:
+        shuffle_partitions = max(2 * n, 8)
+
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("XUTIL_SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
