@@ -1,0 +1,178 @@
+"""Dedup + similarity operators vs pandas/numpy oracles on the
+driver-provided documents/embeddings tables (sf0.001)."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from xutil_spark.operators import dedup as D
+from xutil_spark.operators import similarity as S
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def docs_pd(docs):
+    return docs.toPandas()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb_pd(emb):
+    return emb.toPandas()
+
+
+def test_exact_dedup(docs, docs_pd):
+    got = D.exact_dedup(docs).toPandas()
+    exp = (
+        docs_pd.assign(_d=docs_pd["text"].map(lambda t: hashlib.md5(t.encode()).hexdigest()))
+        .groupby("_d")["doc_id"]
+        .agg(["min", "count"])
+    )
+    assert len(got) == len(exp)
+    got_map = dict(zip(got["_digest"], zip(got["doc_id"], got["dup_count"])))
+    for d, row in exp.iterrows():
+        assert got_map[d] == (row["min"], row["count"])
+
+
+def test_shingles_expr(spark):
+    df = spark.createDataFrame(pd.DataFrame({"text": ["abcdefgh", "abc", ""]}))
+    got = df.select(D.shingles("text", k=4).alias("s")).toPandas()
+    assert list(got["s"][0]) == ["abcd", "bcde", "cdef", "defg", "efgh"]
+    assert list(got["s"][1]) == []
+    assert list(got["s"][2]) == []
+
+
+def _py_minhash(text, band, k=8):
+    n = len(text) - k + 1
+    if n <= 0:
+        return None
+    return min(
+        hashlib.md5(f"{band}|{text[i:i+k]}".encode()).hexdigest() for i in range(n)
+    )
+
+
+def test_minhash_signatures_match_python(docs, docs_pd):
+    got = D.minhash_signatures(docs, k=8, bands=2).toPandas()
+    sample = docs_pd.head(20)
+    gmap = {(r["doc_id"], r["band"]): r["sig"] for _, r in got.iterrows()}
+    for _, r in sample.iterrows():
+        for b in range(2):
+            assert gmap[(r["doc_id"], b)] == _py_minhash(r["text"], b)
+
+
+def test_minhash_lsh_finds_planted_dup(spark, docs_pd):
+    base = docs_pd.head(50)[["doc_id", "text"]].copy()
+    clone = base.head(5).copy()
+    clone["doc_id"] = clone["doc_id"] + 100000  # planted exact dups
+    df = spark.createDataFrame(pd.concat([base, clone]))
+    pairs = D.minhash_lsh_pairs(df, k=8, bands=4).toPandas()
+    got = set(zip(pairs["a"], pairs["b"]))
+    for i in range(5):
+        a = int(base.iloc[i]["doc_id"])
+        assert (a, a + 100000) in got
+
+
+def test_ngram_jaccard(spark):
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["the quick brown fox jumps", "the quick brown fox leaps",
+                 "completely different text here"],
+    })
+    df = spark.createDataFrame(pdf)
+    pairs = spark.createDataFrame(pd.DataFrame({"a": [1, 1], "b": [2, 3]}))
+    got = D.ngram_jaccard_pairs(df, pairs, k=4, threshold=None).toPandas()
+    jmap = dict(zip(zip(got["a"], got["b"]), got["jaccard"]))
+
+    def py_j(s1, s2, k=4):
+        a = {s1[i:i+k] for i in range(len(s1) - k + 1)}
+        b = {s2[i:i+k] for i in range(len(s2) - k + 1)}
+        return len(a & b) / len(a | b)
+
+    assert jmap[(1, 2)] == pytest.approx(py_j(pdf["text"][0], pdf["text"][1]))
+    assert jmap[(1, 3)] == pytest.approx(py_j(pdf["text"][0], pdf["text"][2]))
+    assert jmap[(1, 2)] > 0.5 > jmap[(1, 3)]
+
+
+def test_simhash_near_dups(spark):
+    texts = ["alpha beta gamma delta epsilon zeta eta theta"] * 2 + [
+        "alpha beta gamma delta epsilon zeta eta iota",  # 1 token differs
+        "totally unrelated words compose this sentence here now",
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": texts})
+    )
+    pairs = D.simhash_near_dup_pairs(df, max_hamming=16, bands=4).toPandas()
+    got = set(zip(pairs["a"], pairs["b"]))
+    assert (1, 2) in got  # identical → hamming 0
+    assert (1, 3) in got or (2, 3) in got  # near dup
+    hmap = dict(zip(zip(pairs["a"], pairs["b"]), pairs["hamming"]))
+    assert hmap[(1, 2)] == 0
+
+
+def test_cosine_topk_brute_vs_numpy(emb, emb_pd):
+    got = S.cosine_topk_brute(emb.limit(30), emb, k=5).toPandas()
+    mat = np.stack(emb_pd["embedding"].map(np.asarray)).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    ids = emb_pd["vec_id"].to_numpy()
+    for qi in range(30):
+        q = mat[ids == emb_pd["vec_id"][qi]][0] if False else mat[qi]
+        scores = np.round(mat @ q / (norms * norms[qi]), 6)
+        order = sorted(
+            [(-(s), int(i)) for s, i in zip(scores, ids) if i != int(emb_pd["vec_id"][qi])]
+        )[:5]
+        exp = [i for _, i in order]
+        grp = got[got["q_id"] == emb_pd["vec_id"][qi]].sort_values("rank")
+        assert list(grp["nn_id"]) == exp, qi
+
+
+def test_cosine_topk_lsh_recall_on_clustered(spark):
+    """LSH recall is meaningful on clustered embeddings (the real
+    near-dup workload) — planted clusters: 40 centroids × 10 members
+    with small noise → true neighbors have cosine ≈ 0.98."""
+    from xutil_spark.data.synth import splitmix64
+
+    rng_idx = np.arange(40 * 16, dtype=np.int64)
+    cents = (splitmix64(rng_idx).astype(np.float64) / 2**63).reshape(40, 16)
+    rows = []
+    for ci in range(40):
+        for m in range(10):
+            noise = (
+                splitmix64(np.arange(16, dtype=np.int64) + ci * 1000 + m * 31 + 7)
+                .astype(np.float64) / 2**63 * 0.1
+            )
+            v = cents[ci] + noise
+            rows.append((ci * 10 + m, (v / np.linalg.norm(v)).astype(np.float32).tolist()))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    df = spark.createDataFrame(pdf).cache()
+    exact = S.cosine_topk_brute(df.limit(60), df, k=5).toPandas()
+    approx = S.cosine_topk_lsh(df.limit(60), df, dim=16, k=5,
+                               n_bits=8, n_tables=4).toPandas()
+    e = set(zip(exact["q_id"], exact["nn_id"]))
+    a = set(zip(approx["q_id"], approx["nn_id"]))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, recall
+
+
+def test_embedding_near_dup_exact_bruteforce(spark):
+    base = np.eye(8)[: 4]
+    vecs = np.vstack([base, base[0] * 0.999 + 0.001])  # near-dup of row 0
+    pdf = pd.DataFrame({
+        "vec_id": list(range(5)),
+        "embedding": [v.astype(np.float32).tolist() for v in vecs],
+    })
+    df = spark.createDataFrame(pdf)
+    got = S.embedding_near_dup_pairs(df, dim=8, threshold=0.99, n_bits=0).toPandas()
+    assert set(zip(got["a"], got["b"])) == {(0, 4)}

@@ -1,0 +1,226 @@
+"""Relational-parity + text-analysis operator tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from xutil_spark.operators import relational as R
+from xutil_spark.operators import textops as T
+
+
+# ------------------------------------------------------------------ set ops
+
+def test_set_ops_semantics(spark):
+    s1 = spark.createDataFrame(pd.DataFrame({"v": ["a", "b", "b", "c"]}))
+    s2 = spark.createDataFrame(pdf2 := pd.DataFrame({"v": ["b", "d"]}))
+    minus = sorted(R.strings_minus(s1, s2, "v").toPandas()["v"])
+    assert minus == ["a", "c"]  # strings.go:47-60: keeps s1 dups, drops b
+    inter = sorted(R.strings_intersect(s1, s2, "v").toPandas()["v"])
+    assert inter == ["b", "b"]  # keeps s1 duplicates
+    union = sorted(R.strings_union(s1, s2, "v").toPandas()["v"])
+    assert union == ["a", "b", "c", "d"]  # deduped
+
+
+def test_strings_uniq_first_wins(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"v": ["x", "y", "x"], "ord": [1, 2, 3], "payload": [10, 20, 30]})
+    )
+    got = R.strings_uniq(df, "v", order_col="ord").toPandas().sort_values("v")
+    assert list(got["payload"]) == [10, 20]
+
+
+# ------------------------------------------------------------ parse semantics
+
+def test_parse_zero_fill_vs_skip(spark):
+    df = spark.createDataFrame(pd.DataFrame({"s": ["1", "x", "2.5", ""]}))
+    got = df.select(
+        R.to_int_zero_fill("s").alias("i"),
+        R.to_double_zero_fill("s").alias("d"),
+    ).toPandas()
+    assert list(got["i"]) == [1, 0, 0, 0]  # "2.5" fails int parse → 0
+    assert list(got["d"]) == [1.0, 0.0, 2.5, 0.0]
+    arr = spark.createDataFrame(pd.DataFrame({"s": ["1,x,2.5,,3"]})).select(
+        R.split_doubles_skip("s", ",").alias("a")
+    ).toPandas()
+    assert list(arr["a"][0]) == [1.0, 2.5, 3.0]  # skip semantics
+
+
+def test_col_float64_aggs(spark):
+    df = spark.createDataFrame(pd.DataFrame({"s": ["1,2,3,4", "bad,", "5"]}))
+    got = df.select(
+        R.col_float64("s", ",", "SUM").alias("sum"),
+        R.col_float64("s", ",", "MAX").alias("max"),
+        R.col_float64("s", ",", "MIN").alias("min"),
+        R.col_float64("s", ",", "AVG").alias("avg"),
+        R.col_float64("s", ",", "STDDEV").alias("sd"),
+    ).toPandas()
+    assert got["sum"][0] == 10.0 and got["avg"][0] == 2.5
+    # population stddev (math.go:50-52): sqrt(mean((x-mean)^2))
+    assert got["sd"][0] == pytest.approx(np.std([1, 2, 3, 4]))
+    assert pd.isna(got["sum"][1])  # empty after skip → null (ref panics)
+    assert got["max"][2] == 5.0
+
+
+# ----------------------------------------------------------------- time ops
+
+def test_time_trunc_sunday_week(spark):
+    # 2024-01-10 is a Wednesday; Sunday-start week begins 2024-01-07
+    # (time.go:23-24: d - weekday), unlike ISO Monday 2024-01-08
+    df = spark.createDataFrame(pd.DataFrame({"ts": pd.to_datetime([
+        "2024-01-10 13:45:00", "2024-01-07 00:00:00", "2024-01-06 23:59:59",
+    ])}))
+    got = df.select(R.time_trunc("ts", "week").alias("w")).toPandas()
+    assert str(got["w"][0])[:10] == "2024-01-07"
+    assert str(got["w"][1])[:10] == "2024-01-07"
+    assert str(got["w"][2])[:10] == "2023-12-31"
+
+
+def test_time_trunc_units(spark):
+    df = spark.createDataFrame(pd.DataFrame({"ts": pd.to_datetime(["2024-03-15 13:45:33"])}))
+    got = df.select(
+        R.time_trunc("ts", "month").alias("m"),
+        R.time_trunc("ts", "day").alias("d"),
+        R.time_trunc("ts", "hour").alias("h"),
+    ).toPandas()
+    assert str(got["m"][0]) == "2024-03-01 00:00:00"
+    assert str(got["d"][0]) == "2024-03-15 00:00:00"
+    assert str(got["h"][0]) == "2024-03-15 13:00:00"
+
+
+def test_time_rule_forward_backward(spark):
+    df = spark.createDataFrame(pd.DataFrame({"ts": pd.to_datetime(["2024-03-15 13:45:33"])}))
+    fwd = df.select(R.time_rule("ts", "day", 3).alias("r")).toPandas()["r"][0]
+    assert [str(t)[:10] for t in fwd] == ["2024-03-15", "2024-03-16", "2024-03-17"]
+    bwd = df.select(R.time_rule("ts", "hour", -2).alias("r")).toPandas()["r"][0]
+    assert [str(t) for t in bwd] == ["2024-03-15 13:00:00", "2024-03-15 12:00:00"]
+
+
+def test_time_parse_ladder(spark):
+    cases = {
+        "2024-03-15": "2024-03-15 00:00:00",
+        "2024-03-15 13": "2024-03-15 13:00:00",
+        "2024-03-15 13:45": "2024-03-15 13:45:00",
+        "2024-03-15 13:45:33": "2024-03-15 13:45:33",
+        "2024-03-15T13:45:33": "2024-03-15 13:45:33",
+        "20240315": "2024-03-15 00:00:00",
+        "2024031513": "2024-03-15 13:00:00",
+        "202403151345": "2024-03-15 13:45:00",
+        "20240315134533": "2024-03-15 13:45:33",
+        "20240315.1345": "2024-03-15 13:45:00",
+        "20240315.134533": "2024-03-15 13:45:33",
+    }
+    df = spark.createDataFrame(pd.DataFrame({"s": list(cases)}))
+    got = df.select("s", R.time_parse("s").alias("t")).toPandas()
+    for _, r in got.iterrows():
+        assert str(r["t"]) == cases[r["s"]], r["s"]
+
+
+def test_time_split_half_open(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "b": pd.to_datetime(["2024-01-01 00:00:00"]),
+        "e": pd.to_datetime(["2024-01-01 03:00:00"]),
+    }))
+    got = df.select(R.time_split("b", "e", 3600).alias("r")).toPandas()["r"][0]
+    assert len(got) == 3  # [b, e) — e excluded (time.go:134-139)
+
+
+# ------------------------------------------------------------------- base-n
+
+def test_base_n_roundtrip_76(spark):
+    df = spark.createDataFrame(pd.DataFrame({"v": [9999, 0, 76, 75]}))
+    got = df.select(
+        R.decimal_to_any("v", 76).alias("e"),
+        R.any_to_decimal(R.decimal_to_any("v", 76), 76).alias("rt"),
+    ).toPandas()
+    assert got["e"][0] == "1F["  # math.go:170-173 demo golden
+    assert got["e"][1] == ""    # reference: loop never runs for 0
+    assert got["e"][2] == "10"
+    assert got["e"][3] == "Z"
+    assert list(got["rt"]) == [9999, 0, 76, 75]
+
+
+def test_base_36_matches_conv(spark):
+    df = spark.createDataFrame(pd.DataFrame({"v": [123456, 35]}))
+    got = df.select(R.decimal_to_any("v", 36).alias("e"),
+                    R.any_to_decimal(R.decimal_to_any("v", 36), 36).alias("rt")).toPandas()
+    assert got["e"][1] == "z"
+    assert list(got["rt"]) == [123456, 35]
+
+
+# ----------------------------------------------------------------- id cards
+
+def test_id_card_pipeline(spark):
+    """idcard.go:136-143 demo: 210212831019104 (15-digit)."""
+    dim = spark.createDataFrame(pd.DataFrame({
+        "code": ["210000", "210200", "210212", "140522"],
+        "name": ["辽宁省", "大连市", "旅顺口区", "端氏镇"],
+    }))
+    ids = spark.createDataFrame(pd.DataFrame({"id": ["210212831019104"]}))
+    got = R.id_card_pipeline(ids, dim, as_of="2026-01-01").toPandas().iloc[0]
+    assert got["id"] == "210212198310191044"  # 15→18 with check digit 4
+    assert got["gender"] == "F"  # digit 17 = 0 → even
+    assert str(got["birthdate"]) == "1983-10-19"
+    assert got["age"] == 42
+    assert got["district"] == "旅顺口区"
+    assert got["city"] == "大连市"
+    assert got["province"] == "辽宁省"
+    assert bool(got["_ok_pattern"]) and bool(got["_ok_check"])
+
+
+def test_id_validity_and_pattern(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "id": ["210212198310191044", "210212198310191043", "00021219831019104x"]
+    }))
+    got = df.select(
+        R.id_is_pattern("id").alias("p"), R.id_is_valid("id").alias("v")
+    ).toPandas()
+    assert list(got["p"]) == [True, True, False]
+    assert list(got["v"]) == [True, False, False]
+
+
+# ---------------------------------------------------------------- text ops
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(pd.DataFrame({"t": ["the quick  brown fox", "", "  a  "]}))
+    got = df.select(T.token_count("t").alias("n"),
+                    T.bpe_ish_token_count("t").alias("b")).toPandas()
+    assert list(got["n"]) == [4, 0, 1]
+    # "the"(1) + "quick"(2) + "brown"(2) + "fox"(1) = 6 BPE-ish pieces
+    assert got["b"][0] == 6
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(pd.DataFrame({"t": [
+        "the cat and the dog of the house",
+        "el perro de la casa es grande y los gatos",
+        "zzz qqq www",
+    ]}))
+    got = df.select(T.lang_id("t").alias("l")).toPandas()
+    assert list(got["l"]) == ["en", "es", "und"]
+
+
+def test_quality_features(spark):
+    df = spark.createDataFrame(pd.DataFrame({"text": [
+        "The quick brown fox jumps over the lazy dog, twice.",
+        "a a a a a a a a",
+    ]}))
+    got = T.quality_features(df).toPandas()
+    assert got["quality_score"][0] > got["quality_score"][1]
+    assert got["n_tokens"][0] == 10
+    assert 0 < got["punct_ratio"][0] < 0.1
+    assert got["uniq_token_ratio"][1] == pytest.approx(1 / 8)
+
+
+def test_rolling_fingerprints_shift_invariance(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [base, "PREFIX " + base, "completely different content here entirely"],
+    }))
+    got = T.rolling_fingerprints(df, window=8, keep=6).toPandas()
+    fps = {r["doc_id"]: set(r["fingerprint"]) for _, r in got.iterrows()}
+    overlap_near = len(fps[1] & fps[2]) / 6
+    overlap_far = len(fps[1] & fps[3]) / 6
+    assert overlap_near >= 0.5  # rolling hashes survive the prefix shift
+    assert overlap_far == 0.0

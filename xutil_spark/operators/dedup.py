@@ -40,10 +40,12 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def shingles(col: str, k: int = 8) -> Column:
     """Character k-shingles as an array column (builtin sequence + substr
     — JVM-side, no Python).  ``col`` is a column name (the lambda-based
-    substr needs SQL form); empty when the text is shorter than k."""
+    substr needs SQL form).  Spark's sequence(1, 0) would count DOWN, so
+    texts shorter than k need the explicit empty branch."""
     return F.expr(
-        f"transform(sequence(1, greatest(length({col}) - {k - 1}, 0)),"
-        f" i -> substr({col}, i, {k}))"
+        f"CASE WHEN length({col}) >= {k} THEN"
+        f" transform(sequence(1, length({col}) - {k - 1}), i -> substr({col}, i, {k}))"
+        f" ELSE array() END"
     )
 
 

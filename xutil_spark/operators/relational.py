@@ -54,20 +54,20 @@ def strings_uniq(df: DataFrame, on: str, order_col: str | None = None) -> DataFr
 def to_int_zero_fill(col) -> Column:
     """StringsToInt: 0 on parse failure (strings.go:143-153)."""
     c = col if isinstance(col, Column) else F.col(col)
-    return F.coalesce(F.try_cast(c, "long"), F.lit(0).cast("long"))
+    return F.coalesce(c.try_cast("long"), F.lit(0).cast("long"))
 
 
 def to_double_zero_fill(col) -> Column:
     """StringsToFloat64: 0.0 on failure (strings.go:155-166)."""
     c = col if isinstance(col, Column) else F.col(col)
-    return F.coalesce(F.try_cast(c, "double"), F.lit(0.0))
+    return F.coalesce(c.try_cast("double"), F.lit(0.0))
 
 
 def split_doubles_skip(col, sep: str) -> Column:
     """StringToFloat64 (math.go:54-65): split, parse, DROP failures —
     array<double> with nulls filtered, pure higher-order functions."""
     c = col if isinstance(col, Column) else F.col(col)
-    parsed = F.transform(F.split(c, sep), lambda x: F.try_cast(x, "double"))
+    parsed = F.transform(F.split(c, sep), lambda x: x.try_cast("double"))
     return F.filter(parsed, lambda x: x.isNotNull())
 
 
@@ -301,7 +301,7 @@ def id_card_pipeline(
         )
         .withColumn("_ok_pattern", id_is_pattern(c))
         .withColumn("_ok_check", F.when(F.col("_ok_pattern"), id_is_valid(c)))
-        .withColumn("birthdate", F.try_to_date(F.substring(c, 7, 8), F.lit("yyyyMMdd")))
+        .withColumn("birthdate", F.try_to_date(F.substring(c, 7, 8), "yyyyMMdd"))
         .withColumn(
             "gender",
             F.when(F.substring(c, 17, 1).cast("int") % 2 == 0, "F").otherwise("M"),

@@ -107,35 +107,45 @@ def cosine_topk_lsh(
     corpus: DataFrame,
     dim: int,
     k: int = 5,
-    n_bits: int = 10,
+    n_bits: int = 8,
+    n_tables: int = 4,
     probe_bits: int = 1,
     q_id: str = "vec_id",
     c_id: str = "vec_id",
     q_vec: str = "embedding",
     c_vec: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: bucket both sides by hyperplane sign bits,
-    multiprobe queries into hamming-1 buckets, exact cosine re-score.
+    """Approximate top-k: multi-table random-hyperplane LSH.
 
-    At 10^12 scale the bucket join replaces the cross join; recall is
-    tunable via n_bits/probe_bits (tested ≥0.9 @ defaults on synth)."""
-    bucket = lsh_bucket_udf(dim, n_bits)
-    c = corpus.select(
-        F.col(c_id).alias("nn_id"), F.col(c_vec).alias("_cv")
-    ).withColumn("bucket", bucket(F.col("_cv")))
-    q0 = queries.select(
-        F.col(q_id).alias("q_id"), F.col(q_vec).alias("_qv")
-    ).withColumn("_b0", bucket(F.col("_qv")))
-    # multiprobe: own bucket + all hamming-1 buckets (when probe_bits>0)
-    flips = [F.col("_b0")]
-    if probe_bits:
-        flips += [F.col("_b0").bitwiseXOR(F.lit(1 << b)) for b in range(n_bits)]
-    q = q0.withColumn("bucket", F.explode(F.array(*flips))).drop("_b0")
+    Both sides are bucketed in ``n_tables`` independent tables of
+    ``n_bits`` sign bits; queries additionally multiprobe hamming-1
+    buckets; union of bucket joins, exact cosine re-score, top-k.
+
+    At 10^12 scale the bucket join replaces the cross join.  Recall
+    depends on data geometry: high for clustered/near-dup embeddings
+    (the real workload — tested ≥0.9 on planted clusters), inherently
+    low for uniform-random vectors where no locality exists."""
+    c = corpus.select(F.col(c_id).alias("nn_id"), F.col(c_vec).alias("_cv"))
+    q0 = queries.select(F.col(q_id).alias("q_id"), F.col(q_vec).alias("_qv"))
+    scored_parts = []
+    for t in range(n_tables):
+        bucket = lsh_bucket_udf(dim, n_bits, seed=42 + t)
+        ct = c.withColumn("bucket", bucket(F.col("_cv")))
+        qt = q0.withColumn("_b0", bucket(F.col("_qv")))
+        flips = [F.col("_b0")]
+        if probe_bits:
+            flips += [F.col("_b0").bitwiseXOR(F.lit(1 << b)) for b in range(n_bits)]
+        qt = qt.withColumn("bucket", F.explode(F.array(*flips))).drop("_b0")
+        scored_parts.append(
+            qt.join(ct, on="bucket", how="inner").select("q_id", "nn_id", "_qv", "_cv")
+        )
+    cand = scored_parts[0]
+    for p in scored_parts[1:]:
+        cand = cand.unionByName(p)
     scored = (
-        q.join(c, on="bucket", how="inner")
-        .filter(F.col("q_id") != F.col("nn_id"))
-        .withColumn("score", F.round(cosine_score(F.col("_qv"), F.col("_cv")), 6))
+        cand.filter(F.col("q_id") != F.col("nn_id"))
         .dropDuplicates(["q_id", "nn_id"])
+        .withColumn("score", F.round(cosine_score(F.col("_qv"), F.col("_cv")), 6))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("nn_id"))
     return (
