@@ -1,0 +1,148 @@
+"""Image decode / feature-extract / mosaic over the images fact table.
+
+The multimodal pattern (BASELINE.json input_hint): images are opaque
+``binary`` with typed metadata ``(w, h, fmt)``.  Decoding runs inside
+``mapInPandas`` — one Python invocation per Arrow batch, codecs from
+``kernels.codec`` (pure numpy+zlib; PIL-class codecs are stubbed with
+NotImplementedError but the plumbing — schema, batching, partitioning —
+is identical for any codec).
+
+Per-row invariants (pytest-enforced): decoded pixels match the
+generator exactly for lossless fmts (PSNR=∞ ≥ 40 dB gate), captions are
+byte-equal through the whole pipeline.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from xutil_spark.kernels import codec as K_codec
+
+DECODE_STATS_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType(), False),
+    T.StructField("caption", T.StringType(), False),
+    T.StructField("fmt", T.StringType(), False),
+    T.StructField("w", T.IntegerType(), False),
+    T.StructField("h", T.IntegerType(), False),
+    T.StructField("mean_r", T.DoubleType(), False),
+    T.StructField("mean_g", T.DoubleType(), False),
+    T.StructField("mean_b", T.DoubleType(), False),
+    T.StructField("px_sum", T.LongType(), False),
+])
+
+
+def decode_stats(images: DataFrame) -> DataFrame:
+    """Decode every image and emit per-image channel means + pixel sum
+    (a cheap, deterministic whole-image feature) with the caption passed
+    through untouched (byte-equality invariant)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {k: [] for k in ("image_id", "caption", "fmt", "w", "h",
+                                   "mean_r", "mean_g", "mean_b", "px_sum")}
+            for r in b.itertuples(index=False):
+                px = K_codec.decode_image(bytes(r.bytes), int(r.w), int(r.h), r.fmt)
+                out["image_id"].append(r.image_id)
+                out["caption"].append(r.caption)
+                out["fmt"].append(r.fmt)
+                out["w"].append(int(r.w))
+                out["h"].append(int(r.h))
+                m = px.reshape(-1, 3).mean(axis=0)
+                out["mean_r"].append(round(float(m[0]), 6))
+                out["mean_g"].append(round(float(m[1]), 6))
+                out["mean_b"].append(round(float(m[2]), 6))
+                out["px_sum"].append(int(px.astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(run, schema=DECODE_STATS_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType(), False),
+    T.StructField("caption", T.StringType(), False),
+    T.StructField("w", T.IntegerType(), False),
+    T.StructField("h", T.IntegerType(), False),
+    T.StructField("fmt", T.StringType(), False),
+    T.StructField("bytes", T.BinaryType(), False),
+])
+
+
+def resize(images: DataFrame, out_w: int, out_h: int, out_fmt: str = "raw") -> DataFrame:
+    """Nearest-neighbor resize (pure numpy indexing) → re-encode.
+    Demonstrates the decode → transform → encode pipeline shape used by
+    any multimodal featurizer."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ys = None
+        for b in batches:
+            rows = {k: [] for k in ("image_id", "caption", "w", "h", "fmt", "bytes")}
+            for r in b.itertuples(index=False):
+                px = K_codec.decode_image(bytes(r.bytes), int(r.w), int(r.h), r.fmt)
+                yi = (np.arange(out_h) * r.h // out_h).astype(np.int64)
+                xi = (np.arange(out_w) * r.w // out_w).astype(np.int64)
+                rs = px[yi][:, xi]
+                rows["image_id"].append(r.image_id)
+                rows["caption"].append(r.caption)
+                rows["w"].append(out_w)
+                rows["h"].append(out_h)
+                rows["fmt"].append(out_fmt)
+                rows["bytes"].append(K_codec.encode_image(rs, out_fmt))
+            yield pd.DataFrame(rows)
+
+    return images.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+MOSAIC_SCHEMA = T.StructType([
+    T.StructField("cell", T.LongType(), False),
+    T.StructField("zoom", T.IntegerType(), False),
+    T.StructField("n_images", T.LongType(), False),
+    T.StructField("deg", T.IntegerType(), False),
+    T.StructField("fmt", T.StringType(), False),
+    T.StructField("bytes", T.BinaryType(), False),
+])
+
+
+def tile_mosaic(
+    images_with_loc: DataFrame, zoom: int = 12, deg: int = 256,
+    out_fmt: str = "png",
+) -> DataFrame:
+    """Raster↔vector: place every image at its TileImage pixel
+    (gis.go:277-283) inside its tile and render one ``deg×deg`` raster
+    per tile (mean pixel color splat, last-write-wins per pixel by
+    image_id order for determinism).
+
+    groupBy(cell).applyInPandas — the canonical per-tile refinement
+    stage; shuffle key = cell id, so mosaics co-locate with any other
+    cell-keyed stage."""
+    from xutil_spark.functions import native
+    from xutil_spark.kernels import tiles as K_tiles
+
+    with_cell = (
+        images_with_loc
+        .withColumn("cell", native.cell("lon", "lat", zoom))
+    )
+
+    def render(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        cell = int(key[0])
+        canvas = np.zeros((deg, deg, 3), dtype=np.uint8)
+        pdf = pdf.sort_values("image_id")
+        lon = pdf["lon"].to_numpy(np.float64)
+        lat = pdf["lat"].to_numpy(np.float64)
+        _, _, px, py = K_tiles.tile_image(lon, lat, zoom, deg)
+        for i, r in enumerate(pdf.itertuples(index=False)):
+            pix = K_codec.decode_image(bytes(r.bytes), int(r.w), int(r.h), r.fmt)
+            mean = pix.reshape(-1, 3).mean(axis=0).astype(np.uint8)
+            canvas[int(py[i]) % deg, int(px[i]) % deg] = mean
+        return pd.DataFrame({
+            "cell": [cell], "zoom": [zoom], "n_images": [len(pdf)],
+            "deg": [deg], "fmt": [out_fmt],
+            "bytes": [K_codec.encode_image(canvas, out_fmt)],
+        })
+
+    return with_cell.groupBy("cell").applyInPandas(render, schema=MOSAIC_SCHEMA)
