@@ -1,0 +1,212 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default run (what the driver invokes):
+  1. times the headline queries at local[$SPARK_GRAFT_CPUS] on
+     $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1);
+  2. runs the e2e image pipeline (decode → cell encode → tile join →
+     kNN → per-cell agg) on IDENTICAL input bytes at local[8] and
+     local[32] in separate JVMs (subprocesses) → throughput at both +
+     scaling efficiency thr32 / (4·thr8)  (sandbox stand-in for the
+     north rule's N vs 4N executors);
+  3. prints ONE JSON line to stdout; everything else goes to stderr;
+  4. rewrites BENCH.md with the numbers.
+
+``python bench.py --stage pipeline --master local[8]`` runs only the
+pipeline and prints its JSON (used by the subprocess fan-out).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+BENCH_IMAGES = int(os.environ.get("XUTIL_BENCH_IMAGES", "40000"))
+BENCH_REFS = int(os.environ.get("XUTIL_BENCH_REFS", "2000"))
+IMAGES_PATH = f"/tmp/xutil_bench/images_{BENCH_IMAGES}.parquet"
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "tile_assign_z15", "tile_rollup_z10", "tile_pixel_z12", "knn_k3",
+    "range_count_50km", "pip_city_tiles", "wgs2gcj", "pricing_summary",
+    "top3_orders_per_cust", "events_weekly_sunday", "dedup_exact",
+    "minhash_sigs", "lsh_dup_pairs", "lang_id", "quality", "cosine_top5",
+]
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def ensure_bench_images():
+    """Materialize the deterministic images table once (shared input
+    bytes for both parallelism levels)."""
+    if os.path.exists(IMAGES_PATH + "/_SUCCESS"):
+        return
+    from xutil_spark.data.synth import images_table
+    from xutil_spark.session import get_session
+
+    log(f"generating {BENCH_IMAGES} bench images -> {IMAGES_PATH}")
+    spark = get_session(master=f"local[{CPUS}]", app_name="bench_gen")
+    images_table(spark, BENCH_IMAGES, skew=True).write.mode("overwrite").parquet(IMAGES_PATH)
+    spark.stop()
+
+
+def run_pipeline(master: str) -> dict:
+    """The north-rule e2e pipeline: read images (input_hint schema) →
+    mapInPandas decode (pixel stats; raw+PNG codecs) → phash-derived
+    location (native exprs) → z15 cell encode → broadcast tile join at
+    z10 → exact kNN (k=3) vs ref points → per-cell aggregation.
+    Returns wall-clock + images/sec."""
+    from pyspark.sql import functions as F
+
+    from xutil_spark.data.synth import ref_points_table, tiles_table, with_location
+    from xutil_spark.functions import native
+    from xutil_spark.operators.spatial_join import knn_join, point_in_tile_join
+    from xutil_spark.raster.images import decode_stats
+    from xutil_spark.session import get_session
+
+    spark = get_session(master=master, app_name=f"bench_pipeline_{master}")
+    try:
+        images = spark.read.parquet(IMAGES_PATH)
+        n = images.count()
+        tiles10 = tiles_table(spark, zoom=10)
+        refs = ref_points_table(spark, BENCH_REFS)
+
+        t0 = time.perf_counter()
+        decoded = decode_stats(images)
+        pts = with_location(
+            decoded.join(images.select("image_id", "phash"), "image_id")
+        )
+        tiled = point_in_tile_join(pts, tiles10, zoom=10)
+        tiled = tiled.withColumn("cell15", native.cell("lon", "lat", 15))
+        nn = knn_join(
+            tiled.select("image_id", "lon", "lat", "cell15", "tile_id", "mean_r"),
+            refs, k=3, zoom=10,
+        )
+        out = (
+            nn.filter(F.col("rank") == 1)
+            .groupBy("tile_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_images"),
+                F.round(F.avg("mean_r"), 3).alias("avg_r"),
+                F.round(F.avg("dist_m"), 3).alias("avg_nn_dist"),
+            )
+        )
+        n_out = out.count()
+        wall = time.perf_counter() - t0
+        log(f"pipeline {master}: {n} images, {n_out} tiles, {wall:.2f}s,"
+            f" {n / wall:.1f} img/s")
+        return {"master": master, "images": n, "wall_sec": round(wall, 3),
+                "images_per_sec": round(n / wall, 2), "out_rows": n_out}
+    finally:
+        spark.stop()
+
+
+def run_queries() -> dict:
+    from xutil_spark.entry_queries import QUERIES
+    from xutil_spark.session import get_session
+
+    spark = get_session(master=f"local[{CPUS}]", app_name="bench_queries")
+    timings = {}
+    try:
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            n = QUERIES[name](spark, SF_DIR).count()
+            dt = time.perf_counter() - t0
+            timings[name] = round(dt, 3)
+            log(f"query {name}: {n} rows in {dt:.2f}s")
+    finally:
+        spark.stop()
+    return timings
+
+
+def write_bench_md(timings, p8, p32, eff):
+    sf = SF_DIR.rstrip("/").split("/")[-1]
+    lines = [
+        "# BENCH — measured numbers (this round)",
+        "",
+        f"Input: `{SF_DIR}` (headline queries), {BENCH_IMAGES} synthetic",
+        "images (input_hint schema, skewed) for the e2e pipeline.",
+        "",
+        "## Scaling evidence (north rule: N vs 4N parallelism, same input bytes)",
+        "",
+        "| level | wall (s) | images/sec |",
+        "|---|---|---|",
+        f"| local[8] | {p8['wall_sec']} | {p8['images_per_sec']} |",
+        f"| local[32] | {p32['wall_sec']} | {p32['images_per_sec']} |",
+        "",
+        f"**Scaling efficiency** = thr32 / (4 × thr8) = **{eff:.3f}**"
+        f" (target ≥ 0.8{' — MET' if eff >= 0.8 else ' — NOT met'})",
+        "",
+        "Pipeline: parquet read → mapInPandas decode (raw+PNG numpy codecs)",
+        "→ phash-derived location (native exprs) → z10 broadcast tile join →",
+        "z15 cell encode → exact grid kNN (k=3) → per-tile aggregation.",
+        "",
+        f"## Headline query timings @ local[{CPUS}], {sf}",
+        "",
+        "| query | sec |",
+        "|---|---|",
+    ]
+    for k, v in timings.items():
+        lines.append(f"| {k} | {v} |")
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", choices=["all", "pipeline"], default="all")
+    ap.add_argument("--master", default=f"local[{CPUS}]")
+    args = ap.parse_args()
+
+    if args.stage == "pipeline":
+        ensure_bench_images()
+        print(json.dumps(run_pipeline(args.master)))
+        return
+
+    ensure_bench_images()
+    timings = run_queries()
+
+    # scaling runs in fresh JVMs so the thread pools are honest
+    here = os.path.abspath(__file__)
+    results = {}
+    for master in ("local[8]", "local[32]"):
+        out = subprocess.run(
+            [sys.executable, here, "--stage", "pipeline", "--master", master],
+            capture_output=True, text=True, timeout=3600, check=False,
+        )
+        log(out.stderr[-2000:])
+        line = out.stdout.strip().splitlines()[-1]
+        results[master] = json.loads(line)
+
+    p8, p32 = results["local[8]"], results["local[32]"]
+    eff = p32["images_per_sec"] / (4.0 * p8["images_per_sec"])
+
+    queries = dict(timings)
+    queries["pipeline_local8"] = p8["wall_sec"]
+    queries["pipeline_local32"] = p32["wall_sec"]
+    write_bench_md(timings, p8, p32, eff)
+
+    print(json.dumps({
+        "metric": "spatial_join_tile_assign_throughput",
+        "value": p32["images_per_sec"],
+        "unit": "images/sec",
+        "queries": queries,
+        "sf": float(SF_DIR.rstrip("/").split("sf")[-1]),
+        "images": p8["images"],
+        "images_per_sec_local8": p8["images_per_sec"],
+        "images_per_sec_local32": p32["images_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

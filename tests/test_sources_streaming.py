@@ -1,0 +1,105 @@
+"""Archive source + streaming window tests."""
+
+import gzip
+import io
+import os
+import tarfile
+import time
+import zipfile
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from xutil_spark.sources import archives as A
+
+
+@pytest.fixture(scope="module")
+def archive_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("archives")
+    csv1 = b"a,b,c\n1,2,3\n4,5,6\n"
+    csv2 = b"a,b,c\n7,8,9\n"
+    # zip with a csv and a gz member
+    with zipfile.ZipFile(d / "batch1.zip", "w") as zf:
+        zf.writestr("part1.csv", csv1)
+        zf.writestr("part2.csv.gz", gzip.compress(csv2))
+        zf.writestr("ignore.bin", b"\x00\x01")  # filtered by suffix
+    # tar.gz with a csv member
+    with tarfile.open(d / "batch2.tar.gz", "w:gz") as tf:
+        info = tarfile.TarInfo("part3.csv")
+        info.size = len(csv1)
+        tf.addfile(info, io.BytesIO(csv1))
+    # bare gz
+    with open(d / "batch3.csv.gz", "wb") as fh:
+        fh.write(gzip.compress(csv2))
+    return str(d)
+
+
+def test_read_archive_members(spark, archive_dir):
+    m = A.read_archive_members(spark, archive_dir).toPandas()
+    members = sorted(m["member"])
+    assert members == ["batch3.csv", "part1.csv", "part2.csv.gz", "part3.csv"]
+    assert int(m["size"].min()) > 0
+    row = m[m["member"] == "part2.csv.gz"].iloc[0]
+    assert bytes(row["content"]).startswith(b"a,b,c")  # gunzipped inline
+
+
+def test_members_as_csv_merges_under_first_header(spark, archive_dir):
+    members = A.read_archive_members(spark, archive_dir)
+    df = A.members_as_csv(spark, members)
+    pdf = df.toPandas()
+    assert list(pdf.columns) == ["_archive", "_member", "a", "b", "c"]
+    assert len(pdf) == 2 + 1 + 2 + 1  # rows across all members
+    assert set(pdf["a"]) == {"1", "4", "7"}
+
+
+def test_incremental_new_files(spark, archive_dir):
+    listing = A.read_archive_members(spark, archive_dir).select("member", "size")
+    done = spark.createDataFrame(pd.DataFrame({"member": ["part1.csv", "batch3.csv"]}))
+    new = A.incremental_new_files(listing, done)
+    assert sorted(r["member"] for r in new.collect()) == ["part2.csv.gz", "part3.csv"]
+
+
+def test_write_csv_split(spark, tmp_path):
+    df = spark.range(0, 1000).select(F.col("id").cast("string").alias("v"))
+    out = str(tmp_path / "csv_out")
+    A.write_csv_split(df.coalesce(1), out, max_records_per_file=300)
+    parts = [f for f in os.listdir(out) if f.endswith(".csv")]
+    assert len(parts) >= 4  # 1000 rows / 300 per file
+    back = spark.read.option("header", "true").csv(out)
+    assert back.count() == 1000
+
+
+def test_streaming_cell_counts(spark, tmp_path):
+    """Drive the windowed cell aggregation with a file stream of located
+    events; verify against the equivalent batch aggregation."""
+    from xutil_spark.streaming.windows import streaming_cell_counts
+
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    pdf = pd.DataFrame({
+        "ts": pd.to_datetime(["2024-01-01 00:01:00", "2024-01-01 00:02:00",
+                              "2024-01-01 00:15:00", "2024-01-01 00:16:00"]),
+        "lon": [121.47, 121.47, 121.47, 116.40],
+        "lat": [31.23, 31.23, 31.23, 39.90],
+    })
+    batch_df = spark.createDataFrame(pdf)
+    batch_df.write.parquet(src + "/part0.parquet")
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(src + "/*.parquet")
+    agg = streaming_cell_counts(stream, zoom=10, window="10 minutes")
+    q = (
+        agg.writeStream.format("memory").queryName("cellcounts")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM cellcounts").toPandas()
+    # batch equivalent
+    exp = streaming_cell_counts(batch_df, zoom=10, window="10 minutes")
+    # (the same function works on a batch frame minus the watermark)
+    exp_pdf = exp.toPandas()
+    key = ["window_start", "cell"]
+    g = got.sort_values(key).reset_index(drop=True)
+    e = exp_pdf.sort_values(key).reset_index(drop=True)
+    assert list(g["n_events"]) == list(e["n_events"])
+    assert len(g) == 3  # two windows in Shanghai cell + one Beijing
