@@ -147,3 +147,22 @@ def test_salted_join_equals_plain_join(spark):
     b = set(map(tuple, salted.toPandas().to_numpy()))
     assert a == b
     assert hot.count() >= 3  # the 3 urban cells are detected as hot
+
+
+def test_knn_join_fused_matches_brute_force(spark, points_df, points_pd):
+    refs = synth.ref_points_table(spark, 250).cache()
+    refs_pd = refs.toPandas()
+    got = SJ.knn_join_fused(points_df, refs, k=3, zoom="auto").toPandas()
+    exp = _brute_knn(points_pd, refs_pd, 3)
+    assert set(got["image_id"]) == set(exp.keys())
+    for pid, grp in got.groupby("image_id"):
+        assert list(grp.sort_values("rank")["ref_id"]) == exp[pid], pid
+
+
+def test_knn_join_fused_sparse_refs(spark, points_df, points_pd):
+    refs = synth.ref_points_table(spark, 12).cache()
+    refs_pd = refs.toPandas()
+    got = SJ.knn_join_fused(points_df, refs, k=2, zoom="auto").toPandas()
+    exp = _brute_knn(points_pd, refs_pd, 2)
+    for pid, grp in got.groupby("image_id"):
+        assert list(grp.sort_values("rank")["ref_id"]) == exp[pid], pid

@@ -196,7 +196,7 @@ def q_knn_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pts = _points(spark, sf_dir).select("pid", "lon", "lat")
     refs = _refs(spark, sf_dir)
-    out = knn_join(pts, refs, k=3, zoom=8, point_id="pid", ref_id="ref_id")
+    out = knn_join(pts, refs, k=3, zoom="auto", point_id="pid", ref_id="ref_id")
     return out.select(
         "pid", "ref_id", "rank", F.round("dist_m", 3).alias("dist_m")
     )
@@ -779,6 +779,10 @@ QUERIES = {
     "knn_images_refs": q_knn_images_refs,
 }
 
+from xutil_spark.entry_queries2 import ORACLES2, QUERIES2  # noqa: E402
+
+QUERIES.update(QUERIES2)
+
 ORACLES = {
     "tile_assign_z15": o_tile_assign_z15(),
     "tile_rollup_z10": o_tile_rollup_z10(),
@@ -801,3 +805,4 @@ ORACLES = {
     "quality": o_quality(),
     "cosine_top5": o_cosine_top5(),
 }
+ORACLES.update(ORACLES2)

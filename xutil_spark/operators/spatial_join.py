@@ -153,30 +153,132 @@ def _neighbor_block(cell_col: Column, zoom: int, ring: int) -> Column:
     return F.array_distinct(F.array(*exprs))
 
 
-def _ring_guarantee_m(zoom: int, ring: int, max_abs_lat: float = 60.0) -> float:
-    """Lower bound on the distance from any point in the center cell to
-    the nearest *unsearched* cell beyond ``ring``, in meters.
+_M_PER_DEG_HAV = 111194.9  # π/180 × 6,371,000 — meters/deg under our haversine
 
-    The searched block covers all cells within ``ring`` tiles; the
-    closest unsearched geometry is at least ``ring`` full tile-spans
-    away in latitude (longitude spans shrink with cos(lat) but the
-    latitude bound alone is valid: any unsearched cell differs by more
-    than ``ring`` tiles in x OR y; in the x case its great-circle
-    distance is ≥ ring·span_lon·cos(lat)·111320; we take the min).
+
+def _ring_guarantee_m(zoom: int, ring: int, max_abs_lat: float = 60.0) -> float:
+    """Static lower bound on the distance from any point in the center
+    cell to the nearest *unsearched* cell beyond ``ring`` (used by
+    distance_join's ring sizing).  Conservative (worst latitude)."""
+    span_deg = 360.0 / (2 ** zoom)
+    return ring * span_deg * math.cos(math.radians(max_abs_lat)) * _M_PER_DEG_HAV * 0.5
+
+
+def _ring_guarantee_expr(lat_col: Column, zoom: int, ring: int = 1) -> Column:
+    """PER-POINT guarantee: the searched block spans ``ring`` full tiles
+    beyond the point's cell in every direction.  In Web-Mercator a
+    tile's latitude span at latitude φ is ≥ span_lon·cos(φ_far) for any
+    φ_far ≥ the block's farthest |latitude|, and the longitude distance
+    of a tile is span_lon·cos(φ)·m/deg — so
+    ``ring · span · cos(|lat| + (ring+1)·span) · m_per_deg`` lower-bounds
+    the distance to anything unsearched.  Much tighter than the static
+    cos(60°) bound at low latitudes → most points resolve in round 1."""
+    span = 360.0 / (2 ** zoom)
+    phi_far = F.least(F.abs(lat_col) + F.lit((ring + 1) * span), F.lit(85.0))
+    return (
+        F.lit(float(ring * span * _M_PER_DEG_HAV))
+        * F.cos(F.radians(phi_far))
+    )
+
+
+def pick_knn_zoom(refs: DataFrame, k: int,
+                  ref_lon: str = "lon", ref_lat: str = "lat",
+                  max_zoom: int = 14) -> int:
+    """Choose the starting zoom so a 3×3 block holds ~2k refs on
+    average: one tiny aggregation on the (dim-sized) refs table.  Too
+    fine a grid wastes escalation rounds; too coarse floods the window
+    with candidates."""
+    row = refs.agg(
+        F.min(ref_lon).alias("lo1"), F.max(ref_lon).alias("lo2"),
+        F.min(ref_lat).alias("la1"), F.max(ref_lat).alias("la2"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    n = max(int(row["n"]), 1)
+    dlon = max(float(row["lo2"]) - float(row["lo1"]), 1e-6)
+    dlat = max(float(row["la2"]) - float(row["la1"]), 1e-6)
+    for z in range(max_zoom, 0, -1):
+        tiles_x = max(dlon / (360.0 / 2 ** z), 1.0)
+        tiles_y = max(dlat / (360.0 / 2 ** z), 1.0)  # ~lat span below 60°
+        if 9.0 * n / (tiles_x * tiles_y) >= 2.0 * k:
+            return z
+    return 1
+
+
+def knn_join_fused(
+    points: DataFrame,
+    refs: DataFrame,
+    k: int,
+    zoom: int | str = "auto",
+    point_id: str = "image_id",
+    ref_id: str = "ref_id",
+    lon: str = "lon",
+    lat: str = "lat",
+    ref_lon: str = "lon",
+    ref_lat: str = "lat",
+) -> DataFrame:
+    """Exact kNN in TWO actions (vs the escalation loop's ~4/round):
+
+    one localCheckpoint of the input, then a single DAG =
+    ``grid-round top-k (per-point guarantee) ∪ brute-forced stragglers``.
+    The straggler side anti-joins the guaranteed ids and cross-joins the
+    broadcast refs — exact for any straggler count, no driver counts, no
+    per-round barriers.  The grid window's shuffle is reused between the
+    two branches (ReusedExchange), so the recompute is almost free.
+
+    Requires a broadcastable refs table (the straggler side is a
+    broadcast nested-loop join); for huge refs use ``knn_join``.
+    Preferred at high parallelism: serial driver time is O(1).
     """
-    span_deg = 360.0 / (2 ** zoom)  # tile span (lon; lat span is ≤ this below 60°)
-    # Web-Mercator lat span at |lat|≤60° is within [0.5, 1]× lon span;
-    # use the conservative half-span for the latitude direction.
-    lat_m = ring * (span_deg * 0.5) * _M_PER_DEG_LAT
-    lon_m = ring * span_deg * math.cos(math.radians(max_abs_lat)) * 111320.0
-    return min(lat_m, lon_m)
+    if zoom == "auto":
+        zoom = pick_knn_zoom(refs, k, ref_lon, ref_lat)
+    refs_c = with_cell(
+        refs.select(
+            F.col(ref_id),
+            F.col(ref_lon).alias("_rlon"),
+            F.col(ref_lat).alias("_rlat"),
+        ),
+        zoom, "_rlon", "_rlat", out="_rcell",
+    )
+    refs_dim = F.broadcast(refs_c)
+    pts = with_cell(points, zoom, lon, lat, out="_pcell").localCheckpoint()
+    out_cols = list(points.columns) + [ref_id, "dist_m", "rank"]
+    w = Window.partitionBy(point_id).orderBy(
+        F.round(F.col("dist_m"), 3).asc(), F.col(ref_id).asc()
+    )
+    dist = native.haversine_m(F.col(lon), F.col(lat), F.col("_rlon"), F.col("_rlat"))
+    kth = F.max(F.when(F.col("rank") == k, F.col("dist_m"))).over(
+        Window.partitionBy(point_id)
+    )
+    grid_topk = (
+        pts.withColumn("_ncell", F.explode(_neighbor_block(F.col("_pcell"), zoom, 1)))
+        .join(refs_dim, F.col("_ncell") == F.col("_rcell"), "inner")
+        .withColumn("dist_m", dist)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("_kth", kth)
+    )
+    done = grid_topk.filter(
+        F.col("_kth") <= _ring_guarantee_expr(F.col(lat), zoom, 1)
+    ).select(*out_cols)
+    done_ids = grid_topk.filter(
+        F.col("_kth") <= _ring_guarantee_expr(F.col(lat), zoom, 1)
+    ).select(point_id)
+    stragglers = pts.join(done_ids.distinct(), on=point_id, how="left_anti")
+    brute_topk = (
+        stragglers.join(refs_dim, F.lit(True), "inner")
+        .withColumn("dist_m", dist)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(*out_cols)
+    )
+    return done.unionByName(brute_topk)
 
 
 def knn_join(
     points: DataFrame,
     refs: DataFrame,
     k: int,
-    zoom: int = 12,
+    zoom: int | str = 12,
     min_zoom: int = 0,
     point_id: str = "image_id",
     ref_id: str = "ref_id",
@@ -203,6 +305,9 @@ def knn_join(
 
     Output: point columns + (ref_id, dist_m, rank 1..k).
     """
+    if zoom == "auto":
+        zoom = pick_knn_zoom(refs, k, ref_lon, ref_lat)
+    brute_budget = 50_000_000  # straggler pairs worth one broadcast join
     refs_c = with_cell(
         refs.select(
             F.col(ref_id),
@@ -215,12 +320,39 @@ def knn_join(
 
     pts = with_cell(points, zoom, lon, lat, out="_pcell")
 
-    remaining = pts
+    # materialize the input ONCE: the escalation loop (and the final
+    # union) would otherwise re-execute the full upstream DAG — decode
+    # UDFs, joins — once per round
+    remaining = pts.localCheckpoint()
+    n_remaining = remaining.count()
+    n_refs: int | None = None
     resolved_parts: list[DataFrame] = []
     point_cols = [c for c in points.columns]
     out_cols = point_cols + [ref_id, "dist_m", "rank"]
+    w = Window.partitionBy(point_id).orderBy(
+        F.round(F.col("dist_m"), 3).asc(), F.col(ref_id).asc()
+    )
     for zoom_r in range(zoom, min_zoom - 1, -1):
-        last_round = zoom_r == min_zoom
+        if n_remaining == 0:
+            break
+        # straggler cutoff: once remaining×refs fits one broadcast join,
+        # brute-force the tail exactly instead of walking zoom levels —
+        # collapses the long escalation tail into a single stage
+        if n_refs is None:
+            n_refs = refs_c.count()
+        if zoom_r == min_zoom or (
+            broadcast_refs and n_remaining * n_refs <= brute_budget
+        ):
+            cand = remaining.join(refs_dim, F.lit(True), "inner").withColumn(
+                "dist_m",
+                native.haversine_m(F.col(lon), F.col(lat), F.col("_rlon"), F.col("_rlat")),
+            )
+            topk = (
+                cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+            )
+            resolved_parts.append(topk.select(*out_cols))
+            break
         cand = (
             remaining
             .withColumn(
@@ -241,32 +373,26 @@ def knn_join(
                 native.haversine_m(F.col(lon), F.col(lat), F.col("_rlon"), F.col("_rlat")),
             )
         )
-        w = Window.partitionBy(point_id).orderBy(
-            F.round(F.col("dist_m"), 3).asc(), F.col(ref_id).asc()
-        )
-        topk = (
-            cand.withColumn("rank", F.row_number().over(w))
-            .withColumn("_n_cand", F.count(F.lit(1)).over(Window.partitionBy(point_id)))
-            .filter(F.col("rank") <= k)
-        )
-        if last_round:
-            resolved_parts.append(topk.select(*out_cols))
-            break
-        guarantee = _ring_guarantee_m(zoom_r, 1)
+        # _kth is null iff the point has < k candidates, so one window
+        # column does both the completeness and the guarantee check
         kth = F.max(F.when(F.col("rank") == k, F.col("dist_m"))).over(
             Window.partitionBy(point_id)
         )
-        topk = topk.withColumn("_kth", kth)
-        done = topk.filter(
-            (F.col("_n_cand") >= k) & (F.col("_kth") <= F.lit(guarantee))
+        topk = (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .withColumn("_kth", kth)
         )
-        resolved_parts.append(done.select(*out_cols))
+        # checkpoint the round's resolved rows: they're consumed twice
+        # (anti-join ids + final union) — without this every round's
+        # window re-executes at the final action
+        done = topk.filter(
+            F.col("_kth") <= _ring_guarantee_expr(F.col(lat), zoom_r, 1)
+        ).select(*out_cols).localCheckpoint()
+        resolved_parts.append(done)
         done_ids = done.select(point_id).distinct()
-        # localCheckpoint truncates lineage so the escalation loop's plan
-        # stays flat; `remaining` shrinks every round
         remaining = remaining.join(done_ids, on=point_id, how="left_anti").localCheckpoint()
-        if remaining.isEmpty():
-            break
+        n_remaining = remaining.count()
 
     out = resolved_parts[0]
     for part in resolved_parts[1:]:
