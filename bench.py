@@ -76,7 +76,7 @@ def run_pipeline(master: str) -> dict:
 
     from xutil_spark.data.synth import with_location
     from xutil_spark.functions import native
-    from xutil_spark.operators.spatial_join import knn_join_fused, point_in_tile_join
+    from xutil_spark.operators.spatial_join import knn_join, point_in_tile_join
     from xutil_spark.raster.images import decode_stats
     from xutil_spark.session import get_session
 
@@ -96,13 +96,11 @@ def run_pipeline(master: str) -> dict:
         decode_stats(images_table(spark, 2048)).count()
 
         t0 = time.perf_counter()
-        decoded = decode_stats(images)
-        pts = with_location(
-            decoded.join(images.select("image_id", "phash"), "image_id")
-        )
+        decoded = decode_stats(images)  # phash passes through — no re-join
+        pts = with_location(decoded)
         tiled = point_in_tile_join(pts, tiles10, zoom=10)
         tiled = tiled.withColumn("cell15", native.cell("lon", "lat", 15))
-        nn = knn_join_fused(
+        nn = knn_join(
             tiled.select("image_id", "lon", "lat", "cell15", "tile_id", "mean_r"),
             refs, k=3, zoom="auto",
         )

@@ -92,7 +92,7 @@ def _brute_knn(points_pd, refs_pd, k):
 def test_knn_join_vs_brute_force(spark, points_df, points_pd):
     refs = synth.ref_points_table(spark, 250).cache()
     refs_pd = refs.toPandas()
-    got = SJ.knn_join(points_df, refs, k=3, zoom=8).toPandas()
+    got = SJ.knn_join(points_df, refs, k=3, zoom=8, strategy="grid").toPandas()
     exp = _brute_knn(points_pd, refs_pd, 3)
     assert set(got["image_id"]) == set(exp.keys())
     for pid, grp in got.groupby("image_id"):
@@ -100,12 +100,32 @@ def test_knn_join_vs_brute_force(spark, points_df, points_pd):
         assert ordered == exp[pid], pid
 
 
+def test_knn_join_np_matches_brute_force(spark, points_df, points_pd):
+    """The shuffle-free numpy strategy (auto-dispatched for dim-sized
+    refs) agrees with brute force, including the tie order."""
+    refs = synth.ref_points_table(spark, 250).cache()
+    refs_pd = refs.toPandas()
+    got = SJ.knn_join(points_df, refs, k=3).toPandas()  # auto → np
+    exp = _brute_knn(points_pd, refs_pd, 3)
+    assert set(got["image_id"]) == set(exp.keys())
+    for pid, grp in got.groupby("image_id"):
+        assert list(grp.sort_values("rank")["ref_id"]) == exp[pid], pid
+
+
+def test_knn_join_np_k_exceeds_refs(spark, points_df, points_pd):
+    """k larger than the refs table → every ref returned, ranks 1..n."""
+    refs = synth.ref_points_table(spark, 4).cache()
+    got = SJ.knn_join_np(points_df, refs, k=9).toPandas()
+    assert len(got) == len(points_pd) * 4
+    assert set(got["rank"]) == {1, 2, 3, 4}
+
+
 def test_knn_join_sparse_refs_escalates_rings(spark, points_df, points_pd):
     """Only 12 refs nationwide → ring-1 at z8 is usually empty; the
     escalation loop must still find the true k nearest for every point."""
     refs = synth.ref_points_table(spark, 12).cache()
     refs_pd = refs.toPandas()
-    got = SJ.knn_join(points_df, refs, k=2, zoom=8).toPandas()
+    got = SJ.knn_join(points_df, refs, k=2, zoom=8, strategy="grid").toPandas()
     exp = _brute_knn(points_pd, refs_pd, 2)
     assert set(got["image_id"]) == set(exp.keys())
     mism = 0

