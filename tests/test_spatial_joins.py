@@ -112,6 +112,34 @@ def test_knn_join_np_matches_brute_force(spark, points_df, points_pd):
         assert list(grp.sort_values("rank")["ref_id"]) == exp[pid], pid
 
 
+def test_knn_join_np_grid_index_vs_brute_force(spark):
+    """Many refs (≥16k) trigger the in-worker numpy grid index (zoom>0,
+    searchsorted block gather + straggler brute fallback); skewed points
+    exercise hot cells.  Must equal brute force exactly, ties included."""
+    pts = synth.with_location(
+        synth.images_table(spark, 500, skew=True, with_bytes=False)
+    ).select("image_id", "lon", "lat").cache()
+    pts_pd = pts.toPandas()
+    refs = synth.ref_points_table(spark, 3000).cache()
+    refs_pd = refs.toPandas()
+    got = SJ.knn_join_np(pts, refs, k=4).toPandas()
+    exp = _brute_knn(pts_pd, refs_pd, 4)
+    assert set(got["image_id"]) == set(exp.keys())
+    for pid, grp in got.groupby("image_id"):
+        assert list(grp.sort_values("rank")["ref_id"]) == exp[pid], pid
+
+
+def test_knn_join_np_sparse_refs_stragglers(spark, points_df, points_pd):
+    """Few refs vs spread points → most points fail the ring guarantee
+    and take the brute-force straggler path; still exact."""
+    refs = synth.ref_points_table(spark, 60).cache()
+    refs_pd = refs.toPandas()
+    got = SJ.knn_join_np(points_df, refs, k=2).toPandas()
+    exp = _brute_knn(points_pd, refs_pd, 2)
+    for pid, grp in got.groupby("image_id"):
+        assert list(grp.sort_values("rank")["ref_id"]) == exp[pid], pid
+
+
 def test_knn_join_np_k_exceeds_refs(spark, points_df, points_pd):
     """k larger than the refs table → every ref returned, ranks 1..n."""
     refs = synth.ref_points_table(spark, 4).cache()

@@ -782,8 +782,10 @@ QUERIES = {
 }
 
 from xutil_spark.entry_queries2 import ORACLES2, QUERIES2  # noqa: E402
+from xutil_spark.entry_queries3 import ORACLES3, QUERIES3  # noqa: E402
 
 QUERIES.update(QUERIES2)
+QUERIES.update(QUERIES3)
 
 ORACLES = {
     "tile_assign_z15": o_tile_assign_z15(),
@@ -808,3 +810,4 @@ ORACLES = {
     "cosine_top5": o_cosine_top5(),
 }
 ORACLES.update(ORACLES2)
+ORACLES.update(ORACLES3)

@@ -1,0 +1,497 @@
+"""Driver-contract queries, batch 3: training-data dedup/similarity
+completion (n-gram Jaccard, embedding near-dup exact + LSH ANN), the
+ID-card decode pipeline (idcard.go:92-134), Baidu Mercator/tile chain
+(gis.go:285-341), TimeSplit, and the remaining set operators.  Same
+oracle-parity rules as entry_queries (identical aliases, rounded
+floats, integer-deterministic inputs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xutil_spark.entry_queries import (
+    _PTS_SQL, _points, _read, _utc, o_lsh_dup_pairs,
+)
+
+# ===================================================== dedup / similarity
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact char-8-gram Jaccard over the MinHash-LSH candidate pairs —
+    the full two-stage near-dup pipeline (candidates via bucket join,
+    verification via array_intersect/array_union, all JVM-side)."""
+    _utc(spark)
+    from xutil_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(docs, k=8, bands=4)
+    out = ngram_jaccard_pairs(docs, cand, k=8, threshold=0.5)
+    return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def o_ngram_jaccard() -> str:
+    sh = (
+        "CASE WHEN length(text) >= 8 THEN list_distinct(list_transform("
+        "range(1, length(text) - 6), i -> substr(text, CAST(i AS INT), 8)))"
+        " ELSE [] END"
+    )
+    jac = (
+        "ROUND(CAST(len(list_intersect(sa.st, sb.st)) AS DOUBLE)"
+        " / len(list_distinct(list_concat(sa.st, sb.st))), 6)"
+    )
+    return f"""
+WITH pairs AS ({o_lsh_dup_pairs()}),
+sets AS (SELECT doc_id, {sh} AS st FROM documents)
+SELECT * FROM (
+  SELECT p.a, p.b, {jac} AS jaccard
+  FROM pairs p
+  JOIN sets sa ON sa.doc_id = p.a
+  JOIN sets sb ON sb.doc_id = p.b
+) WHERE jaccard >= 0.5
+"""
+
+
+# same float expressions as the (matching) cosine_top5 oracle
+_DOT = (
+    "list_sum(list_transform(range(1, 65),"
+    " i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)"
+    " * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))"
+)
+_NA = "sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+_NB = "sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (score ≥ τ), exact
+    variant (n_bits=0 ⇒ single bucket = full pair join) — the oracle
+    baseline for the LSH-bucketed scale path below.  τ=0.3: the synth
+    embeddings are near-uniform (max pairwise cosine ≈0.51 at sf0.01),
+    so a production-style 0.9 threshold would be vacuously empty."""
+    _utc(spark)
+    from xutil_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, dim=64, threshold=0.3, n_bits=0)
+
+
+def o_embedding_near_dup() -> str:
+    return f"""
+SELECT * FROM (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         ROUND({_DOT} / ({_NA} * {_NB}), 6) AS score
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+) WHERE score >= 0.3
+"""
+
+
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed near-dup pairs (the 10^12-scale path: bucket join
+    instead of pair join).  Approximate by construction → rows-only;
+    recall vs the exact variant is pytest-pinned."""
+    _utc(spark)
+    from xutil_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, dim=64, threshold=0.3, n_bits=8)
+
+
+def q_cosine_top5_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via multi-table random-hyperplane LSH with hamming-1
+    multiprobe — the scale path twin of cosine_top5.  Approximate →
+    rows-only; recall pytest-pinned on planted clusters."""
+    _utc(spark)
+    from xutil_spark.operators.similarity import cosine_topk_lsh
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50)
+    return cosine_topk_lsh(q, emb, dim=64, k=5)
+
+
+# ============================================================== id cards
+
+# synthetic 3-level admin-region dim (ASCII names; a real deployment
+# loads the full public admin-code table via load_region_dim)
+_REGIONS = [
+    ("110105", "Chaoyang District"), ("110100", "Beijing City"), ("110000", "Beijing"),
+    ("310115", "Pudong District"), ("310100", "Shanghai City"), ("310000", "Shanghai"),
+    ("440305", "Nanshan District"), ("440300", "Shenzhen City"), ("440000", "Guangdong"),
+    ("320106", "Gulou District"), ("320100", "Nanjing City"), ("320000", "Jiangsu"),
+    ("610113", "Yanta District"), ("610100", "Xian City"), ("610000", "Shaanxi"),
+    ("500103", "Yuzhong District"), ("500100", "Chongqing City"), ("500000", "Chongqing"),
+]
+_CODE6 = [c for c, _ in _REGIONS if not c.endswith("0000") and not c.endswith("00")]
+_WI = [7, 9, 10, 5, 8, 4, 2, 1, 6, 3, 7, 9, 10, 5, 8, 4, 2]
+_Y11 = "10X98765432"
+
+
+def _id17_spark(custkey) -> F.Column:
+    """Deterministic 17-digit prefix from the customer key (mirrored in
+    SQL by _id17_sql): region code cycles the dim, birthdate
+    1950-1999 / month 1-12 / day 1-28, 3-digit sequence."""
+    k = custkey if isinstance(custkey, F.Column) else F.col(custkey)
+    code6 = F.element_at(
+        F.array(*[F.lit(c) for c in _CODE6]), (k % len(_CODE6) + 1).cast("int")
+    )
+    return F.concat(
+        code6,
+        (F.lit(1950) + k % 50).cast("string"),
+        F.lpad((F.lit(1) + k % 12).cast("string"), 2, "0"),
+        F.lpad((F.lit(1) + k % 28).cast("string"), 2, "0"),
+        F.lpad((k % 1000).cast("string"), 3, "0"),
+    )
+
+
+def _id17_sql() -> str:
+    cases = " ".join(
+        f"WHEN {i} THEN '{c}'" for i, c in enumerate(_CODE6)
+    )
+    return (
+        f"(CASE c_custkey % {len(_CODE6)} {cases} END)"
+        " || CAST(1950 + c_custkey % 50 AS VARCHAR)"
+        " || lpad(CAST(1 + c_custkey % 12 AS VARCHAR), 2, '0')"
+        " || lpad(CAST(1 + c_custkey % 28 AS VARCHAR), 2, '0')"
+        " || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')"
+    )
+
+
+def q_idcard_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NewIDCard (idcard.go:92-134): build deterministic 18-digit IDs
+    from customer keys (1-in-7 given a corrupt check digit), then
+    checksum-validate (IDsumY weighted mod-11), parse birthdate /
+    gender / age (as-of 2026-01-01), and decode the 3-level region via
+    broadcast joins."""
+    _utc(spark)
+    import pandas as pd
+
+    from xutil_spark.operators.relational import id_card_pipeline, id_checksum_udf
+
+    cust = _read(spark, sf_dir, "customer").select("c_custkey")
+    id17 = _id17_spark("c_custkey")
+    check = id_checksum_udf()(id17)
+    ids = cust.withColumn(
+        "id",
+        F.when(F.col("c_custkey") % 7 == 0, F.concat(id17, F.lit("0")))
+        .otherwise(F.concat(id17, check)),
+    )
+    dim = spark.createDataFrame(pd.DataFrame(_REGIONS, columns=["code", "name"]))
+    out = id_card_pipeline(ids, dim, id_col="id", as_of="2026-01-01")
+    return out.select(
+        "c_custkey", "id",
+        F.col("_ok_check").alias("valid"),
+        F.col("birthdate").cast("string").alias("birthdate"),
+        "gender", "age", "province", "city", "district",
+    )
+
+
+def o_idcard_pipeline() -> str:
+    digsum = " + ".join(
+        f"CAST(substr(id17, {i + 1}, 1) AS INT) * {w}" for i, w in enumerate(_WI)
+    )
+    ymap = " ".join(f"WHEN {i} THEN '{ch}'" for i, ch in enumerate(_Y11))
+    dimrows = ", ".join(f"('{c}', '{n}')" for c, n in _REGIONS)
+    return f"""
+WITH base AS (
+  SELECT c_custkey, {_id17_sql()} AS id17 FROM customer
+),
+chk AS (
+  SELECT c_custkey, id17,
+         (CASE ({digsum}) % 11 {ymap} END) AS ck
+  FROM base
+),
+ids AS (
+  SELECT c_custkey,
+         id17 || CASE WHEN c_custkey % 7 = 0 THEN '0' ELSE ck END AS id,
+         ck
+  FROM chk
+),
+dim(code, name) AS (VALUES {dimrows}),
+parsed AS (
+  SELECT c_custkey, id, (substr(id, 18, 1) = ck) AS valid,
+         CAST(strptime(substr(id, 7, 8), '%Y%m%d') AS DATE) AS bd,
+         CASE WHEN CAST(substr(id, 17, 1) AS INT) % 2 = 0 THEN 'F' ELSE 'M' END AS gender,
+         substr(id, 1, 6) AS c6,
+         substr(id, 1, 4) || '00' AS c4,
+         substr(id, 1, 2) || '0000' AS c2
+  FROM ids
+)
+SELECT p.c_custkey, p.id, p.valid,
+       CAST(p.bd AS VARCHAR) AS birthdate, p.gender,
+       2026 - year(p.bd) - (CASE WHEN month(p.bd) > 1 OR (month(p.bd) = 1 AND day(p.bd) > 1)
+                                 THEN 1 ELSE 0 END) AS age,
+       dp.name AS province, dc.name AS city, dd.name AS district
+FROM parsed p
+LEFT JOIN dim dd ON dd.code = p.c6
+LEFT JOIN dim dc ON dc.code = p.c4
+LEFT JOIN dim dp ON dp.code = p.c2
+"""
+
+
+# ======================================================== Baidu Mercator
+
+
+def q_baidu_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bd09ToMercator + Bd09ToTile z12 (gis.go:285-341): 6-band
+    polynomial projection (vectorized numpy UDF) and the meters-based
+    Baidu tile pyramid.  Derived points lie in [73.5,134.5]×[18.2,53.5]
+    so the lng-wrap and ±74 lat clamp are no-ops (pytest covers them);
+    the oracle transcribes the banded polynomial with the kernel's
+    exact float64 association."""
+    _utc(spark)
+    from xutil_spark.functions import geo_udfs
+
+    pts = _points(spark, sf_dir).filter(F.col("pid") % 17 == 3)
+    m = geo_udfs.bd09_to_mercator(F.col("lon"), F.col("lat"))
+    t = geo_udfs.bd09_tile(F.col("lon"), F.col("lat"), F.lit(12))
+    return pts.select(
+        "pid",
+        F.round(m.getField("x"), 6).alias("mx"),
+        F.round(m.getField("y"), 6).alias("my"),
+        t.getField("x").alias("btx"),
+        t.getField("y").alias("bty"),
+    )
+
+
+def o_baidu_mercator() -> str:
+    from xutil_spark.kernels.baidu import _LL2MC
+
+    band = (
+        "CASE WHEN lat >= 75 THEN 0 WHEN lat >= 60 THEN 1 WHEN lat >= 45 THEN 2"
+        " WHEN lat >= 30 THEN 3 WHEN lat >= 15 THEN 4 ELSE 5 END"
+    )
+    ce_cases = []
+    for j in range(10):
+        arms = " ".join(
+            f"WHEN {i} THEN {float(_LL2MC[i][j])!r}" for i in range(6)
+        )
+        ce_cases.append(f"(CASE band {arms} END) AS ce{j}")
+    ce_sql = ", ".join(ce_cases)
+    # same association as kernels.baidu._yr (square-chained powers)
+    return f"""
+WITH pts AS ({_PTS_SQL}),
+sel AS (SELECT pid, lon, lat, {band} AS band FROM pts WHERE pid % 17 = 3),
+co AS (SELECT pid, lon, lat, {ce_sql} FROM sel),
+e1 AS (SELECT *, ce0 + ce1 * abs(lon) AS xt, abs(lat) / ce9 AS cc FROM co),
+e2 AS (SELECT *, cc * cc AS cc2 FROM e1),
+e3 AS (SELECT *, cc2 * cc AS cc3, cc2 * cc2 AS cc4 FROM e2),
+e4 AS (SELECT *, cc4 * cc AS cc5, cc4 * cc2 AS cc6 FROM e3),
+e5 AS (SELECT pid, lon, lat, xt,
+              ce2 + ce3 * cc + ce4 * cc2 + ce5 * cc3 + ce6 * cc4
+                  + ce7 * cc5 + ce8 * cc6 AS yt
+       FROM e4),
+m AS (SELECT pid,
+             CASE WHEN lon < 0 THEN -xt ELSE xt END AS x,
+             CASE WHEN lat < 0 THEN -yt ELSE yt END AS y
+      FROM e5)
+SELECT pid, ROUND(x, 6) AS mx, ROUND(y, 6) AS my,
+       CAST(floor(x / 16384.0) AS BIGINT) AS btx,
+       CAST(floor(y / 16384.0) AS BIGINT) AS bty
+FROM m
+"""
+
+
+# ============================================================ time / sets
+
+
+def q_time_split_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimeSplit (time.go:134-139): half-open [day, day+1) hourly split
+    of each sampled event's day → 24 rows per event."""
+    _utc(spark)
+    from xutil_spark.operators.relational import time_split
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 199 == 0)
+    day = F.date_trunc("day", F.col("ts"))
+    seq = time_split(day, day + F.expr("interval 1 day"), 3600)
+    return ev.select(
+        "event_id", F.explode(seq).alias("hour_ts")
+    ).select("event_id", F.col("hour_ts").cast("string").alias("hour_ts"))
+
+
+def o_time_split_hourly() -> str:
+    return """
+SELECT event_id,
+       CAST(unnest(range(date_trunc('day', ts),
+                         date_trunc('day', ts) + INTERVAL 1 DAY,
+                         INTERVAL 1 HOUR)) AS VARCHAR) AS hour_ts
+FROM events WHERE event_id % 199 = 0
+"""
+
+
+def q_union_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StringsUnion (strings.go:79-95): deduped union of two customer
+    segments' names."""
+    _utc(spark)
+    from xutil_spark.operators.relational import strings_union
+
+    c = _read(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING")
+    b = c.filter(F.col("c_mktsegment") == "MACHINERY")
+    return strings_union(a.select("c_name"), b.select("c_name"), on="c_name")
+
+
+def o_union_names() -> str:
+    return """
+SELECT DISTINCT c_name FROM customer
+WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+"""
+
+
+def q_uniq_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StringsUniq (strings.go:114-124): stable dedup — first event (by
+    id order) of each event_type."""
+    _utc(spark)
+    from xutil_spark.operators.relational import strings_uniq
+
+    ev = _read(spark, sf_dir, "events").select("event_type", "event_id")
+    return strings_uniq(ev, on="event_type", order_col="event_id")
+
+
+def o_uniq_first_event() -> str:
+    return """
+SELECT event_type, MIN(event_id) AS event_id FROM events GROUP BY event_type
+"""
+
+
+# ============================================================== raster
+
+
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → nearest-neighbor resize to 8×8 → re-encode raw → digest
+    (the multimodal transform pipeline shape; binary codec → rows-only,
+    pixel exactness pytest-pinned)."""
+    _utc(spark)
+    from xutil_spark.data.synth import images_table
+    from xutil_spark.raster.images import resize
+
+    img = images_table(spark, 2000)
+    out = resize(img, out_w=8, out_h=8)
+    return out.select(
+        "image_id", "w", "h", "fmt", F.md5(F.col("bytes")).alias("px_md5"), "caption"
+    )
+
+
+# ======================================================= hashes / time
+
+
+def q_hash_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash.MD5 (crypto.go:24-29) + SHA-2 digest of document text —
+    builtin JVM expressions (FileHash/FileMD5 map to the same columns
+    over binaryFile content)."""
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("md5_hex"),
+        F.sha2(F.col("text"), 256).alias("sha256_hex"),
+    )
+
+
+def o_hash_digests() -> str:
+    return """
+SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex
+FROM documents WHERE doc_id % 3 = 0
+"""
+
+
+def q_day_last_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DayLastRange (time.go:61-82): previous Sunday-week / previous
+    month / yesterday as exploded yyyymmdd rows, per sampled event date
+    (as_of = the event's day; reference uses wall-clock now)."""
+    _utc(spark)
+    from xutil_spark.operators.relational import day_last_range
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 503 == 7)
+    parts = []
+    for kind in ("week", "month", "day"):
+        parts.append(
+            ev.select(
+                "event_id",
+                F.lit(kind).alias("kind"),
+                F.explode(day_last_range(F.col("ts"), kind)).alias("yyyymmdd"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def o_day_last_range() -> str:
+    return """
+WITH ev AS (
+  SELECT event_id, CAST(date_trunc('day', ts) AS DATE) AS d
+  FROM events WHERE event_id % 503 = 7
+),
+w AS (SELECT event_id, d, d - to_days(CAST(dayofweek(d) AS INT)) AS we FROM ev),
+ranges AS (
+  SELECT event_id, 'week' AS kind, we - to_days(7) AS b, we AS e FROM w
+  UNION ALL
+  SELECT event_id, 'month', CAST(date_trunc('month', d) - INTERVAL 1 MONTH AS DATE),
+         CAST(date_trunc('month', d) AS DATE) FROM ev
+  UNION ALL
+  SELECT event_id, 'day', d - to_days(1), d FROM ev
+)
+SELECT event_id, kind,
+       strftime(CAST(unnest(range(CAST(b AS TIMESTAMP), CAST(e AS TIMESTAMP),
+                                  INTERVAL 1 DAY)) AS DATE), '%Y%m%d') AS yyyymmdd
+FROM ranges
+"""
+
+
+def q_time_trunc_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimeTrunc (time.go:9-28) across month/day/hour/minute for
+    sampled events (week covered by events_weekly_sunday)."""
+    _utc(spark)
+    from xutil_spark.operators.relational import time_trunc
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 101 == 5)
+    return ev.select(
+        "event_id",
+        *[
+            time_trunc(F.col("ts"), u).cast("string").alias(f"t_{u}")
+            for u in ("month", "day", "hour", "minute")
+        ],
+    )
+
+
+def o_time_trunc_units() -> str:
+    # DuckDB's month/day trunc yields DATE — route through TIMESTAMP so
+    # the string form matches Spark's "yyyy-MM-dd HH:mm:ss"
+    cols = ", ".join(
+        f"CAST(CAST(date_trunc('{u}', ts) AS TIMESTAMP) AS VARCHAR) AS t_{u}"
+        for u in ("month", "day", "hour", "minute")
+    )
+    return f"""
+SELECT event_id, {cols} FROM events WHERE event_id % 101 = 5
+"""
+
+
+QUERIES3 = {
+    "ngram_jaccard": q_ngram_jaccard,
+    "embedding_near_dup": q_embedding_near_dup,
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+    "cosine_top5_lsh": q_cosine_top5_lsh,
+    "idcard_pipeline": q_idcard_pipeline,
+    "baidu_mercator": q_baidu_mercator,
+    "time_split_hourly": q_time_split_hourly,
+    "union_names": q_union_names,
+    "uniq_first_event": q_uniq_first_event,
+    "image_resize": q_image_resize,
+    "hash_digests": q_hash_digests,
+    "day_last_range": q_day_last_range,
+    "time_trunc_units": q_time_trunc_units,
+}
+
+ORACLES3 = {
+    "ngram_jaccard": o_ngram_jaccard(),
+    "embedding_near_dup": o_embedding_near_dup(),
+    "idcard_pipeline": o_idcard_pipeline(),
+    "baidu_mercator": o_baidu_mercator(),
+    "time_split_hourly": o_time_split_hourly(),
+    "union_names": o_union_names(),
+    "uniq_first_event": o_uniq_first_event(),
+    "hash_digests": o_hash_digests(),
+    "day_last_range": o_day_last_range(),
+    "time_trunc_units": o_time_trunc_units(),
+}

@@ -52,12 +52,19 @@ def _yr(x, y, ce):
     y = np.asarray(y, dtype=np.float64)
     x_tmp = ce[:, 0] + ce[:, 1] * np.abs(x)
     cc = np.abs(y) / ce[:, 9]
-    # power series cc^0..cc^6 with coefficients ce[:, 2..8], evaluated
-    # exactly as the reference's explicit products (Horner is equivalent
-    # up to fp association; golden tests pin the 6-dp outputs)
+    # power series cc^0..cc^6 with coefficients ce[:, 2..8].  Powers are
+    # explicit square-chained products (cc3 = cc2·cc, cc5 = cc4·cc, …)
+    # so the DuckDB oracle SQL can replicate the float64 association
+    # bit-for-bit (numpy's ``**`` uses libm pow for exponents ≥ 3, which
+    # no SQL product expression reproduces); golden tests pin 6-dp.
+    cc2 = cc * cc
+    cc3 = cc2 * cc
+    cc4 = cc2 * cc2
+    cc5 = cc4 * cc
+    cc6 = cc4 * cc2
     y_tmp = (
-        ce[:, 2] + ce[:, 3] * cc + ce[:, 4] * cc**2 + ce[:, 5] * cc**3
-        + ce[:, 6] * cc**4 + ce[:, 7] * cc**5 + ce[:, 8] * cc**6
+        ce[:, 2] + ce[:, 3] * cc + ce[:, 4] * cc2 + ce[:, 5] * cc3
+        + ce[:, 6] * cc4 + ce[:, 7] * cc5 + ce[:, 8] * cc6
     )
     x_tmp = np.where(x < 0, -x_tmp, x_tmp)
     y_tmp = np.where(y < 0, -y_tmp, y_tmp)

@@ -154,6 +154,28 @@ def time_parse(col) -> Column:
     return F.coalesce(*[F.try_to_timestamp(c, F.lit(f)) for f in fmts])
 
 
+def day_last_range(as_of, f: str) -> Column:
+    """DayLastRange (time.go:61-82): yyyymmdd list for the previous
+    Sunday-started week / previous month / yesterday, half-open.
+    The reference uses wall-clock now; ours takes ``as_of`` (a date
+    column) for determinism."""
+    d = as_of if isinstance(as_of, Column) else F.col(as_of)
+    d = F.to_date(d)
+    if f == "week":
+        e = F.date_sub(d, F.dayofweek(d) - 1)  # Go Weekday(): Sunday=0
+        b = F.date_sub(e, 7)
+    elif f == "month":
+        e = F.trunc(d, "month")
+        b = F.add_months(e, -1)
+    elif f == "day":
+        e = d
+        b = F.date_sub(d, 1)
+    else:
+        raise ValueError(f"unknown range {f!r}")
+    seq = F.sequence(b, F.date_sub(e, 1), F.expr("interval 1 day"))
+    return F.transform(seq, lambda x: F.date_format(x, "yyyyMMdd"))
+
+
 def time_split(begin, end, step_seconds: int) -> Column:
     """TimeSplit (time.go:134-139): half-open [b, e) stepping d.
     Spark's sequence is closed, so the endpoint is trimmed."""
@@ -308,8 +330,16 @@ def id_card_pipeline(
         )
         .withColumn(
             "age",
-            F.floor(
-                F.months_between(F.lit(as_of).cast("date"), F.col("birthdate")) / 12
+            (
+                F.year(F.lit(as_of).cast("date")) - F.year("birthdate")
+                - F.when(
+                    (F.month("birthdate") > F.month(F.lit(as_of).cast("date")))
+                    | (
+                        (F.month("birthdate") == F.month(F.lit(as_of).cast("date")))
+                        & (F.dayofmonth("birthdate") > F.dayofmonth(F.lit(as_of).cast("date")))
+                    ),
+                    1,
+                ).otherwise(0)
             ).cast("int"),
         )
         .withColumn("_c6", F.substring(c, 1, 6))

@@ -302,36 +302,65 @@ def knn_join_np(
     lat: str = "lat",
     ref_lon: str = "lon",
     ref_lat: str = "lat",
-    chunk_elems: int = 4_000_000,
 ) -> DataFrame:
     """Exact kNN against a **dim-sized** refs table with ZERO shuffles.
 
     The refs collect to numpy arrays captured in the task closure
-    (broadcast semantics — a few MB shipped once per worker); each Arrow
-    batch computes a chunked B×R haversine matrix and a stable-argsort
-    top-k entirely in numpy.  No explode, no join, no window: the points
-    side streams through ``mapInPandas`` embarrassingly parallel, so
-    this is both the fastest AND the best-scaling strategy whenever refs
-    fit a broadcast (measured ~6× over the grid join at 600k×1k).
+    (broadcast semantics — a few MB shipped once per worker).  Inside
+    each Arrow batch the search is a **numpy grid index**, not brute
+    force: refs are pre-sorted by tile cell at an auto-picked zoom, each
+    point gathers the candidates of its 3×3 neighbor block via
+    ``searchsorted`` range expansion (no Python loops), distances run
+    over the flat candidate pair list, and a per-point guarantee — k-th
+    distance ≤ the block's covered radius — proves exactness; the rare
+    stragglers fall back to a vectorized brute-force pass.  ~100× fewer
+    haversine evals than brute force at 2k refs.
+
+    No explode, no join, no window: the points side streams through
+    ``mapInPandas`` embarrassingly parallel, so this is both the fastest
+    AND the best-scaling strategy whenever refs fit a broadcast.
 
     Tie order matches the grid/window path exactly: rank by
-    ``(round(dist_m, 3), ref_id)`` — refs are pre-sorted by id so the
-    stable sort breaks rounded-distance ties on ref_id.  The haversine
-    replicates ``native.haversine_m``'s float64 operation order.
+    ``(round(dist_m, 3), ref_id)`` via a strictly-ordered composite
+    int64 key (mm-rounded dist · n_refs + ref_index; refs pre-sorted by
+    id).  The haversine replicates ``native.haversine_m``'s float64
+    operation order.
     """
     import numpy as np
+
+    from xutil_spark.kernels.tiles import wgs2tile
 
     extras = [c for c in refs.columns if c not in (ref_id, ref_lon, ref_lat)]
     ref_pd = refs.toPandas().sort_values(ref_id, kind="stable")
     rid = ref_pd[ref_id].to_numpy()
-    rlon = ref_pd[ref_lon].to_numpy(np.float64)[None, :]
-    rlat = ref_pd[ref_lat].to_numpy(np.float64)[None, :]
+    rlon = ref_pd[ref_lon].to_numpy(np.float64)
+    rlat = ref_pd[ref_lat].to_numpy(np.float64)
     rextra = {c: ref_pd[c].to_numpy() for c in extras}
     n_refs = len(ref_pd)
     kk = min(k, n_refs)
     rad = math.pi / 180.0
     two_r = 2.0 * 6371000.0
-    chunk = max(chunk_elems // max(n_refs, 1), 1)
+
+    # zoom pick (pure numpy on the collected dim — no Spark job): the
+    # finest zoom keeping ≥ max(3k, 8) refs per tile on average, so the
+    # k-th neighbor usually sits inside the ring-1 guarantee radius.
+    zoom = 0
+    if n_refs >= 16 * kk:
+        dlon_span = max(float(rlon.max() - rlon.min()), 1e-9)
+        dlat_span = max(float(rlat.max() - rlat.min()), 1e-9)
+        for z in range(14, 0, -1):
+            span = 360.0 / (1 << z)
+            tiles = max(dlon_span / span, 1.0) * max(dlat_span / span, 1.0)
+            if n_refs / tiles >= max(3.0 * kk, 8.0):
+                zoom = z
+                break
+    n_axis = 1 << zoom
+    rx, ry = wgs2tile(rlon, rlat, zoom)
+    rcell = rx * n_axis + ry
+    rorder = np.argsort(rcell, kind="stable")  # id order within a cell
+    rcell_s = rcell[rorder]
+    span_deg = 360.0 / n_axis
+    guarantee_scale = span_deg * _M_PER_DEG_HAV  # × cos(φ_far), ring=1
 
     from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
@@ -345,43 +374,130 @@ def knn_join_np(
         ]
     )
 
+    def hav(plon_a, plat_a, rlon_a, rlat_a):
+        dlat = (rlat_a - plat_a) * rad
+        dlon = (rlon_a - plon_a) * rad
+        a = (
+            np.sin(dlat / 2) * np.sin(dlat / 2)
+            + np.sin(dlon / 2) * np.sin(dlon / 2)
+            * np.cos(plat_a * rad) * np.cos(rlat_a * rad)
+        )
+        return two_r * np.arctan2(np.sqrt(a), np.sqrt(1.0 - a))
+
+    def emit(part, pt_idx, ref_idx, d):
+        """Assemble output rows from flat (point row, ref index, dist)."""
+        out = part.iloc[pt_idx].reset_index(drop=True)
+        out[ref_id] = rid[ref_idx]
+        for c in extras:
+            out[c] = rextra[c][ref_idx]
+        out["dist_m"] = d
+        return out
+
+    def topk_grid(part, plon, plat):
+        """Returns (resolved_out, straggler_mask)."""
+        b = len(part)
+        px, py = wgs2tile(plon, plat, zoom)
+        pcell = px * n_axis + py
+        ucell, uinv = np.unique(pcell, return_inverse=True)
+        un = len(ucell)
+        ux, uy = ucell // n_axis, ucell % n_axis
+        # 3×3 block ranges into the cell-sorted refs (x wraps, y clips)
+        los = np.empty((un, 9), dtype=np.int64)
+        his = np.empty((un, 9), dtype=np.int64)
+        col = 0
+        for dx in (-1, 0, 1):
+            nx = (ux + dx) % n_axis
+            for dy in (-1, 0, 1):
+                ny = uy + dy
+                ok = (ny >= 0) & (ny < n_axis)
+                ncell = np.where(ok, nx * n_axis + ny, -1)
+                los[:, col] = np.searchsorted(rcell_s, ncell, side="left")
+                his[:, col] = np.searchsorted(rcell_s, ncell, side="right")
+                col += 1
+        lens = (his - los).ravel()
+        blk_cnt = lens.reshape(un, 9).sum(axis=1)
+        # CSR-expand the (lo, hi) ranges into flat sorted-ref indices,
+        # grouped contiguously per unique cell
+        tot = int(lens.sum())
+        if tot == 0:
+            return None, np.ones(b, dtype=bool)
+        seg0 = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        rflat = np.repeat(los.ravel(), lens) + (np.arange(tot) - np.repeat(seg0, lens))
+        ucum = np.concatenate(([0], np.cumsum(blk_cnt)))
+        # pair list: points grouped by cell × their block's candidates
+        porder = np.argsort(uinv, kind="stable")
+        b_per_pt = blk_cnt[uinv[porder]]
+        n_pairs = int(b_per_pt.sum())
+        pair_pt = np.repeat(porder, b_per_pt)
+        pcum = np.concatenate(([0], np.cumsum(b_per_pt)))[:-1]
+        pair_off = np.arange(n_pairs) - np.repeat(pcum, b_per_pt)
+        pair_ref = rorder[rflat[np.repeat(ucum[uinv[porder]], b_per_pt) + pair_off]]
+        d = hav(plon[pair_pt], plat[pair_pt], rlon[pair_ref], rlat[pair_ref])
+        key = np.rint(np.round(d, 3) * 1000.0).astype(np.int64) * n_refs + pair_ref
+        o = np.lexsort((key, pair_pt))
+        spt, sref, sd = pair_pt[o], pair_ref[o], d[o]
+        first = np.empty(n_pairs, dtype=bool)
+        first[0] = True
+        first[1:] = spt[1:] != spt[:-1]
+        seg_id = np.cumsum(first) - 1
+        seg_start = np.flatnonzero(first)
+        pos = np.arange(n_pairs) - seg_start[seg_id]
+        cnt = np.zeros(b, dtype=np.int64)
+        cnt_seg = np.diff(np.concatenate((seg_start, [n_pairs])))
+        cnt[spt[seg_start]] = cnt_seg
+        kth_d = np.full(b, np.inf)
+        at_k = pos == (kk - 1)
+        kth_d[spt[at_k]] = sd[at_k]
+        phi_far = np.minimum(np.abs(plat) + 2.0 * span_deg, 85.0)
+        guarantee = guarantee_scale * np.cos(phi_far * rad)
+        resolved = (cnt >= kk) & (kth_d <= guarantee)
+        take = (pos < kk) & resolved[spt]
+        return (spt[take], sref[take], sd[take]), ~resolved
+
+    def brute(plon, plat):
+        """Vectorized brute-force top-k for m stragglers (m×R)."""
+        d = hav(plon[:, None], plat[:, None], rlon[None, :], rlat[None, :])
+        key = (
+            np.rint(np.round(d, 3) * 1000.0).astype(np.int64) * n_refs
+            + np.arange(n_refs, dtype=np.int64)[None, :]
+        )
+        sel = np.argpartition(key, kk - 1, axis=1)[:, :kk]
+        order = np.argsort(np.take_along_axis(key, sel, axis=1), axis=1, kind="stable")
+        idx = np.take_along_axis(sel, order, axis=1)
+        rows = np.repeat(np.arange(len(plon)), kk)
+        return rows, idx.ravel(), d[rows, idx.ravel()]
+
     def topk_batches(it):
         for pdf in it:
-            if len(pdf) == 0:
+            if len(pdf) == 0 or n_refs == 0:
                 continue
-            for lo in range(0, len(pdf), chunk):
-                part = pdf.iloc[lo:lo + chunk]
-                plon = part[lon].to_numpy(np.float64)[:, None]
-                plat = part[lat].to_numpy(np.float64)[:, None]
-                dlat = (rlat - plat) * rad
-                dlon = (rlon - plon) * rad
-                a = (
-                    np.sin(dlat / 2) * np.sin(dlat / 2)
-                    + np.sin(dlon / 2) * np.sin(dlon / 2)
-                    * np.cos(plat * rad) * np.cos(rlat * rad)
-                )
-                d = two_r * np.arctan2(np.sqrt(a), np.sqrt(1.0 - a))
-                # exact top-k in O(R): composite int64 key (mm-rounded
-                # dist)·R + ref_index is strictly totally ordered — no
-                # value ties, so argpartition needs no tie fallback, and
-                # ref index order IS ref_id order (refs pre-sorted).
-                # max key ≈ 2e10·2e5 = 4e15 ≪ 2^63.
-                key = (
-                    np.rint(np.round(d, 3) * 1000.0).astype(np.int64) * n_refs
-                    + np.arange(n_refs, dtype=np.int64)[None, :]
-                )
-                sel = np.argpartition(key, kk - 1, axis=1)[:, :kk]
-                order = np.argsort(
-                    np.take_along_axis(key, sel, axis=1), axis=1, kind="stable"
-                )
-                idx = np.take_along_axis(sel, order, axis=1)
-                rows = np.repeat(np.arange(len(part)), kk)
-                out = part.iloc[rows].reset_index(drop=True)
-                out[ref_id] = rid[idx.ravel()]
-                for c in extras:
-                    out[c] = rextra[c][idx.ravel()]
-                out["dist_m"] = d[rows, idx.ravel()]
-                out["rank"] = np.tile(np.arange(1, kk + 1), len(part))
+            plon = pdf[lon].to_numpy(np.float64)
+            plat = pdf[lat].to_numpy(np.float64)
+            if zoom == 0:
+                rows, ridx, d = brute(plon, plat)
+                out = emit(pdf, rows, ridx, d)
+                out["rank"] = np.tile(np.arange(1, kk + 1), len(pdf))
+                yield out
+                continue
+            grid_out, straggler = topk_grid(pdf, plon, plat)
+            if grid_out is not None and len(grid_out[0]):
+                gp, gr, gd = grid_out
+                out = emit(pdf, gp, gr, gd)
+                # pos within segment restarts at each point → rank
+                rank = np.ones(len(gp), dtype=np.int64)
+                newseg = np.empty(len(gp), dtype=bool)
+                newseg[0] = True
+                newseg[1:] = gp[1:] != gp[:-1]
+                seg_first = np.flatnonzero(newseg)
+                seg_ids = np.cumsum(newseg) - 1
+                rank = np.arange(len(gp)) - seg_first[seg_ids] + 1
+                out["rank"] = rank
+                yield out
+            sidx = np.flatnonzero(straggler)
+            if len(sidx):
+                rows, ridx, d = brute(plon[sidx], plat[sidx])
+                out = emit(pdf, sidx[rows], ridx, d)
+                out["rank"] = np.tile(np.arange(1, kk + 1), len(sidx))
                 yield out
 
     return points.mapInPandas(topk_batches, schema=out_schema)
