@@ -55,17 +55,25 @@ def test_shingles_expr(spark):
     assert list(got["s"][2]) == []
 
 
-def _py_minhash(text, band, k=8):
+def _py_minhash(text, band, k=8, rows=2):
+    """Mirror of minhash_signatures: chunk-min banding — hash index
+    i = band*rows + r selects chunk i%4 of digest md5((i//4)|shingle)."""
     n = len(text) - k + 1
     if n <= 0:
         return None
-    return min(
-        hashlib.md5(f"{band}|{text[i:i+k]}".encode()).hexdigest() for i in range(n)
-    )
+    sig = ""
+    for r in range(rows):
+        i = band * rows + r
+        j, c = i // 4, i % 4
+        sig += min(
+            hashlib.md5(f"{j}|{text[p:p+k]}".encode()).hexdigest()[8 * c:8 * c + 8]
+            for p in range(n)
+        )
+    return sig
 
 
 def test_minhash_signatures_match_python(docs, docs_pd):
-    got = D.minhash_signatures(docs, k=8, bands=2).toPandas()
+    got = D.minhash_signatures(docs, k=8, bands=2, rows=2).toPandas()
     sample = docs_pd.head(20)
     gmap = {(r["doc_id"], r["band"]): r["sig"] for _, r in got.iterrows()}
     for _, r in sample.iterrows():

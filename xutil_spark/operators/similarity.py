@@ -155,6 +155,47 @@ def cosine_topk_lsh(
     )
 
 
+def _allpairs_cosine_np(
+    df: DataFrame, threshold: float, id_col: str, vec_col: str
+) -> DataFrame:
+    """Exact cosine ≥ τ pairs by blocked matmul (see caller docstring).
+
+    Scores are float64, rounded to 6 dp before the threshold filter —
+    bit-identical to the expression path for every non-boundary value
+    (differences are last-ulp summation-order artifacts ~1e-15)."""
+    spark = df.sparkSession
+    src = df.select(F.col(id_col), F.col(vec_col))
+    pdf = src.toPandas()
+    ids = pdf[id_col].to_numpy()
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    id_ddl = [f.dataType.simpleString() for f in src.schema.fields
+              if f.name == id_col][0]
+
+    def gen(batches):
+        all_ids, all_mat = b_ids.value, b_mat.value
+        for batch in batches:
+            if not len(batch):
+                continue
+            q = np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            scores = np.round(q @ all_mat.T, 6)
+            qids = batch[id_col].to_numpy()
+            # a < b keeps each unordered pair once (and drops self-pairs)
+            keep = (scores >= threshold) & (qids[:, None] < all_ids[None, :])
+            qi, ci = np.nonzero(keep)
+            yield pd.DataFrame({
+                "a": qids[qi], "b": all_ids[ci], "score": scores[qi, ci],
+            })
+
+    return src.repartition(max(2, spark.sparkContext.defaultParallelism)).mapInPandas(
+        gen, schema=f"a {id_ddl}, b {id_ddl}, score double"
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     dim: int,
@@ -165,11 +206,18 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold, via LSH buckets + exact score.
     High-cosine pairs collide with high probability at few bits; for an
-    exact variant use n_bits=0 (single bucket = brute force)."""
+    exact variant use n_bits=0 (brute force).
+
+    Exact path: blocked matmul — the corpus is L2-normalized once,
+    shipped to every partition as a broadcast numpy matrix, and each
+    Arrow batch computes ``batch @ corpusᵀ`` (one BLAS call per batch)
+    instead of a nested-loop pair join with per-element expressions.
+    O(n²) work either way, but distributed O(n²/p) per task with the
+    constant factor of a matmul; the broadcast side must be dim-table
+    sized (an exact all-pairs over a fact table is a non-goal — that is
+    what the LSH path is for)."""
     if n_bits == 0:
-        v = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
-        w_ = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
-        cand = v.join(w_, F.col("a") < F.col("b"))
+        return _allpairs_cosine_np(df, threshold, id_col, vec_col)
     else:
         bucket = lsh_bucket_udf(dim, n_bits)
         sides = df.select(F.col(id_col), F.col(vec_col)).withColumn(

@@ -328,7 +328,48 @@ def knn_join_np(
     """
     import numpy as np
 
-    from xutil_spark.kernels.tiles import wgs2tile
+    rid, rlon, rlat, rextra, extras = _collect_refs(refs, ref_id, ref_lon, ref_lat)
+    search = knn_searcher(rlon, rlat, k)
+    n_refs = len(rid)
+
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+    out_schema = StructType(
+        list(points.schema.fields)
+        + [StructField(ref_id, refs.schema[ref_id].dataType, True)]
+        + [StructField(c, refs.schema[c].dataType, True) for c in extras]
+        + [
+            StructField("dist_m", DoubleType(), True),
+            StructField("rank", IntegerType(), False),
+        ]
+    )
+
+    def emit(part, pt_idx, ref_idx, d):
+        """Assemble output rows from flat (point row, ref index, dist)."""
+        out = part.iloc[pt_idx].reset_index(drop=True)
+        out[ref_id] = rid[ref_idx]
+        for c in extras:
+            out[c] = rextra[c][ref_idx]
+        out["dist_m"] = d
+        return out
+
+    def topk_batches(it):
+        for pdf in it:
+            if len(pdf) == 0 or n_refs == 0:
+                continue
+            plon = pdf[lon].to_numpy(np.float64)
+            plat = pdf[lat].to_numpy(np.float64)
+            rows, ridx, d, rank = search(plon, plat)
+            out = emit(pdf, rows, ridx, d)
+            out["rank"] = rank
+            yield out
+
+    return points.mapInPandas(topk_batches, schema=out_schema)
+
+
+def _collect_refs(refs: DataFrame, ref_id: str, ref_lon: str, ref_lat: str):
+    """Collect a dim-sized refs table to numpy, id-sorted (tie order)."""
+    import numpy as np
 
     extras = [c for c in refs.columns if c not in (ref_id, ref_lon, ref_lat)]
     ref_pd = refs.toPandas().sort_values(ref_id, kind="stable")
@@ -336,7 +377,21 @@ def knn_join_np(
     rlon = ref_pd[ref_lon].to_numpy(np.float64)
     rlat = ref_pd[ref_lat].to_numpy(np.float64)
     rextra = {c: ref_pd[c].to_numpy() for c in extras}
-    n_refs = len(ref_pd)
+    return rid, rlon, rlat, rextra, extras
+
+
+def knn_searcher(rlon, rlat, k: int):
+    """Build the in-worker exact-kNN search function over a collected
+    refs array (the numpy grid index described in ``knn_join_np``).
+
+    Returns ``search(plon, plat) -> (pt_rows, ref_idx, dist_m, rank)``
+    with flat int/float arrays — reusable both by ``knn_join_np`` and
+    by fused whole-pipeline operators (operators/fused.py)."""
+    import numpy as np
+
+    from xutil_spark.kernels.tiles import wgs2tile
+
+    n_refs = len(rlon)
     kk = min(k, n_refs)
     rad = math.pi / 180.0
     two_r = 2.0 * 6371000.0
@@ -362,18 +417,6 @@ def knn_join_np(
     span_deg = 360.0 / n_axis
     guarantee_scale = span_deg * _M_PER_DEG_HAV  # × cos(φ_far), ring=1
 
-    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
-
-    out_schema = StructType(
-        list(points.schema.fields)
-        + [StructField(ref_id, refs.schema[ref_id].dataType, True)]
-        + [StructField(c, refs.schema[c].dataType, True) for c in extras]
-        + [
-            StructField("dist_m", DoubleType(), True),
-            StructField("rank", IntegerType(), False),
-        ]
-    )
-
     def hav(plon_a, plat_a, rlon_a, rlat_a):
         dlat = (rlat_a - plat_a) * rad
         dlon = (rlon_a - plon_a) * rad
@@ -384,18 +427,9 @@ def knn_join_np(
         )
         return two_r * np.arctan2(np.sqrt(a), np.sqrt(1.0 - a))
 
-    def emit(part, pt_idx, ref_idx, d):
-        """Assemble output rows from flat (point row, ref index, dist)."""
-        out = part.iloc[pt_idx].reset_index(drop=True)
-        out[ref_id] = rid[ref_idx]
-        for c in extras:
-            out[c] = rextra[c][ref_idx]
-        out["dist_m"] = d
-        return out
-
-    def topk_grid(part, plon, plat):
+    def topk_grid(plon, plat):
         """Returns (resolved_out, straggler_mask)."""
-        b = len(part)
+        b = len(plon)
         px, py = wgs2tile(plon, plat, zoom)
         pcell = px * n_axis + py
         ucell, uinv = np.unique(pcell, return_inverse=True)
@@ -467,40 +501,38 @@ def knn_join_np(
         rows = np.repeat(np.arange(len(plon)), kk)
         return rows, idx.ravel(), d[rows, idx.ravel()]
 
-    def topk_batches(it):
-        for pdf in it:
-            if len(pdf) == 0 or n_refs == 0:
-                continue
-            plon = pdf[lon].to_numpy(np.float64)
-            plat = pdf[lat].to_numpy(np.float64)
-            if zoom == 0:
-                rows, ridx, d = brute(plon, plat)
-                out = emit(pdf, rows, ridx, d)
-                out["rank"] = np.tile(np.arange(1, kk + 1), len(pdf))
-                yield out
-                continue
-            grid_out, straggler = topk_grid(pdf, plon, plat)
-            if grid_out is not None and len(grid_out[0]):
-                gp, gr, gd = grid_out
-                out = emit(pdf, gp, gr, gd)
-                # pos within segment restarts at each point → rank
-                rank = np.ones(len(gp), dtype=np.int64)
-                newseg = np.empty(len(gp), dtype=bool)
-                newseg[0] = True
-                newseg[1:] = gp[1:] != gp[:-1]
-                seg_first = np.flatnonzero(newseg)
-                seg_ids = np.cumsum(newseg) - 1
-                rank = np.arange(len(gp)) - seg_first[seg_ids] + 1
-                out["rank"] = rank
-                yield out
-            sidx = np.flatnonzero(straggler)
-            if len(sidx):
-                rows, ridx, d = brute(plon[sidx], plat[sidx])
-                out = emit(pdf, sidx[rows], ridx, d)
-                out["rank"] = np.tile(np.arange(1, kk + 1), len(sidx))
-                yield out
+    def search(plon, plat):
+        """(pt_rows, ref_idx, dist_m, rank) for the batch — exact."""
+        if len(plon) == 0 or n_refs == 0:
+            z = np.empty(0, dtype=np.int64)
+            return z, z, np.empty(0), z
+        if zoom == 0:
+            rows, ridx, d = brute(plon, plat)
+            return rows, ridx, d, np.tile(np.arange(1, kk + 1), len(plon))
+        parts = []
+        grid_out, straggler = topk_grid(plon, plat)
+        if grid_out is not None and len(grid_out[0]):
+            gp, gr, gd = grid_out
+            # pos within segment restarts at each point → rank
+            newseg = np.empty(len(gp), dtype=bool)
+            newseg[0] = True
+            newseg[1:] = gp[1:] != gp[:-1]
+            seg_first = np.flatnonzero(newseg)
+            seg_ids = np.cumsum(newseg) - 1
+            rank = np.arange(len(gp)) - seg_first[seg_ids] + 1
+            parts.append((gp, gr, gd, rank))
+        sidx = np.flatnonzero(straggler)
+        if len(sidx):
+            rows, ridx, d = brute(plon[sidx], plat[sidx])
+            parts.append(
+                (sidx[rows], ridx, d, np.tile(np.arange(1, kk + 1), len(sidx)))
+            )
+        if not parts:
+            z = np.empty(0, dtype=np.int64)
+            return z, z, np.empty(0), z
+        return tuple(np.concatenate(cols) for cols in zip(*parts))
 
-    return points.mapInPandas(topk_batches, schema=out_schema)
+    return search
 
 
 def knn_join(

