@@ -584,6 +584,142 @@ def q_snapshot_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("resume_skipped", F.lit(",".join(p2.skipped)))
 
 
+def q_wgs2bd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WGS-84 → BD-09 composition (gis.go:134-138): Wgs2gcj rounds to
+    8 dp BEFORE Gcj2bd's polar distortion (also 8 dp) — the oracle
+    replicates the intermediate rounding."""
+    _utc(spark)
+    from xutil_spark.functions import geo_udfs
+
+    pts = _points(spark, sf_dir).filter(F.col("pid") % 7 == 2)
+    b = geo_udfs.wgs2bd(F.col("lon"), F.col("lat"))
+    return pts.select(
+        "pid",
+        b.getField("lon").alias("blon"),
+        b.getField("lat").alias("blat"),
+    )
+
+
+def o_wgs2bd() -> str:
+    from xutil_spark.entry_queries import o_wgs2gcj
+
+    xpi = "(pi() * 3000.0 / 180.0)"
+    return f"""
+WITH gcj AS ({o_wgs2gcj()}),
+g AS (SELECT pid, glon AS x, glat AS y FROM gcj WHERE pid % 7 = 2),
+p AS (
+  SELECT pid, x, y,
+         sqrt(x*x + y*y) + 0.00002 * sin(y * {xpi}) AS z,
+         atan2(y, x) + 0.000003 * cos(x * {xpi}) AS theta
+  FROM g
+)
+SELECT pid,
+       ROUND(z * cos(theta) + 0.0065, 8) AS blon,
+       ROUND(z * sin(theta) + 0.006, 8) AS blat
+FROM p
+"""
+
+
+def q_snapshot_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition lineage surface (north rule): commit one snapshot
+    of the z10 cell table (4 hash partitions) into a fresh store and
+    return its metrics table — one row per committed file with its row
+    count, plus the manifest's stage/rows/files accounting.  File names
+    are uuid-random → project the deterministic columns (ordinal by
+    ascending rows).  Rows-only (Spark hash partitioning is not
+    SQL-mirrorable)."""
+    _utc(spark)
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from xutil_spark.plans.snapshot import SnapshotStore
+
+    root = tempfile.mkdtemp(prefix="xutil_lineage_")
+    store = SnapshotStore(spark, root)
+    cells = (
+        _points(spark, sf_dir)
+        .select("pid", "lon", "lat")
+        .withColumn("cell", native.cell("lon", "lat", 10))
+        .repartition(4, "cell")
+    )
+    entry = store.commit(cells, stage="cells", fingerprint="z10p4")
+    m = store.metrics(entry)
+    w = Window.orderBy(F.asc("rows"), F.asc("file"))
+    return m.select(
+        F.row_number().over(w).alias("file_ordinal"),
+        "rows",
+        F.lit(entry["stage"]).alias("stage"),
+        F.lit(entry["rows"]).alias("total_rows"),
+        F.lit(entry["files"]).alias("n_files"),
+    )
+
+
+_EV_LON = "73.5 + CAST(event_id * 2654435761 % 1048576 AS DOUBLE) / 1048576.0 * 61.0"
+_EV_LAT = "18.2 + CAST(event_id * 1597334677 % 1048576 AS DOUBLE) / 1048576.0 * 35.3"
+
+
+def q_streaming_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming end-to-end (SURVEY §2.10): the events table
+    replayed as a file stream → deterministic event_id-derived location
+    → watermarked 10-minute tumbling windows of per-z10-cell counts
+    (streaming/windows.py — the same native cell expression as batch) →
+    memory sink, Trigger.AvailableNow.  Deterministic, so the oracle is
+    the equivalent batch SQL (epoch floor-to-600s bucketing)."""
+    _utc(spark)
+    import uuid
+
+    from xutil_spark.streaming.windows import streaming_cell_counts
+
+    import shutil
+    import tempfile
+
+    path = f"{sf_dir}/events.parquet"
+    # the file source needs a DIRECTORY to watch — stage the table file
+    # into one (this is exactly how a landing zone feeds the stream)
+    land = tempfile.mkdtemp(prefix="xutil_stream_land_")
+    shutil.copy(path, f"{land}/events.parquet")
+    schema = spark.read.parquet(path).schema
+    src = spark.readStream.schema(schema).parquet(land)
+    located = src.select(
+        # parquet NTZ → TIMESTAMP (session is UTC, matching epoch())
+        F.col("ts").cast("timestamp").alias("ts"),
+        (F.lit(73.5) + (F.col("event_id") * 2654435761 % 1048576).cast("double")
+         / 1048576.0 * 61.0).alias("lon"),
+        (F.lit(18.2) + (F.col("event_id") * 1597334677 % 1048576).cast("double")
+         / 1048576.0 * 35.3).alias("lat"),
+    )
+    agg = streaming_cell_counts(located, zoom=10, window="10 minutes",
+                                watermark="5 minutes")
+    name = f"stream_cells_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.col("window_start").cast("long").alias("win_start_epoch"),
+        "cell",
+        "n_events",
+    )
+
+
+def o_streaming_cell_counts() -> str:
+    x = "CAST(floor((lon + 180.0) / 360.0 * 1024) AS BIGINT)"
+    y = ("CAST(floor((1.0 - ln(tan(lat * pi() / 180.0) + 1.0 /"
+         " cos(lat * pi() / 180.0)) / pi()) / 2.0 * 1024) AS BIGINT)")
+    return f"""
+WITH located AS (
+  SELECT ts, {_EV_LON} AS lon, {_EV_LAT} AS lat FROM events
+)
+SELECT CAST(floor(epoch(ts) / 600.0) * 600 AS BIGINT) AS win_start_epoch,
+       10 * 288230376151711744 + {x} * 536870912 + {y} AS cell,
+       COUNT(*) AS n_events
+FROM located
+GROUP BY 1, 2
+"""
+
+
 QUERIES3 = {
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_near_dup": q_embedding_near_dup,
@@ -601,6 +737,9 @@ QUERIES3 = {
     "salted_tile_join": q_salted_tile_join,
     "point_at_dest": q_point_at_dest,
     "snapshot_resume": q_snapshot_resume,
+    "snapshot_lineage": q_snapshot_lineage,
+    "wgs2bd": q_wgs2bd,
+    "streaming_cell_counts": q_streaming_cell_counts,
 }
 
 ORACLES3 = {
@@ -616,4 +755,6 @@ ORACLES3 = {
     "time_trunc_units": o_time_trunc_units(),
     "salted_tile_join": o_salted_tile_join(),
     "point_at_dest": o_point_at_dest(),
+    "wgs2bd": o_wgs2bd(),
+    "streaming_cell_counts": o_streaming_cell_counts(),
 }
