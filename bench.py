@@ -44,7 +44,7 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 BENCH_IMAGES = int(os.environ.get("XUTIL_BENCH_IMAGES", "400000"))
-BENCH_TRIALS = int(os.environ.get("XUTIL_BENCH_TRIALS", "3"))
+BENCH_TRIALS = int(os.environ.get("XUTIL_BENCH_TRIALS", "4"))
 BENCH_REFS = int(os.environ.get("XUTIL_BENCH_REFS", "2000"))
 IMAGES_PATH = f"/tmp/xutil_bench/images_{BENCH_IMAGES}.parquet"
 
@@ -232,8 +232,8 @@ def write_bench_md(timings, p2, p8, p32, eff):
         "corrupt the ratio in either direction.",
         "",
         "Every level runs in its own JVM pinned with `taskset` to exactly N",
-        "CPUs (Spark local[N] caps task slots, not cores — the chained",
-        "decode/kNN Python workers would otherwise overlap onto extra cores",
+        "CPUs (Spark local[N] caps task slots, not cores — the JVM scan",
+        "threads and Python workers would otherwise overlap onto extra cores",
         "and fake the low-parallelism throughput).  N=2 vs 4N=8 sits inside",
         "the host's linear region: a Spark-free raw-CPU probe (concurrent",
         "zlib round-trips) scales ~0.98 up to 8 processes but only ~0.69",
