@@ -9,7 +9,7 @@ Default run (what the driver invokes):
      on IDENTICAL input bytes at local[2], local[8] and local[32], each
      in its own JVM pinned with taskset to exactly N CPUs.  The
      north-rule N-vs-4N scaling efficiency is thr8 / (4·thr2) with each
-     level's throughput = best of 3 fresh-JVM trials taken in
+     level's throughput = best of N fresh-JVM trials (default 2 per run) taken in
      INTERLEAVED rounds (2, 8, 32, 2, 8, 32, …): this shared VM swings
      up to 8× in multi-minute epochs (identical local[32] trials at
      8.2s and 68.8s, 0% steal), so consecutive same-level trials land
@@ -44,7 +44,7 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 BENCH_IMAGES = int(os.environ.get("XUTIL_BENCH_IMAGES", "400000"))
-BENCH_TRIALS = int(os.environ.get("XUTIL_BENCH_TRIALS", "4"))
+BENCH_TRIALS = int(os.environ.get("XUTIL_BENCH_TRIALS", "2"))
 BENCH_REFS = int(os.environ.get("XUTIL_BENCH_REFS", "2000"))
 IMAGES_PATH = f"/tmp/xutil_bench/images_{BENCH_IMAGES}.parquet"
 
