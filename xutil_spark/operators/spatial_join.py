@@ -144,10 +144,16 @@ def _explode_neighbors(df: DataFrame, cell_col: Column, zoom: int, ring: int,
 
     x wraps mod 2^z (antimeridian); out-of-range y rows are dropped —
     there are no tiles beyond the poles, so this yields exactly the
-    clamp+``array_distinct`` candidate set without the duplicates."""
-    n_axis = F.lit(2 ** zoom).cast("long")
+    clamp+``array_distinct`` candidate set without the duplicates.
+
+    When 2*ring+1 ≥ 2^zoom the pmod wrap would map distinct dx offsets
+    to the same cell (duplicate candidate pairs → duplicate top-k ranks);
+    the dx range is clamped to exactly the 2^zoom distinct residues."""
+    n = 2 ** zoom
+    dx_lo, dx_hi = (0, n - 1) if 2 * ring + 1 >= n else (-ring, ring)
+    n_axis = F.lit(n).cast("long")
     return (
-        df.withColumn("_dx", F.explode(F.sequence(F.lit(-ring), F.lit(ring))))
+        df.withColumn("_dx", F.explode(F.sequence(F.lit(dx_lo), F.lit(dx_hi))))
         .withColumn("_dy", F.explode(F.sequence(F.lit(-ring), F.lit(ring))))
         .withColumn("_ny", native.cell_y(cell_col) + F.col("_dy"))
         .filter((F.col("_ny") >= 0) & (F.col("_ny") < n_axis))
@@ -403,7 +409,10 @@ def knn_searcher(rlon, rlat, k: int):
     if n_refs >= 16 * kk:
         dlon_span = max(float(rlon.max() - rlon.min()), 1e-9)
         dlat_span = max(float(rlat.max() - rlat.min()), 1e-9)
-        for z in range(14, 0, -1):
+        # z stops at 2: at zoom=1 (n_axis=2) the 3×3 x-wrap makes dx=-1
+        # and dx=+1 the same column → duplicate candidate pairs; zoom=0
+        # brute force covers that regime exactly instead.
+        for z in range(14, 1, -1):
             span = 360.0 / (1 << z)
             tiles = max(dlon_span / span, 1.0) * max(dlat_span / span, 1.0)
             if n_refs / tiles >= max(3.0 * kk, 8.0):

@@ -107,32 +107,45 @@ def rolling_fingerprints(
 ) -> DataFrame:
     """Winnowing-style document fingerprint: polynomial rolling hash over
     char windows, keep the ``keep`` smallest hashes (a robust order-
-    invariant sketch).  Vectorized numpy per Arrow batch."""
+    invariant sketch).  Fully vectorized: one sliding_window_view matmul
+    per Arrow batch (uint64 wraparound = mod 2^64), no per-char Python."""
     from pyspark.sql.functions import pandas_udf
 
     B = np.uint64(1000003)
-    MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
-
+    # weights B^(w-1-j) mod 2^64 so hash(i) = sum data[i+j]*W[j]
+    W = np.ones(window, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(window - 2, -1, -1):
+            W[j] = W[j + 1] * B
     def fp(texts: pd.Series) -> pd.Series:
+        bufs = [(t or "").encode("utf-8") for t in texts]
+        lens = np.array([len(b) for b in bufs], dtype=np.int64)
+        if len(bufs) == 0:
+            return pd.Series([], dtype=object)
+        # one concatenated buffer, window-1 zero-pad between docs so a
+        # single sliding-window pass covers every doc without crossing
+        data = np.frombuffer(
+            (b"\x00" * (window - 1)).join(bufs), dtype=np.uint8
+        ) if len(bufs) > 1 else np.frombuffer(bufs[0], dtype=np.uint8)
+        starts = np.concatenate(
+            ([0], np.cumsum(lens[:-1] + (window - 1)))
+        )
         out = []
-        for t in texts:
-            data = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
-            if len(data) < window:
+        if len(data) < window:
+            return pd.Series([[] for _ in bufs])
+        # accumulate over the `window` offsets (16 vectorized passes,
+        # O(n) memory) instead of materializing an (n, window) matrix
+        n_win = len(data) - window + 1
+        h = np.zeros(n_win, dtype=np.uint64)
+        d64 = data.astype(np.uint64)
+        with np.errstate(over="ignore"):  # uint64 wrap == mod 2^64
+            for j in range(window):
+                h += d64[j : j + n_win] * W[j]
+        for s, n in zip(starts, lens):
+            if n < window:
                 out.append([])
                 continue
-            h = np.zeros(len(data) - window + 1, dtype=np.uint64)
-            acc = np.uint64(0)
-            bw = np.uint64(1)
-            for _ in range(window - 1):
-                bw = (bw * B) & MASK
-            for j in range(window):
-                acc = (acc * B + np.uint64(data[j])) & MASK
-            h[0] = acc
-            # rolling update, vectorized over positions via cumulative trick
-            for i in range(1, len(h)):
-                acc = ((acc - np.uint64(data[i - 1]) * bw) * B + np.uint64(data[i + window - 1])) & MASK
-                h[i] = acc
-            smallest = np.unique(h)[:keep]
+            smallest = np.unique(h[s : s + n - window + 1])[:keep]
             out.append([int(x.astype(np.int64)) for x in smallest])
         return pd.Series(out)
 
