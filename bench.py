@@ -48,6 +48,14 @@ BENCH_TRIALS = int(os.environ.get("XUTIL_BENCH_TRIALS", "2"))
 BENCH_REFS = int(os.environ.get("XUTIL_BENCH_REFS", "2000"))
 IMAGES_PATH = f"/tmp/xutil_bench/images_{BENCH_IMAGES}.parquet"
 
+# Bump when the MEASURED pipeline (fused decode→tile→kNN operator chain
+# or its Spark config) changes behavior: BENCH_HISTORY pooling only
+# mixes walls stamped with the same version, so the pooled capacity
+# never averages different binaries.  v1 = the round-1 fused pipeline
+# (arrow batch 16384, knn_searcher grid; the zoom≥2 pick guard added in
+# round 2 is behavior-identical for the China-region bench refs).
+PIPELINE_VERSION = 1
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
@@ -222,17 +230,23 @@ def write_bench_md(timings, p2, p8, p32, eff, pooled_eff, pooled_n, pooled):
         f"| local[8] (pinned 8 cores) | {p8['wall_sec']} | {p8['images_per_sec']} |",
         f"| local[32] | {p32['wall_sec']} | {p32['images_per_sec']} |",
         "",
-        f"**Scaling efficiency (N=2 vs 4N=8 cores)** = thr8 / (4 × thr2) ="
-        f" **{eff:.3f}** this run; **{pooled_eff:.3f}** at pooled capacity"
-        f" over all {pooled_n} interleaved rounds measured (BENCH_HISTORY"
-        f".jsonl: best local[2] {min(pooled['local[2]'])}s, best local[8]"
+        f"**Scaling efficiency (N=2 vs 4N=8 cores)** = thr8 / (4 × thr2).",
+        f"Pre-registered estimator: **pooled min-wall** over all same-",
+        f"pipeline-version interleaved rounds = **{pooled_eff:.3f}**",
+        f"({pooled_n} rounds in BENCH_HISTORY.jsonl: best local[2]"
+        f" {min(pooled['local[2]'])}s, best local[8]"
         f" {min(pooled['local[8]'])}s) — target ≥ 0.8"
-        f"{' MET' if max(eff, pooled_eff) >= 0.8 else ' NOT met'}.",
+        f"{' MET' if pooled_eff >= 0.8 else ' NOT met'}.",
+        f"This run's 2-round estimate: {eff:.3f} (informational only —",
+        "a single run under-samples the host's speed epochs; run-to-run",
+        "it landed 0.76–0.81).",
         "",
-        "A single 4-round run under-samples the host's multi-minute speed",
-        "epochs (the 4-round estimator landed 0.76–0.81 run-to-run); the",
-        "pooled minimum per level converges on true capacity and every",
-        "underlying wall is published in BENCH_HISTORY.jsonl.",
+        "The verdict uses ONLY the pooled estimator (no best-of-two",
+        "estimator shopping); the pooled minimum per level converges on",
+        "true capacity, every underlying wall is published in",
+        "BENCH_HISTORY.jsonl, and pooling is restricted to rounds stamped",
+        "with the current pipeline_version + git commit, so walls from",
+        "different engine states never mix.",
         "",
         f"Trial walls (interleaved rounds, fresh JVM each, best taken):",
         f"local[2] {p2.get('trial_walls')}, local[8] {p8.get('trial_walls')},",
@@ -334,15 +348,28 @@ def main():
     # level over the pooled rounds converges on true capacity.
     hist_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_HISTORY.jsonl")
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip()
+    except Exception:
+        commit = ""
     entry = {"images": BENCH_IMAGES,
+             "pipeline_version": PIPELINE_VERSION,
+             "commit": commit,
              "walls": {m: [r["wall_sec"] for r in trials[m]] for m in masters}}
     with open(hist_path, "a") as fh:
         fh.write(json.dumps(entry) + "\n")
+    # pool only rounds measured on the SAME pipeline version (absent
+    # stamp = v1): walls from different engine states must not mix
     pooled = {m: [] for m in masters}
     with open(hist_path) as fh:
         for line in fh:
             rec = json.loads(line)
-            if rec.get("images") == BENCH_IMAGES:
+            if (rec.get("images") == BENCH_IMAGES
+                    and rec.get("pipeline_version", 1) == PIPELINE_VERSION):
                 for m in masters:
                     pooled[m].extend(rec["walls"].get(m, []))
     pooled_eff = min(pooled["local[2]"]) / (4.0 * min(pooled["local[8]"]))
@@ -364,9 +391,13 @@ def main():
         "images_per_sec_local2": p2["images_per_sec"],
         "images_per_sec_local8": p8["images_per_sec"],
         "images_per_sec_local32": p32["images_per_sec"],
-        "scaling_efficiency": round(eff, 3),
-        "scaling_efficiency_pooled": round(pooled_eff, 3),
+        # pre-registered estimator: pooled min-wall (the ONLY verdict
+        # number); the single-run estimate is informational
+        "scaling_efficiency": round(pooled_eff, 3),
+        "scaling_efficiency_estimator": "pooled_min_wall",
+        "scaling_efficiency_this_run": round(eff, 3),
         "pooled_rounds": pooled_n,
+        "pipeline_version": PIPELINE_VERSION,
         "trial_walls_local2": p2.get("trial_walls"),
         "trial_walls_local8": p8.get("trial_walls"),
         "trial_walls_local32": p32.get("trial_walls"),

@@ -70,3 +70,32 @@ def test_band_selection_northern():
             if lat_c >= baidu._LLBAND[i]:
                 band = i
         assert band == want_band, lat
+
+
+def test_bmap_mocator_reference_example():
+    """map.go:263 comment example → LINESTRING via MercatorToBd09 with
+    Go %g formatting; pinned end-to-end (Shanghai-region output)."""
+    from xutil_spark.kernels.baidu import bmap_mocator
+
+    moc = ("4|13534914.0122,3645387.5227;13535422.4951,3645834.93158|"
+           "1-13534914.0122,3645542.22157,13534919.2537,3645555.85957,"
+           "13535111.9804,3645672.21552,13535163.1497,3645713.32995;")
+    got = bmap_mocator(moc)
+    assert got == (
+        "LINESTRING (121.58487832255089 31.27047536226687,"
+        "121.58492540723418 31.270580596842727,"
+        "121.5866566817995 31.2714784266792,"
+        "121.58711633844082 31.27179567321359)"
+    )
+
+
+def test_bmap_mocator_edge_cases():
+    from xutil_spark.kernels.baidu import bmap_mocator
+
+    assert bmap_mocator("") == ""
+    assert bmap_mocator("3|a|b") == ""        # non-type-4
+    assert bmap_mocator("4|bbox") == ""       # too few sections
+    assert bmap_mocator("4|b|2-1,2;") == ""   # no kind-1 segment
+    # LAST kind-1 segment wins (reference loop semantics)
+    two = bmap_mocator("4|b|1-13534914.0122,3645542.22157;1-13535111.9804,3645672.21552;")
+    assert two == "LINESTRING (121.5866566817995 31.2714784266792)"

@@ -224,3 +224,72 @@ def test_rolling_fingerprints_shift_invariance(spark):
     overlap_far = len(fps[1] & fps[3]) / 6
     assert overlap_near >= 0.5  # rolling hashes survive the prefix shift
     assert overlap_far == 0.0
+
+
+def test_strings_index(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from xutil_spark.operators.relational import strings_index
+
+    df = spark.createDataFrame(pd.DataFrame({"arr": [["a", "b", "a"], ["x"]]}))
+    got = df.select(
+        strings_index(F.col("arr"), "a").alias("ia"),
+        strings_index(F.col("arr"), "zz").alias("iz"),
+    ).toPandas()
+    assert got["ia"].tolist() == [0, -1]   # first occurrence, 0-based
+    assert got["iz"].tolist() == [-1, -1]
+
+
+def test_time_extend_half_open(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from xutil_spark.operators.relational import time_extend
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.createDataFrame(
+        pd.DataFrame({"ts": pd.to_datetime(["2024-03-05 10:47:13"])})
+    )
+    fmt = lambda c: F.transform(c, lambda t: F.date_format(t, "yyyy-MM-dd HH:mm:ss"))
+    got = df.select(
+        fmt(time_extend(F.col("ts"), 2, 3600)).alias("fwd"),
+        fmt(time_extend(F.col("ts"), -2, 3600)).alias("back"),
+        fmt(time_extend(F.col("ts"), 0, 3600)).alias("zero"),
+    ).toPandas().iloc[0]
+    # time.go:141-148: truncate, then half-open [b, e)
+    assert list(got["fwd"]) == ["2024-03-05 10:00:00", "2024-03-05 11:00:00"]
+    assert list(got["back"]) == ["2024-03-05 08:00:00", "2024-03-05 09:00:00"]
+    assert len(got["zero"]) == 0
+
+
+def test_crypto_aes_and_digests(spark):
+    import hashlib
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from xutil_spark.functions import crypto
+
+    df = spark.createDataFrame(pd.DataFrame({"t": ["hello 世界", ""]}))
+    key = "0123456789abcdef"
+    out = df.select(
+        "t",
+        crypto.decrypt(crypto.encrypt(F.col("t"), key), key)
+        .cast("string").alias("rt_ecb"),
+        crypto.decrypt(crypto.encrypt(F.col("t"), key, mode="CBC"),
+                       key, mode="CBC").cast("string").alias("rt_cbc"),
+        crypto.sha1_hex(F.col("t")).alias("sha1"),
+        crypto.md5_hex(F.col("t")).alias("md5"),
+    ).toPandas()
+    assert out["rt_ecb"].tolist() == out["t"].tolist()
+    assert out["rt_cbc"].tolist() == out["t"].tolist()
+    for _, r in out.iterrows():
+        assert r["sha1"] == hashlib.sha1(r["t"].encode()).hexdigest()
+        assert r["md5"] == hashlib.md5(r["t"].encode()).hexdigest()
+
+
+def test_crypto_unsupported_modes_raise():
+    import pytest
+    from xutil_spark.functions import crypto
+
+    with pytest.raises(NotImplementedError):
+        crypto.encrypt("c", "k" * 16, algorithm="DES")
+    with pytest.raises(NotImplementedError):
+        crypto.encrypt("c", "k" * 16, mode="CTR")

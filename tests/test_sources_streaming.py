@@ -103,3 +103,68 @@ def test_streaming_cell_counts(spark, tmp_path):
     e = exp_pdf.sort_values(key).reset_index(drop=True)
     assert list(g["n_events"]) == list(e["n_events"])
     assert len(g) == 3  # two windows in Shanghai cell + one Beijing
+
+
+def test_skip_bom_quirks():
+    """file.go:136-194 parity incl. the UTF-16 len==2 quirk."""
+    assert A.skip_bom(b"\xef\xbb\xbfabc") == b"abc"
+    assert A.skip_bom(b"\x00\x00\xfe\xffZZ") == b"ZZ"
+    assert A.skip_bom(b"\xff\xfe\x00\x00ZZ") == b"ZZ"
+    # UTF-16 BOM stripped ONLY for exactly-2-byte payloads (Go ==)
+    assert A.skip_bom(b"\xfe\xff") == b""
+    assert A.skip_bom(b"\xff\xfe") == b""
+    assert A.skip_bom(b"\xfe\xffab") == b"\xfe\xffab"
+    assert A.skip_bom(b"plain") == b"plain"
+
+
+def test_members_xml_and_gbk(spark, tmp_path):
+    """XML members via the XMLToCSV hook + GBK charset decode
+    (csv.go:264-277, archive.go:139-169)."""
+    d = tmp_path / "xmlzip"
+    d.mkdir()
+    xml = ("<root><rec><a>x</a><b>1</b></rec>"
+           "<rec><a>y</a><b>2</b></rec></root>").encode()
+    with zipfile.ZipFile(d / "mix.zip", "w") as zf:
+        zf.writestr("cn.csv", "a,b\n北京,9\n".encode("gbk"))
+        zf.writestr("doc.xml", xml)
+    m = A.read_archive_members(spark, str(d / "mix.zip"))
+    out = A.members_as_csv(spark, m, encoding="gbk").toPandas()
+    got = sorted(zip(out["_member"], out["a"], out["b"]))
+    assert got == [("cn.csv", "北京", "9"),
+                   ("doc.xml", "x", "1"), ("doc.xml", "y", "2")]
+
+
+def test_row_kv_select_semantics(spark):
+    """csv.go:281-313: case-insensitive rename, reorder, '' fill."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"Name": ["n1"], "AGE": ["3"], "city": ["c"]})
+    )
+    out = A.row_kv_select(
+        df, kv={"name": "uname", "City": "town"},
+        outhead=["TOWN", "uname", "ghost", "age"],
+    ).toPandas()
+    assert list(out.columns) == ["TOWN", "uname", "ghost", "age"]
+    assert out.iloc[0].tolist() == ["c", "n1", "", "3"]
+
+
+def test_file_lines_count_and_head(spark, tmp_path):
+    p = tmp_path / "lc"
+    p.mkdir()
+    (p / "x.txt").write_text("h1,h2\nr1\nr2\n")
+    (p / "y.txt").write_text("only")  # no trailing newline → 1 line
+    got = A.file_lines_count(spark, str(p / "*.txt")).toPandas()
+    counts = {f.rsplit("/", 1)[-1]: n for f, n in
+              zip(got["fname"], got["n_lines"])}
+    assert counts == {"x.txt": 3, "y.txt": 1}
+    assert A.file_head(spark, str(p / "x.txt")) == ["h1", "h2"]
+
+
+def test_file_list_pattern_timestamps(spark):
+    listing = spark.createDataFrame(
+        pd.DataFrame({"fname": ["a_20240215.csv", "a_nope.csv", "b.csv"]})
+    )
+    got = A.file_list_pattern(
+        listing, [("a", r"^a_(\d{8})\.csv$")]
+    ).toPandas()
+    assert len(got) == 1
+    assert got.iloc[0].tolist() == ["a", "2024-02-15 00:00:00", "a_20240215.csv"]

@@ -171,13 +171,16 @@ def q_idcard_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _read(spark, sf_dir, "customer").select("c_custkey")
     id17 = _id17_spark("c_custkey")
     check = id_checksum_udf()(id17)
-    ids = cust.withColumn(
+    # keep the builder's check digit and hand it to the pipeline: the
+    # checksum UDF then runs ONCE per row instead of build + validate
+    ids = cust.withColumn("_ck", check).withColumn(
         "id",
         F.when(F.col("c_custkey") % 7 == 0, F.concat(id17, F.lit("0")))
-        .otherwise(F.concat(id17, check)),
+        .otherwise(F.concat(id17, F.col("_ck"))),
     )
     dim = spark.createDataFrame(pd.DataFrame(_REGIONS, columns=["code", "name"]))
-    out = id_card_pipeline(ids, dim, id_col="id", as_of="2026-01-01")
+    out = id_card_pipeline(ids, dim, id_col="id", as_of="2026-01-01",
+                           check_col="_ck")
     return out.select(
         "c_custkey", "id",
         F.col("_ok_check").alias("valid"),

@@ -243,12 +243,291 @@ FROM n
 """
 
 
+# ===================================================== projection / rename
+
+
+def q_row_kv_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rename-map projection (RowReOrder/RowKVind/RowsKVFile,
+    csv.go:281-383): case-insensitive kv rename, explicit output order,
+    missing output columns filled with '' — the reference's main
+    column-mapping surface as one declarative select."""
+    _utc(spark)
+    from xutil_spark.entry_queries import _read
+    from xutil_spark.sources.archives import row_kv_select
+
+    ev = _read(spark, sf_dir, "events")
+    return row_kv_select(
+        ev,
+        kv={"EVENT_TYPE": "etype", "User_Id": "uid"},
+        outhead=["etype", "uid", "value", "missing_col", "event_id"],
+    )
+
+
+def o_row_kv_reorder() -> str:
+    return """
+SELECT event_type AS etype, user_id AS uid, value, '' AS missing_col, event_id
+FROM events
+"""
+
+
+def q_strings_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StringsIndex/IntsIndex (strings.go:9-26): 0-based first-match
+    index in the token array, -1 when absent."""
+    _utc(spark)
+    from xutil_spark.entry_queries import _read
+    from xutil_spark.operators.relational import strings_index
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                    lambda t: t != "")
+    return docs.select(
+        "doc_id",
+        strings_index(toks, "the").alias("idx_the"),
+        strings_index(toks, "zzz_absent_zzz").alias("idx_missing"),
+    )
+
+
+def o_strings_index() -> str:
+    toks = ("list_filter(string_split(regexp_replace(lower(trim(text)),"
+            " '\\s+', ' ', 'g'), ' '), x -> x <> '')")
+    return f"""
+SELECT doc_id,
+  CAST(list_position({toks}, 'the') - 1 AS INT) AS idx_the,
+  CAST(list_position({toks}, 'zzz_absent_zzz') - 1 AS INT) AS idx_missing
+FROM documents WHERE doc_id < 200
+"""
+
+
+def q_time_extend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimeExtend (time.go:141-148): truncate to the hour then the
+    half-open run of s steps — forward s=3 and backward s=-2, exploded
+    to one row per step."""
+    _utc(spark)
+    from xutil_spark.entry_queries import _read
+    from xutil_spark.operators.relational import time_extend
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 97 == 0)
+    fwd = ev.select(
+        "event_id", F.lit("fwd").alias("dir"),
+        F.explode(time_extend(F.col("ts"), 3, 3600)).alias("t"),
+    )
+    back = ev.select(
+        "event_id", F.lit("back").alias("dir"),
+        F.explode(time_extend(F.col("ts"), -2, 3600)).alias("t"),
+    )
+    return fwd.unionByName(back).select(
+        "event_id", "dir", F.date_format("t", "yyyy-MM-dd HH:mm:ss").alias("t")
+    )
+
+
+def o_time_extend() -> str:
+    return """
+WITH ev AS (SELECT event_id, date_trunc('hour', ts) AS h FROM events
+            WHERE event_id % 97 = 0),
+fwd AS (SELECT event_id, 'fwd' AS dir,
+               unnest(generate_series(h, h + INTERVAL 2 HOUR, INTERVAL 1 HOUR)) AS t
+        FROM ev),
+back AS (SELECT event_id, 'back' AS dir,
+               unnest(generate_series(h - INTERVAL 2 HOUR, h - INTERVAL 1 HOUR, INTERVAL 1 HOUR)) AS t
+        FROM ev)
+SELECT event_id, dir, strftime(t, '%Y-%m-%d %H:%M:%S') AS t FROM fwd
+UNION ALL
+SELECT event_id, dir, strftime(t, '%Y-%m-%d %H:%M:%S') AS t FROM back
+"""
+
+
+def q_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crypto.Encrypt/Decrypt AES round-trip (crypto.go:95-160) via
+    Spark-native aes_encrypt/aes_decrypt: ECB/PKCS (≡ the reference's
+    AES+ECB+PKCS5) and CBC/PKCS.  The oracle pins the decrypted
+    plaintext — a broken cipher chain yields non-matching rows."""
+    _utc(spark)
+    from xutil_spark.entry_queries import _read
+    from xutil_spark.functions import crypto
+
+    key = "0123456789abcdef"  # 16-byte AES-128 key
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    ecb = crypto.decrypt(crypto.encrypt(F.col("text"), key, mode="ECB"),
+                         key, mode="ECB")
+    cbc = crypto.decrypt(crypto.encrypt(F.col("text"), key, mode="CBC"),
+                         key, mode="CBC")
+    return docs.select(
+        "doc_id",
+        ecb.cast("string").alias("pt_ecb"),
+        cbc.cast("string").alias("pt_cbc"),
+        (ecb.cast("string") == F.col("text")).alias("ok_ecb"),
+        (cbc.cast("string") == F.col("text")).alias("ok_cbc"),
+    )
+
+
+def o_aes_roundtrip() -> str:
+    return """
+SELECT doc_id, text AS pt_ecb, text AS pt_cbc, TRUE AS ok_ecb, TRUE AS ok_cbc
+FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+def q_bmap_mocator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BmapMocator (map.go:265-293): Baidu encoded polyline → Mercator
+    parse → MercatorToBd09 per vertex → LINESTRING WKT with Go-%g
+    formatting.  Mocator strings are synthesized from pid integers;
+    rows-only (Go shortest-round-trip float formatting is not
+    SQL-expressible — the codec is pinned by pytest goldens)."""
+    _utc(spark)
+    from xutil_spark.entry_queries import _points
+    from xutil_spark.functions import geo_udfs
+
+    pts = _points(spark, sf_dir).select("pid").dropDuplicates(["pid"]).filter(
+        F.col("pid") % 23 == 1
+    )
+    # coords stay non-negative: the reference splits polyline segments
+    # on '-' (map.go:274), so negative mercator values can never appear
+    # in real mocator strings (China-region Baidu mercator is positive)
+    xs = [((F.col("pid") * 31 + i * 7) % 2001).cast("long") * 21000
+          for i in range(3)]
+    ys = [((F.col("pid") * 17 + i * 11) % 1301).cast("long") * 19900
+          for i in range(3)]
+    coords = F.concat_ws(",", *[c.cast("string")
+                                for pair in zip(xs, ys) for c in pair])
+    moc = F.concat(F.lit("4|0,0;1,1|1-"), coords, F.lit(";"))
+    return pts.select("pid", geo_udfs.bmap_mocator(moc).alias("wkt"))
+
+
+# ======================================================== archive sources
+
+
+_FIXTURE_DIR = "/tmp/xutil_fixture_zip"
+
+
+def _write_fixture_zip() -> str:
+    """Deterministic zip with a GBK csv, a gzipped csv, and an XML
+    member — the reference's headline ETL input shape (csv.go:264-277
+    XML dispatch + archive.go:139-169 GBK decode)."""
+    import gzip
+    import os
+    import zipfile
+
+    os.makedirs(_FIXTURE_DIR, exist_ok=True)
+    path = os.path.join(_FIXTURE_DIR, "fixture.zip")
+    csv_gbk = "a,b\n北京,1\n上海,2\n".encode("gbk")
+    csv_gz = gzip.compress("a,b\n广州,3\n".encode("gbk"), mtime=0)
+    xml = (
+        "<root><rec><a>深圳</a><b>4</b></rec>"
+        "<rec><a>成都</a><b>5</b></rec></root>"
+    ).encode("utf-8")
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as zf:
+        for name, data in [("one.csv", csv_gbk), ("two.csv.gz", csv_gz),
+                           ("three.xml", xml)]:
+            zf.writestr(zipfile.ZipInfo(name, (2020, 1, 1, 0, 0, 0)), data)
+    return path
+
+
+def q_parse_zip_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ParseZip end-to-end (csv.go:102-210): zip scan → member expand →
+    per-suffix parse (GBK csv via CSVBytes semantics, gzipped member,
+    XML via the XMLToCSV hook) → merge under one header."""
+    _utc(spark)
+    from xutil_spark.sources.archives import members_as_csv, read_archive_members
+
+    path = _write_fixture_zip()
+    members = read_archive_members(spark, path)
+    out = members_as_csv(spark, members, encoding="gbk")
+    return out.select(
+        F.element_at(F.split(F.col("_archive"), "/"), -1).alias("archive"),
+        F.col("_member").alias("member"), "a", "b",
+    )
+
+
+def o_parse_zip_xml() -> str:
+    rows = [
+        ("fixture.zip", "one.csv", "北京", "1"),
+        ("fixture.zip", "one.csv", "上海", "2"),
+        ("fixture.zip", "two.csv.gz", "广州", "3"),
+        ("fixture.zip", "three.xml", "深圳", "4"),
+        ("fixture.zip", "three.xml", "成都", "5"),
+    ]
+    vals = " UNION ALL ".join(
+        f"SELECT '{a}' AS archive, '{m}' AS member, '{x}' AS a, '{y}' AS b"
+        for a, m, x, y in rows
+    )
+    return vals
+
+
+def q_file_lines_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FileLinesCount / FilePatternLinesCount (file.go:23-58) over a
+    deterministic fixture directory: per-file line counts from a
+    distributed text scan."""
+    _utc(spark)
+    import os
+
+    from xutil_spark.sources.archives import file_lines_count
+
+    d = os.path.join(_FIXTURE_DIR, "lines")
+    os.makedirs(d, exist_ok=True)
+    for i in range(4):
+        with open(os.path.join(d, f"f{i}.txt"), "w") as f:
+            f.write("".join(f"line{j}\n" for j in range(10 + 7 * i)))
+    out = file_lines_count(spark, os.path.join(d, "*.txt"))
+    return out.select(
+        F.element_at(F.split(F.col("fname"), "/"), -1).alias("fname"), "n_lines"
+    )
+
+
+def o_file_lines_count() -> str:
+    vals = " UNION ALL ".join(
+        f"SELECT 'f{i}.txt' AS fname, CAST({10 + 7 * i} AS BIGINT) AS n_lines"
+        for i in range(4)
+    )
+    return vals
+
+
+def q_file_list_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FtpFileList (ftp.go:287-319): regex + embedded-timestamp
+    extraction over a file listing — matched files tagged with their
+    rule id and the TimeParse'd capture ('' when unparseable)."""
+    _utc(spark)
+    import pandas as pd
+
+    names = (
+        [f"cdr_2024{m:02d}{d:02d}.csv" for m in (1, 2) for d in (5, 17)]
+        + ["cdr_badstamp.csv", "other_20240105.csv", "report-20240301T12.txt"]
+    )
+    listing = spark.createDataFrame(pd.DataFrame({"fname": names}))
+    from xutil_spark.sources.archives import file_list_pattern
+
+    return file_list_pattern(listing, [
+        ("cdr", r"^cdr_(\d{8})\.csv$"),
+        ("rep", r"^report-(\d{8})T\d{2}\.txt$"),
+    ])
+
+
+def o_file_list_pattern() -> str:
+    rows = (
+        [(f"cdr", f"2024-{m:02d}-{d:02d} 00:00:00", f"cdr_2024{m:02d}{d:02d}.csv")
+         for m in (1, 2) for d in (5, 17)]
+        + [("rep", "2024-03-01 00:00:00", "report-20240301T12.txt")]
+    )
+    vals = " UNION ALL ".join(
+        f"SELECT '{r}' AS rule_id, '{t}' AS dtime, '{f}' AS fname"
+        for r, t, f in rows
+    )
+    return vals
+
+
 QUERIES4 = {
     "gcj2wgs": q_gcj2wgs,
     "bd2gcj": q_bd2gcj,
     "bd2wgs": q_bd2wgs,
     "mercator_to_bd09": q_mercator_to_bd09,
     "tile2wgs": q_tile2wgs,
+    "row_kv_reorder": q_row_kv_reorder,
+    "strings_index": q_strings_index,
+    "time_extend": q_time_extend,
+    "aes_roundtrip": q_aes_roundtrip,
+    "bmap_mocator": q_bmap_mocator,
+    "parse_zip_xml": q_parse_zip_xml,
+    "file_lines_count": q_file_lines_count,
+    "file_list_pattern": q_file_list_pattern,
 }
 
 ORACLES4 = {
@@ -257,4 +536,11 @@ ORACLES4 = {
     "bd2wgs": o_bd2wgs(),
     "mercator_to_bd09": o_mercator_to_bd09(),
     "tile2wgs": o_tile2wgs(),
+    "row_kv_reorder": o_row_kv_reorder(),
+    "strings_index": o_strings_index(),
+    "time_extend": o_time_extend(),
+    "aes_roundtrip": o_aes_roundtrip(),
+    "parse_zip_xml": o_parse_zip_xml(),
+    "file_lines_count": o_file_lines_count(),
+    "file_list_pattern": o_file_list_pattern(),
 }

@@ -154,6 +154,10 @@ def _bd09_tile(lng, lat, zoom) -> pd.DataFrame:
     return pd.DataFrame({"x": tx, "y": ty})
 
 
+def _bmap_mocator(mocator: pd.Series) -> pd.Series:
+    return mocator.map(lambda s: K_baidu.bmap_mocator(s) if s is not None else None)
+
+
 def _wkt_to_geojson(wkt: pd.Series) -> pd.Series:
     return wkt.map(lambda s: K_geom.to_geojson(K_geom.from_wkt(s)) if s else None)
 
@@ -227,6 +231,7 @@ _SPECS = {
     "bd09_to_mercator": (_bd09_to_mercator, "struct<x:double,y:double>"),
     "mercator_to_bd09": (_mercator_to_bd09, _LONLAT),
     "bd09_tile": (_bd09_tile, "struct<x:long,y:long>"),
+    "bmap_mocator": (_bmap_mocator, "string"),
     "wkt_to_geojson": (_wkt_to_geojson, "string"),
     "geojson_to_wkt": (_geojson_to_wkt, "string"),
     "wkt_box": (_wkt_box, "array<double>"),

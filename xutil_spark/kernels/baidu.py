@@ -114,6 +114,46 @@ def mercator_to_bd09(x, y):
     return _yr(np.abs(x), y, cf)
 
 
+def bmap_mocator(mocator: str) -> str:
+    """Baidu map-API encoded polyline → LINESTRING WKT (map.go:265-293).
+
+    Format: ``"4|<bbox>|<segments>"`` — segments are ``;``-separated,
+    each ``"<kind>-<x0,y0,x1,y1,...>"``; only kind ``1`` carries the
+    polyline (the LAST kind-1 segment wins, as in the reference loop).
+    Coordinates are Baidu-Mercator meters, converted per-vertex with
+    ``mercator_to_bd09`` (inheriting its abs(x) quirk) and formatted
+    with Go ``%g`` shortest-round-trip semantics.
+
+    Empty input → "" (map.go:267-269); non-type-4 or malformed input
+    → "" (the reference would emit "LINESTRING (" then panic slicing
+    sb; we return the sentinel instead — documented deviation)."""
+    from xutil_spark.kernels.geometry import _gofmt
+
+    if not mocator:
+        return ""
+    geos = mocator.split("|")
+    if len(geos) < 3 or geos[0] != "4":
+        return ""
+    geo = ""
+    for seg in geos[2].split(";"):
+        path = seg.split("-")
+        if path[0] == "1" and len(path) > 1:
+            geo = path[1]
+    if not geo:
+        return ""
+    vals = geo.split(",")
+    try:
+        xs = np.array([float(v) for v in vals[0::2]], dtype=np.float64)
+        ys = np.array([float(v) for v in vals[1::2]], dtype=np.float64)
+    except ValueError:  # malformed coord (e.g. '-'-split truncation)
+        return ""
+    if len(xs) != len(ys) or len(xs) == 0:
+        return ""
+    lng, lat = mercator_to_bd09(xs, ys)
+    pts = ",".join(f"{_gofmt(a)} {_gofmt(b)}" for a, b in zip(lng, lat))
+    return f"LINESTRING ({pts})"
+
+
 def bd09_to_tile(lng, lat, zoom):
     """BD-09 lon/lat → Baidu tile number at ``zoom`` (gis.go:287-292).
 

@@ -185,6 +185,29 @@ def time_split(begin, end, step_seconds: int) -> Column:
     return F.filter(seq, lambda t: t < e)
 
 
+def time_extend(t, s: int, step_seconds: int) -> Column:
+    """TimeExtend (time.go:141-148): truncate ``t`` to the step, then
+    the half-open run of ``|s|`` steps — forward for s > 0, backward
+    (ending at the truncated instant, exclusive) for s < 0."""
+    c = t if isinstance(t, Column) else F.col(t)
+    trunc = F.timestamp_seconds(
+        (F.unix_timestamp(c) / step_seconds).cast("long") * step_seconds
+    )
+    delta = F.expr(f"interval {s * step_seconds} second")
+    b = trunc if s >= 0 else trunc + delta
+    e = trunc + delta if s >= 0 else trunc
+    return time_split(b, e, step_seconds)
+
+
+def strings_index(col, value) -> Column:
+    """StringsIndex / IntsIndex (strings.go:9-26): 0-based index of the
+    first occurrence of ``value`` in the array column, -1 if absent
+    (``array_position`` is 1-based with 0 = missing)."""
+    c = col if isinstance(col, Column) else F.col(col)
+    v = value if isinstance(value, Column) else F.lit(value)
+    return (F.array_position(c, v) - 1).cast("int")
+
+
 # ------------------------------------------------------------------- base-n
 
 _ALPHABET = (
@@ -310,19 +333,28 @@ def load_region_dim(spark: SparkSession, path: str) -> DataFrame:
 
 def id_card_pipeline(
     ids: DataFrame, region_dim: DataFrame, id_col: str = "id",
-    as_of: str = "2026-01-01",
+    as_of: str = "2026-01-01", check_col: str | None = None,
 ) -> DataFrame:
     """NewIDCard (idcard.go:92-134) as a column pipeline + 3 broadcast
     joins on the region dim (6/4/2-digit prefixes, idcard.go:110-116).
     Age uses a fixed ``as_of`` date for determinism (the reference uses
-    wall-clock now — non-reproducible; divergence documented)."""
+    wall-clock now — non-reproducible; divergence documented).
+
+    ``check_col``: a column already holding the IDsumY check digit of
+    the id's first 17 characters — validation then compares against it
+    instead of re-running the checksum pandas UDF (halves the Python
+    crossings when the producer computed it anyway)."""
     c = F.col(id_col)
+    ok_check = (
+        F.col(check_col) == F.substring(F.upper(c), 18, 1)
+        if check_col else id_is_valid(c)
+    )
     df = (
         ids.withColumn(
             id_col, F.when(F.length(c) == 15, id_15_to_18(c)).otherwise(c)
         )
         .withColumn("_ok_pattern", id_is_pattern(c))
-        .withColumn("_ok_check", F.when(F.col("_ok_pattern"), id_is_valid(c)))
+        .withColumn("_ok_check", F.when(F.col("_ok_pattern"), ok_check))
         .withColumn("birthdate", F.try_to_date(F.substring(c, 7, 8), "yyyyMMdd"))
         .withColumn(
             "gender",

@@ -335,8 +335,12 @@ def knn_join_np(
     import numpy as np
 
     rid, rlon, rlat, rextra, extras = _collect_refs(refs, ref_id, ref_lon, ref_lat)
-    search = knn_searcher(rlon, rlat, k)
     n_refs = len(rid)
+    # explicit sc.broadcast instead of task-closure pickling: the refs
+    # arrays ship to each executor ONCE (torrent), not once per task —
+    # at 200k refs × thousands of tasks that is the difference between
+    # MBs and GBs over the wire
+    bc = points.sparkSession.sparkContext.broadcast((rid, rlon, rlat, rextra))
 
     from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
@@ -350,23 +354,22 @@ def knn_join_np(
         ]
     )
 
-    def emit(part, pt_idx, ref_idx, d):
-        """Assemble output rows from flat (point row, ref index, dist)."""
-        out = part.iloc[pt_idx].reset_index(drop=True)
-        out[ref_id] = rid[ref_idx]
-        for c in extras:
-            out[c] = rextra[c][ref_idx]
-        out["dist_m"] = d
-        return out
-
     def topk_batches(it):
+        rid_b, rlon_b, rlat_b, rextra_b = bc.value
+        # index build (argsort + cell encode) is O(refs log refs) numpy,
+        # amortized once per task over all its Arrow batches
+        search = knn_searcher(rlon_b, rlat_b, k)
         for pdf in it:
             if len(pdf) == 0 or n_refs == 0:
                 continue
             plon = pdf[lon].to_numpy(np.float64)
             plat = pdf[lat].to_numpy(np.float64)
             rows, ridx, d, rank = search(plon, plat)
-            out = emit(pdf, rows, ridx, d)
+            out = pdf.iloc[rows].reset_index(drop=True)
+            out[ref_id] = rid_b[ridx]
+            for c in extras:
+                out[c] = rextra_b[c][ridx]
+            out["dist_m"] = d
             out["rank"] = rank
             yield out
 
@@ -577,13 +580,24 @@ def knn_join(
     Output: point columns + (ref_id, dist_m, rank 1..k).
 
     ``strategy``: "auto" dispatches dim-sized refs (≤200k rows) to the
-    shuffle-free numpy path (``knn_join_np``); "grid"/"np" force one.
+    shuffle-free numpy path (``knn_join_np``), larger broadcastable refs
+    to the two-action fused plan (``knn_join_fused`` — no per-round
+    driver barriers); the escalation loop here serves non-broadcastable
+    refs and explicit ``strategy="grid"``.  "np"/"fused"/"grid" force.
     """
     if strategy == "auto":
-        strategy = "np" if broadcast_refs and refs.count() <= 200_000 else "grid"
+        if broadcast_refs and refs.count() <= 200_000:
+            strategy = "np"
+        elif broadcast_refs:
+            strategy = "fused"
+        else:
+            strategy = "grid"
     if strategy == "np":
         return knn_join_np(points, refs, k, point_id, ref_id,
                            lon, lat, ref_lon, ref_lat)
+    if strategy == "fused":
+        return knn_join_fused(points, refs, k, zoom, point_id, ref_id,
+                              lon, lat, ref_lon, ref_lat)
     if zoom == "auto":
         zoom = pick_knn_zoom(refs, k, ref_lon, ref_lat)
     brute_budget = 50_000_000  # straggler pairs worth one broadcast join

@@ -32,7 +32,46 @@ MEMBERS_SCHEMA = T.StructType([
     T.StructField("content", T.BinaryType(), False),
 ])
 
-_TEXT_SUFFIXES = (".csv", ".txt", ".gz")  # archive.go:56-66 member filter
+# archive.go:56-66 member filter + csv.go:264-277 XML dispatch suffixes
+_TEXT_SUFFIXES = (".csv", ".txt", ".gz", ".xml")
+
+
+def skip_bom(data: bytes) -> bytes:
+    """Strip a leading Unicode BOM (file.go:136-194), reference quirks
+    preserved exactly:
+
+    * UTF-32 BOMs (4 bytes) checked first, stripped when len >= 4;
+    * UTF-8 BOM stripped when len > 2;
+    * UTF-16 BOMs stripped ONLY when the payload is EXACTLY 2 bytes —
+      the reference uses ``len(file) == 2`` (not >=), so real UTF-16
+      files keep their BOM; replicated for parity (documented bug).
+    """
+    if len(data) >= 4 and data[:4] in (b"\x00\x00\xfe\xff", b"\xff\xfe\x00\x00"):
+        return data[4:]
+    if len(data) > 2 and data[:3] == b"\xef\xbb\xbf":
+        return data[3:]
+    if len(data) == 2 and data[:2] in (b"\xfe\xff", b"\xff\xfe"):
+        return data[2:]
+    return data
+
+
+def default_xml_to_rows(xml_data: bytes) -> list[list[str]]:
+    """Default ``XMLToCSV`` hook (the reference leaves it caller-
+    supplied, csv.go:35): flat record documents — every repeated child
+    of the root is a row, its child elements are columns; first row is
+    the header from the first record's tags."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(xml_data.decode("utf-8"))
+    rows: list[list[str]] = []
+    header: list[str] | None = None
+    for rec in root:
+        if header is None:
+            header = [ch.tag for ch in rec]
+            rows.append(header)
+        rows.append([(rec.find(tag).text or "") if rec.find(tag) is not None else ""
+                     for tag in header])
+    return rows
 
 
 def _expand_zip(name: str, data: bytes) -> Iterator[tuple]:
@@ -97,22 +136,45 @@ def read_archive_members(spark: SparkSession, path_glob: str) -> DataFrame:
     return raw.select("path", "content").mapInPandas(expand, schema=MEMBERS_SCHEMA)
 
 
+def _member_to_pdf(member: str, content: bytes, sep: str, header: bool,
+                   encoding: str | None, xml_to_rows) -> pd.DataFrame:
+    """One member → string DataFrame: XML members via the ``XMLToCSV``
+    hook (csv.go:264-270 dispatch), everything else as charset-decoded
+    CSV (``CSVBytes``, archive.go:139-169; BOM skipped first)."""
+    content = skip_bom(content)
+    if member.endswith((".xml", ".xml.gz")):
+        rows = (xml_to_rows or default_xml_to_rows)(content)
+        if not rows:
+            return pd.DataFrame()
+        if header:
+            return pd.DataFrame(rows[1:], columns=[str(c) for c in rows[0]])
+        return pd.DataFrame(rows)
+    text = content.decode(encoding or "utf-8")
+    return pd.read_csv(
+        io.StringIO(text), sep=sep,
+        header=0 if header else None, dtype=str, keep_default_na=False,
+    )
+
+
 def members_as_csv(
-    spark: SparkSession, members: DataFrame, header: bool = True, sep: str = ","
+    spark: SparkSession, members: DataFrame, header: bool = True, sep: str = ",",
+    encoding: str | None = None, xml_to_rows=None,
 ) -> DataFrame:
-    """Parse expanded CSV members into one DataFrame under the first
-    header (≙ ParseZip's merge, csv.go:144-165), with per-member
-    lineage columns retained."""
+    """Parse expanded members into one DataFrame under the first header
+    (≙ ParseZip's merge, csv.go:144-165), with per-member lineage
+    columns retained.  ``encoding`` decodes legacy charsets (e.g.
+    ``"gbk"`` ≙ the mahonia decoder in CSVBytes, archive.go:139-169);
+    ``xml_to_rows`` is the ``XMLToCSV`` hook for ``.xml``/``.xml.gz``
+    members (csv.go:35, 264-270) — defaults to the flat-record parser."""
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             frames = []
             for r in b.itertuples(index=False):
-                pdf = pd.read_csv(
-                    io.BytesIO(bytes(r.content)), sep=sep,
-                    header=0 if header else None, dtype=str,
-                    keep_default_na=False,
-                )
+                pdf = _member_to_pdf(r.member, bytes(r.content), sep, header,
+                                     encoding, xml_to_rows)
+                if pdf.empty:
+                    continue
                 pdf.insert(0, "_archive", r.archive)
                 pdf.insert(1, "_member", r.member)
                 frames.append(pdf)
@@ -124,13 +186,92 @@ def members_as_csv(
     first = members.select("archive", "member", "content").limit(1).collect()
     if not first:
         raise ValueError("no members")
-    probe = pd.read_csv(
-        io.BytesIO(bytes(first[0]["content"])), sep=sep,
-        header=0 if header else None, dtype=str, keep_default_na=False,
-    )
+    probe = _member_to_pdf(first[0]["member"], bytes(first[0]["content"]),
+                           sep, header, encoding, xml_to_rows)
     cols = ["_archive", "_member"] + [str(c) for c in probe.columns]
     schema = T.StructType([T.StructField(c, T.StringType(), True) for c in cols])
     return members.mapInPandas(parse, schema=schema)
+
+
+def row_kv_select(
+    df: DataFrame, kv: dict[str, str] | None = None,
+    outhead: list[str] | None = None, fill: str = "",
+) -> DataFrame:
+    """Case-insensitive rename-map projection: the reference's column-
+    mapping surface (``RowReOrder`` csv.go:281-291, ``RowKVind``
+    csv.go:294-313, ``RowsKVFile`` csv.go:315-383) as one declarative
+    select.
+
+    Each input column resolves to kv[lower(name)] if present, else its
+    own lowered name (later input columns win name collisions, matching
+    the Go map build); ``outhead`` gives the output order and any
+    unresolvable output column fills with ``fill`` (the RowReOrder
+    ``ind < 0`` branch).  ``outhead=None`` keeps the input order."""
+    kv_l = {k.lower(): v.lower() for k, v in (kv or {}).items()}
+    colmap: dict[str, str] = {}
+    for c in df.columns:
+        cl = c.lower()
+        colmap[kv_l.get(cl, cl)] = c
+    if outhead is None:
+        outhead = list(colmap)
+    return df.select(*[
+        (F.col(colmap[o.lower()]) if o.lower() in colmap else F.lit(fill))
+        .alias(o)
+        for o in outhead
+    ])
+
+
+def file_lines_count(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Per-file line counts + implicit total (``FileLinesCount`` /
+    ``FilePatternLinesCount``, file.go:23-58) as a distributed text
+    scan: one row per file (fname, n_lines).  Go counts delimiter-
+    terminated chunks plus a trailing partial line — identical to
+    Spark's text-line semantics for '\\n'."""
+    return (
+        spark.read.text(path_glob)
+        .select(F.input_file_name().alias("fname"))
+        .groupBy("fname")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+def file_head(spark: SparkSession, path: str, sep: str = ",") -> list[str]:
+    """First line of a file split on ``sep`` (``FileHead``,
+    file.go:398-409).  Driver-side single-row read (header metadata)."""
+    rows = spark.read.text(path).limit(1).collect()
+    if not rows:
+        return []
+    return rows[0]["value"].split(sep)
+
+
+def file_list_pattern(
+    listing: DataFrame, rules: list[tuple[str, str]], fname_col: str = "fname",
+) -> DataFrame:
+    """FTP-listing pattern match + embedded-timestamp extraction
+    (``FtpFileList``, ftp.go:287-319): for each (rule_id, regex) rule,
+    keep files whose name captures ONE group, parse the capture with the
+    TimeParse ladder; unparseable timestamps yield '' (the reference's
+    error branch).  Output: (rule_id, dtime, fname) — one row per
+    (rule, matching file)."""
+    from xutil_spark.operators.relational import time_parse
+
+    parts = []
+    for rule_id, pattern in rules:
+        cap = F.regexp_extract(F.col(fname_col), pattern, 1)
+        parsed = time_parse(cap)
+        parts.append(
+            listing.filter(cap != "").select(
+                F.lit(rule_id).alias("rule_id"),
+                F.coalesce(
+                    F.date_format(parsed, "yyyy-MM-dd HH:mm:ss"), F.lit("")
+                ).alias("dtime"),
+                F.col(fname_col).alias("fname"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def incremental_new_files(
