@@ -168,3 +168,33 @@ def test_file_list_pattern_timestamps(spark):
     ).toPandas()
     assert len(got) == 1
     assert got.iloc[0].tolist() == ["a", "2024-02-15 00:00:00", "a_20240215.csv"]
+
+
+def test_rows_kv_file_sink(spark, tmp_path):
+    """RowsKVFile (csv.go:315-383): rename-map reorder + chunked CSV."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"A": ["1", "2"], "b": ["x", "y"]})
+    )
+    out = str(tmp_path / "kvout")
+    A.rows_kv_file(df, out, kv={"a": "id"}, outhead=["id", "gone", "b"])
+    back = spark.read.option("header", "true").csv(out).toPandas()
+    assert list(back.columns) == ["id", "gone", "b"]
+    assert sorted(back["id"]) == ["1", "2"]
+    assert back["gone"].isna().all() or (back["gone"] == "").all()
+
+
+def test_geocode_enrich_distinct_resolution(spark):
+    """map.go:135-155 idiom: distinct addresses resolve once; enriched
+    rows carry stable Poi columns; duplicate addresses share a Poi."""
+    from xutil_spark.operators.geocode import geocode_distinct, geocode_enrich
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"rid": [1, 2, 3], "addr": ["甲", "乙", "甲"]})
+    )
+    dim = geocode_distinct(df, "addr").toPandas()
+    assert len(dim) == 2  # one Poi per distinct address
+    out = geocode_enrich(df, "addr").toPandas().sort_values("rid")
+    a = out[out["addr"] == "甲"]
+    assert a["geo_lng"].nunique() == 1 and len(a) == 2
+    assert out["geo_province"].notna().all()
+    assert ((out["geo_lng"] >= 73.5) & (out["geo_lng"] <= 134.5)).all()

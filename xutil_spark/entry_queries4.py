@@ -514,6 +514,51 @@ def o_file_list_pattern() -> str:
     return vals
 
 
+# ========================================================= geocode enrich
+
+
+def q_geocode_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapAPI geocode-enrichment surface (map.go:17-29, 135-155): each
+    DISTINCT address resolves once (the sync.Map cache idiom) then fact
+    rows broadcast-join the Poi dim.  Deterministic offline resolver
+    (md5-derived coords + fixed region tables)."""
+    _utc(spark)
+    from xutil_spark.entry_queries import _read
+    from xutil_spark.operators.geocode import geocode_enrich
+
+    cust = _read(spark, sf_dir, "customer").filter(F.col("c_custkey") % 4 == 1)
+    out = geocode_enrich(cust, "c_name")
+    return out.select(
+        "c_custkey", "c_name", "geo_lng", "geo_lat",
+        "geo_province", "geo_city", "geo_district",
+    )
+
+
+def o_geocode_enrich() -> str:
+    from xutil_spark.operators.geocode import CITIES, DISTRICTS, PROVINCES
+
+    def pick(vals, alias):
+        arms = " ".join(f"WHEN {i} THEN '{v}'" for i, v in enumerate(vals))
+        return f"(CASE idx {arms} END) AS {alias}"
+
+    return f"""
+WITH cust AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 4 = 1),
+h AS (SELECT c_custkey, c_name, md5(c_name) AS hx FROM cust),
+n AS (SELECT c_custkey, c_name,
+             ('0x' || substr(hx, 1, 6))::BIGINT AS h1,
+             ('0x' || substr(hx, 7, 6))::BIGINT AS h2,
+             CAST(('0x' || substr(hx, 13, 2))::BIGINT % 4 AS INT) AS idx
+      FROM h)
+SELECT c_custkey, c_name,
+       ROUND(73.5 + h1 / {float(0xFFFFFF)!r} * 61.0, 6) AS geo_lng,
+       ROUND(18.2 + h2 / {float(0xFFFFFF)!r} * 35.3, 6) AS geo_lat,
+       {pick(PROVINCES, "geo_province")},
+       {pick(CITIES, "geo_city")},
+       {pick(DISTRICTS, "geo_district")}
+FROM n
+"""
+
+
 QUERIES4 = {
     "gcj2wgs": q_gcj2wgs,
     "bd2gcj": q_bd2gcj,
@@ -528,6 +573,7 @@ QUERIES4 = {
     "parse_zip_xml": q_parse_zip_xml,
     "file_lines_count": q_file_lines_count,
     "file_list_pattern": q_file_list_pattern,
+    "geocode_enrich": q_geocode_enrich,
 }
 
 ORACLES4 = {
@@ -543,4 +589,5 @@ ORACLES4 = {
     "parse_zip_xml": o_parse_zip_xml(),
     "file_lines_count": o_file_lines_count(),
     "file_list_pattern": o_file_list_pattern(),
+    "geocode_enrich": o_geocode_enrich(),
 }

@@ -221,6 +221,20 @@ def row_kv_select(
     ])
 
 
+def rows_kv_file(
+    df: DataFrame, path: str, kv: dict[str, str] | None = None,
+    outhead: list[str] | None = None, sep: str = ",", header: bool = True,
+    max_records_per_file: int = 100000,
+) -> None:
+    """``RowsKVFile`` (csv.go:315-383): rename-map reorder + CSV sink in
+    one call — ``row_kv_select`` projection then the chunked CSV writer
+    (``outheadKeep`` ≙ header, ``FileMaxLines`` ≙ max_records_per_file)."""
+    write_csv_split(
+        row_kv_select(df, kv, outhead), path,
+        max_records_per_file=max_records_per_file, sep=sep, header=header,
+    )
+
+
 def file_lines_count(spark: SparkSession, path_glob: str) -> DataFrame:
     """Per-file line counts + implicit total (``FileLinesCount`` /
     ``FilePatternLinesCount``, file.go:23-58) as a distributed text
