@@ -190,3 +190,25 @@ def test_embedding_near_dup_exact_bruteforce(spark):
     df = spark.createDataFrame(pdf)
     got = S.embedding_near_dup_pairs(df, dim=8, threshold=0.99, n_bits=0).toPandas()
     assert set(zip(got["a"], got["b"])) == {(0, 4)}
+
+
+def test_ngram_jaccard_broadcast_paths_equal(spark):
+    """The vectorized broadcast verify (CSR + group searchsorted) must
+    return exactly the join path's rows — same pairs, same jaccard."""
+    pdf = pd.DataFrame({
+        "doc_id": range(8),
+        "text": [f"the quick brown fox jumps over dog {i % 3}" for i in range(8)],
+    })
+    df = spark.createDataFrame(pdf)
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"a": [0, 0, 1, 2, 5], "b": [3, 6, 4, 5, 7]})
+    )
+    fast = D.ngram_jaccard_pairs(df, pairs, k=4, threshold=None,
+                                 broadcast_sets=True).toPandas()
+    slow = D.ngram_jaccard_pairs(df, pairs, k=4, threshold=None,
+                                 broadcast_sets=False).toPandas()
+    f = fast.sort_values(["a", "b"]).reset_index(drop=True)
+    s = slow.sort_values(["a", "b"]).reset_index(drop=True)
+    assert f["a"].tolist() == s["a"].tolist()
+    assert f["b"].tolist() == s["b"].tolist()
+    assert np.allclose(f["jaccard"], s["jaccard"])

@@ -149,9 +149,10 @@ def ngram_jaccard_pairs(
         F.expr(f"transform({_shingles_sql(text_col, k)}, s -> xxhash64(s))")
     )
     sets = df.select(F.col(id_col), hashed.alias("_set"))
-    hint = F.broadcast if broadcast_sets else (lambda d: d)
-    sa = hint(sets.select(F.col(id_col).alias("a"), F.col("_set").alias("_sa")))
-    sb = hint(sets.select(F.col(id_col).alias("b"), F.col("_set").alias("_sb")))
+    if broadcast_sets:
+        return _jaccard_verify_np(sets, pairs, id_col, threshold)
+    sa = sets.select(F.col(id_col).alias("a"), F.col("_set").alias("_sa"))
+    sb = sets.select(F.col(id_col).alias("b"), F.col("_set").alias("_sb"))
     inter = F.size(F.array_intersect("_sa", "_sb"))
     out = (
         pairs
@@ -164,6 +165,87 @@ def ngram_jaccard_pairs(
         .select("a", "b", "jaccard")
     )
     return out.filter(F.col("jaccard") >= threshold) if threshold is not None else out
+
+
+def _jaccard_verify_np(sets: DataFrame, pairs: DataFrame, id_col: str,
+                       threshold: float | None) -> DataFrame:
+    """Broadcast verify path: the per-doc shingle-set table collects to
+    one CSR block (flat hash array + offsets) shipped per executor via
+    ``sc.broadcast``; candidate pairs stream through ``mapInPandas``.
+
+    Versus the join formulation this never materializes the two set
+    arrays PER PAIR (at 40 candidate pairs per doc that was ~80× the
+    set bytes through the join).  Per batch: pairs group by their `a`
+    doc, each group's partner hashes gather in one CSR expansion and
+    membership-test against the (pre-sorted) `a` set via one
+    ``searchsorted`` + ``add.reduceat`` — the only Python loop is per
+    DISTINCT LEFT DOC in the batch (dim-scale), never per pair or per
+    hash.  A global (pair, hash) lexsort was 60× slower — sort of the
+    full gathered volume vs log-factor probes into 300-element sets.
+    """
+    import pandas as pd
+
+    spark = sets.sparkSession
+    pdf = sets.toPandas()
+    ids = pdf[id_col].to_numpy()
+    order = np.argsort(ids, kind="stable")
+    ids_s = ids[order]
+    arrs = [np.sort(np.asarray(a, dtype=np.int64))
+            for a in pdf["_set"].to_numpy()[order]]
+    lens = np.array([len(a) for a in arrs], dtype=np.int64)
+    flat = np.concatenate(arrs) if arrs else np.empty(0, np.int64)
+    offs = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    bc = spark.sparkContext.broadcast((ids_s, flat, offs, lens))
+
+    a_t = dict(pairs.dtypes)["a"]
+
+    def verify(batches):
+        ids_b, flat_b, offs_b, lens_b = bc.value
+        for b in batches:
+            if not len(b):
+                continue
+            ai = np.searchsorted(ids_b, b["a"].to_numpy())
+            bi = np.searchsorted(ids_b, b["b"].to_numpy())
+            po = np.argsort(ai, kind="stable")
+            ai_s, bi_s = ai[po], bi[po]
+            m = np.zeros(len(b), dtype=np.int64)
+            starts = np.flatnonzero(
+                np.concatenate(([True], ai_s[1:] != ai_s[:-1]))
+            )
+            ends = np.concatenate((starts[1:], [len(ai_s)]))
+            for s, e in zip(starts, ends):
+                i0 = ai_s[s]
+                A = flat_b[offs_b[i0]: offs_b[i0] + lens_b[i0]]
+                part = bi_s[s:e]
+                ln = lens_b[part]
+                tot = int(ln.sum())
+                if tot == 0 or len(A) == 0:
+                    continue
+                seg0 = np.concatenate(([0], np.cumsum(ln)))[:-1]
+                pos = np.repeat(offs_b[part], ln) + (
+                    np.arange(tot) - np.repeat(seg0, ln)
+                )
+                hb = flat_b[pos]
+                idx = np.searchsorted(A, hb)
+                idx[idx >= len(A)] = len(A) - 1
+                hit = (A[idx] == hb).astype(np.int64)
+                m[po[s:e]] = np.add.reduceat(hit, seg0)
+            union = lens_b[ai] + lens_b[bi] - m
+            with np.errstate(invalid="ignore"):
+                j = np.where(union > 0, m / union, np.nan)
+            out = pd.DataFrame({"a": b["a"], "b": b["b"], "jaccard": j})
+            if threshold is not None:
+                out = out[out["jaccard"] >= threshold]
+            yield out
+
+    schema = f"a {a_t}, b {a_t}, jaccard double"
+    src = pairs.select("a", "b")
+    # the candidate-pair table often arrives single-partition (distinct
+    # of a small self-join) — spread it or the vectorized pass serializes
+    par = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    return src.mapInPandas(verify, schema=schema)
 
 
 # ------------------------------------------------------------------ simhash
