@@ -60,6 +60,11 @@ def cosine_topk_brute(
 
     Output: (q_id, c_id aliased nn_id, score, rank)."""
     q = queries.select(F.col(q_id).alias("q_id"), F.col(q_vec).alias("_qv"))
+    # a single-split embeddings scan would serialize the q×corpus dot
+    # products — spread the query side first (no-op on real clusters)
+    par = queries.sparkSession.sparkContext.defaultParallelism
+    if q.rdd.getNumPartitions() < par:
+        q = q.repartition(par)
     c = corpus.select(F.col(c_id).alias("nn_id"), F.col(c_vec).alias("_cv"))
     c = F.broadcast(c) if broadcast_corpus else c
     scored = (
