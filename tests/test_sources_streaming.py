@@ -198,3 +198,87 @@ def test_geocode_enrich_distinct_resolution(spark):
     assert a["geo_lng"].nunique() == 1 and len(a) == 2
     assert out["geo_province"].notna().all()
     assert ((out["geo_lng"] >= 73.5) & (out["geo_lng"] <= 134.5)).all()
+
+
+def test_streaming_first_seen_dedup(spark, tmp_path):
+    """Stateful streaming dedup: duplicates across TWO micro-batches
+    collapse to the first arrival (applyInPandasWithState).  Parquet
+    sink: the memory sink cannot recover from a checkpoint, and the
+    cross-restart state is exactly what's under test."""
+    from xutil_spark.streaming.stateful import streaming_first_seen
+
+    src = str(tmp_path / "dedup_src")
+    os.makedirs(src)
+    b1 = pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                       "text": ["aa", "bb", "aa", "cc"]})
+    spark.createDataFrame(b1).coalesce(1).write.parquet(src + "/b1.parquet")
+
+    schema = spark.createDataFrame(b1).schema
+    stream = spark.readStream.schema(schema).parquet(src + "/*.parquet")
+    out = streaming_first_seen(stream, shards=4)
+    chk, sink = str(tmp_path / "chk1"), str(tmp_path / "sink1")
+
+    def run_once():
+        q = (out.writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", chk)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    got1 = spark.read.parquet(sink).toPandas()
+    assert sorted(got1["doc_id"]) == [1, 2, 4]  # doc 3 is a dup of 1
+
+    # second micro-batch: one repeat ("bb") + one new ("dd"); state
+    # recovers from the checkpoint, so only the new text survives
+    b2 = pd.DataFrame({"doc_id": [5, 6], "text": ["bb", "dd"]})
+    spark.createDataFrame(b2).coalesce(1).write.parquet(src + "/b2.parquet")
+    run_once()
+    got2 = spark.read.parquet(sink).toPandas()
+    assert sorted(got2["doc_id"]) == [1, 2, 4, 6]
+
+
+def test_streaming_sessionize(spark, tmp_path):
+    """Session windows: a >gap break inside one key splits sessions;
+    open tails flush via the processing-time timeout (either in the
+    trailing batch of the first trigger or in the follow-up trigger)."""
+    from xutil_spark.streaming.stateful import streaming_sessionize
+
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src)
+    pdf = pd.DataFrame({
+        "user_id": [7, 7, 7, 9],
+        "ts": pd.to_datetime([
+            "2024-01-01 00:00:00", "2024-01-01 00:10:00",  # session A
+            "2024-01-01 02:00:00",                          # session B (gap>30min)
+            "2024-01-01 00:05:00",                          # user 9
+        ]),
+    })
+    sdf = spark.createDataFrame(pdf)
+    sdf.coalesce(1).write.parquet(src + "/b1.parquet")
+    stream = spark.readStream.schema(sdf.schema).parquet(src + "/*.parquet")
+    out = streaming_sessionize(stream, gap_seconds=1800, idle_flush_ms=500)
+    chk, sink = str(tmp_path / "chk2"), str(tmp_path / "sink2")
+
+    def run_once():
+        q = (out.writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", chk)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    time.sleep(1.0)
+    # empty follow-up batch lets any remaining timeout fire
+    spark.createDataFrame([], schema=sdf.schema).coalesce(1).write.parquet(
+        src + "/b2.parquet")
+    run_once()
+    got = spark.read.parquet(sink).toPandas()
+    sess = {
+        (int(r["user_id"]), str(r["session_start"]), str(r["session_end"]),
+         int(r["n_events"]))
+        for _, r in got.iterrows()
+    }
+    assert sess == {
+        (7, "2024-01-01 00:00:00", "2024-01-01 00:10:00", 2),
+        (7, "2024-01-01 02:00:00", "2024-01-01 02:00:00", 1),
+        (9, "2024-01-01 00:05:00", "2024-01-01 00:05:00", 1),
+    }

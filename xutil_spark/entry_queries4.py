@@ -514,6 +514,51 @@ def o_file_list_pattern() -> str:
     return vals
 
 
+# ====================================================== stateful streaming
+
+
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming first-seen dedup (applyInPandasWithState,
+    SURVEY §2.10 / north-star custom stateful operator): documents
+    parquet replayed as a file stream, per-digest first arrival kept
+    (min doc_id within the batch), parquet sink + checkpoint.  The
+    oracle is the equivalent batch group-by."""
+    _utc(spark)
+    import shutil
+    import tempfile
+
+    from xutil_spark.streaming.stateful import streaming_first_seen
+
+    import os
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    work = tempfile.mkdtemp(prefix="xutil_stream_dedup_")
+    # the file-stream source wants a DIRECTORY of files — stage the
+    # table into the work dir (symlink: no data copy)
+    src = f"{work}/src"
+    os.makedirs(src)
+    os.symlink(f"{sf_dir}/documents.parquet", f"{src}/documents.parquet")
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = streaming_first_seen(stream, shards=8)
+    sink, chk = f"{work}/sink", f"{work}/chk"
+    q = (
+        out.writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", chk)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    res = spark.read.parquet(sink).select("doc_id", "digest").localCheckpoint()
+    shutil.rmtree(work, ignore_errors=True)
+    return res
+
+
+def o_streaming_dedup() -> str:
+    return """
+SELECT MIN(doc_id) AS doc_id, md5(text) AS digest
+FROM documents GROUP BY md5(text)
+"""
+
+
 # ========================================================= geocode enrich
 
 
@@ -574,6 +619,7 @@ QUERIES4 = {
     "file_lines_count": q_file_lines_count,
     "file_list_pattern": q_file_list_pattern,
     "geocode_enrich": q_geocode_enrich,
+    "streaming_dedup": q_streaming_dedup,
 }
 
 ORACLES4 = {
@@ -590,4 +636,5 @@ ORACLES4 = {
     "file_lines_count": o_file_lines_count(),
     "file_list_pattern": o_file_list_pattern(),
     "geocode_enrich": o_geocode_enrich(),
+    "streaming_dedup": o_streaming_dedup(),
 }
