@@ -135,3 +135,82 @@ def test_tile_mosaic(spark):
     b = dict(zip(again["cell"], again["bytes"]))
     assert set(a) == set(b)
     assert all(bytes(a[c]) == bytes(b[c]) for c in a)
+
+
+def test_meter_observe_rows_and_wall(spark):
+    """Observation metrics: per-stage row counts + extra aggregates ride
+    the single action — no recompute jobs."""
+    import pandas as pd
+
+    from xutil_spark.plans.metrics import Meter
+
+    meter = Meter()
+    df = spark.createDataFrame(pd.DataFrame({"x": range(100)}))
+    df = meter.observe(df, "source")
+    df = df.filter(F.col("x") % 2 == 0)
+    df = meter.observe(df, "filtered", F.sum("x").alias("x_sum"))
+    n = meter.timed(lambda: df.count())
+    assert n == 50
+    m = meter.collect()
+    assert m["source"]["rows"] == 100
+    assert m["filtered"]["rows"] == 50
+    assert m["filtered"]["x_sum"] == sum(range(0, 100, 2))
+    assert m["_wall_sec"] > 0
+
+
+def test_meter_duplicate_stage_rejected(spark):
+    import pandas as pd
+
+    from xutil_spark.plans.metrics import Meter
+
+    meter = Meter()
+    df = spark.createDataFrame(pd.DataFrame({"x": [1]}))
+    meter.observe(df, "s")
+    with pytest.raises(ValueError):
+        meter.observe(df, "s")
+
+
+def test_audio_features_vs_numpy(spark):
+    """Audio decode + features match a direct numpy computation;
+    captions pass through byte-equal."""
+    from xutil_spark.data.synth_av import audio_samples_for, audio_table
+    from xutil_spark.raster.av import audio_features
+
+    got = audio_features(audio_table(spark, 12)).toPandas()
+    assert len(got) == 12
+    for _, r in got.iterrows():
+        i = int(r["clip_id"][4:])
+        mono = audio_samples_for(i, 4000).astype(np.float64)[:, 0] / 32768.0
+        assert r["caption"] == f"synthetic clip {i}"
+        assert r["duration_sec"] == 0.5
+        assert abs(r["rms"] - float(np.sqrt(np.mean(mono**2)))) < 1e-5
+        assert abs(r["peak"] - float(np.abs(mono).max())) < 1e-5
+        zc = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+        assert abs(r["zero_cross_rate"] - zc) < 1e-5
+
+
+def test_video_frame_sample_pixel_exact(spark):
+    """Frame sampling: every 10th frame, pixel-exact bytes, correct
+    timestamps and luminance."""
+    from xutil_spark.data.synth_av import video_frames_for, video_table
+    from xutil_spark.raster.av import frame_sample
+
+    got = frame_sample(video_table(spark, 4), every_n=10).toPandas()
+    assert len(got) == 4 * 3  # frames 0, 10, 20 of 30
+    for _, r in got.iterrows():
+        i = int(r["video_id"][3:])
+        frames = video_frames_for(i, 32, 24, 30)
+        fi = int(r["frame_idx"])
+        assert bytes(r["frame"]) == frames[fi].tobytes()  # pixel-exact
+        assert r["ts_sec"] == fi / 10.0
+        lum = (frames[fi].astype(np.float64) @ np.array([0.299, 0.587, 0.114])).mean()
+        assert abs(r["mean_lum"] - lum) < 1e-5
+
+
+def test_av_unknown_codecs_stubbed(spark):
+    from xutil_spark.raster.av import decode_audio, decode_video
+
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"", 10, 1, "mp3")
+    with pytest.raises(NotImplementedError):
+        decode_video(b"", 8, 8, 2, "h264")

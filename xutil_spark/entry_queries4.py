@@ -514,6 +514,32 @@ def o_file_list_pattern() -> str:
     return vals
 
 
+# ========================================================= audio / video
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio path: synthetic PCM clips (typed-metadata binary
+    column) → mapInPandas decode → acoustic features.  Rows-only (binary
+    codecs are not SQL-expressible); numpy-oracle pinned in pytest."""
+    _utc(spark)
+    from xutil_spark.data.synth_av import audio_table
+    from xutil_spark.raster.av import audio_features
+
+    return audio_features(audio_table(spark, 1000))
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal video path: synthetic raw-RGB videos → every-10th
+    frame sample with timestamps + luminance (video becomes images
+    downstream).  Rows-only; pixel-exact pytest pins."""
+    _utc(spark)
+    from xutil_spark.data.synth_av import video_table
+    from xutil_spark.raster.av import frame_sample
+
+    f = frame_sample(video_table(spark, 200), every_n=10)
+    return f.select("video_id", "caption", "frame_idx", "ts_sec", "mean_lum")
+
+
 # ====================================================== stateful streaming
 
 
@@ -620,6 +646,8 @@ QUERIES4 = {
     "file_list_pattern": q_file_list_pattern,
     "geocode_enrich": q_geocode_enrich,
     "streaming_dedup": q_streaming_dedup,
+    "audio_features": q_audio_features,
+    "video_frames": q_video_frames,
 }
 
 ORACLES4 = {
