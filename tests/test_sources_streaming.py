@@ -282,3 +282,18 @@ def test_streaming_sessionize(spark, tmp_path):
         (7, "2024-01-01 02:00:00", "2024-01-01 02:00:00", 1),
         (9, "2024-01-01 00:05:00", "2024-01-01 00:05:00", 1),
     }
+
+
+def test_apply_value_processor(spark):
+    """csv.go:36 ValueProcessor: per-value string hook over string
+    columns only; non-string columns untouched."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"s": ["  a ", "b"], "t": ["x", " y"], "n": [1, 2]})
+    )
+    out = A.apply_value_processor(df, lambda c: F.upper(F.trim(c))).toPandas()
+    assert out["s"].tolist() == ["A", "B"]
+    assert out["t"].tolist() == ["X", "Y"]
+    assert out["n"].tolist() == [1, 2]
+    sub = A.apply_value_processor(df, lambda c: F.trim(c), columns=["s"]).toPandas()
+    assert sub["s"].tolist() == ["a", "b"]
+    assert sub["t"].tolist() == ["x", " y"]  # untouched

@@ -514,6 +514,28 @@ def o_file_list_pattern() -> str:
     return vals
 
 
+def q_value_processor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ValueProcessor hook (csv.go:36): a per-value string transform
+    (trim + upper here) applied to every string column of the parsed
+    table in one projection."""
+    _utc(spark)
+    from xutil_spark.entry_queries import _read
+    from xutil_spark.sources.archives import apply_value_processor
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 9 == 2)
+    out = apply_value_processor(
+        docs, lambda c: F.upper(F.trim(c)), columns=["lang", "source"]
+    )
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+def o_value_processor() -> str:
+    return """
+SELECT doc_id, UPPER(TRIM(lang)) AS lang, UPPER(TRIM(source)) AS source, n_chars
+FROM documents WHERE doc_id % 9 = 2
+"""
+
+
 # ========================================================= audio / video
 
 
@@ -648,6 +670,7 @@ QUERIES4 = {
     "streaming_dedup": q_streaming_dedup,
     "audio_features": q_audio_features,
     "video_frames": q_video_frames,
+    "value_processor": q_value_processor,
 }
 
 ORACLES4 = {
@@ -665,4 +688,5 @@ ORACLES4 = {
     "file_list_pattern": o_file_list_pattern(),
     "geocode_enrich": o_geocode_enrich(),
     "streaming_dedup": o_streaming_dedup(),
+    "value_processor": o_value_processor(),
 }

@@ -221,6 +221,22 @@ def row_kv_select(
     ])
 
 
+def apply_value_processor(
+    df: DataFrame, fn, columns: list[str] | None = None,
+) -> DataFrame:
+    """``ValueProcessor`` hook (csv.go:36, applied per parsed value in
+    ParseZip): one Column→Column transform over every string column
+    (or an explicit subset) in a single projection — the declarative
+    form of the reference's per-cell string hook."""
+    targets = columns if columns is not None else [
+        f.name for f in df.schema.fields if f.dataType.simpleString() == "string"
+    ]
+    tset = set(targets)
+    return df.select(*[
+        fn(F.col(c)).alias(c) if c in tset else F.col(c) for c in df.columns
+    ])
+
+
 def rows_kv_file(
     df: DataFrame, path: str, kv: dict[str, str] | None = None,
     outhead: list[str] | None = None, sep: str = ",", header: bool = True,
