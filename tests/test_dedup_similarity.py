@@ -212,3 +212,70 @@ def test_ngram_jaccard_broadcast_paths_equal(spark):
     assert f["a"].tolist() == s["a"].tolist()
     assert f["b"].tolist() == s["b"].tolist()
     assert np.allclose(f["jaccard"], s["jaccard"])
+
+
+def test_connected_components_vs_networkless_oracle(spark):
+    """Min-label CC over hand-built edges: chains, cliques, self-pairs,
+    and a long path (multi-round propagation)."""
+    edges = pd.DataFrame({
+        "a": [1, 2, 10, 11, 20, 30, 31, 32, 33],
+        "b": [2, 3, 11, 12, 21, 31, 32, 33, 34],
+    })
+    got = D.connected_components(spark.createDataFrame(edges)).toPandas()
+    comp = dict(zip(got["id"], got["cluster_id"]))
+    assert comp == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+        30: 30, 31: 30, 32: 30, 33: 30, 34: 30,  # path of length 5
+    }
+
+
+def test_dedup_by_clusters_keeps_min_per_component(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 7, 9],
+        "text": ["a", "a", "a", "b", "c"],
+    }))
+    pairs = spark.createDataFrame(pd.DataFrame({"a": [1, 2], "b": [2, 3]}))
+    kept = D.dedup_by_clusters(df, pairs).toPandas()
+    assert sorted(kept["doc_id"]) == [1, 7, 9]
+
+
+def test_cosine_topk_ivf_exact_mode_equals_brute(emb, emb_pd):
+    """nprobe = n_lists probes every inverted list — must equal the
+    brute path exactly (ranks, scores, tie order)."""
+    exact = S.cosine_topk_brute(emb.limit(30), emb, k=5).toPandas()
+    ivf = S.cosine_topk_ivf(emb.limit(30), emb, dim=64, k=5,
+                            n_lists=8, nprobe=8).toPandas()
+    e = exact.sort_values(["q_id", "rank"]).reset_index(drop=True)
+    i = ivf.sort_values(["q_id", "rank"]).reset_index(drop=True)
+    assert e["nn_id"].tolist() == i["nn_id"].tolist()
+    assert np.allclose(e["score"], i["score"])
+
+
+def test_cosine_topk_ivf_recall_on_clustered(spark):
+    """Partial probe (nprobe=2 of 8): members of a planted cluster land
+    in the same inverted list, so recall stays high while each query
+    scans ~1/4 of the corpus."""
+    from xutil_spark.data.synth import splitmix64
+
+    rng_idx = np.arange(40 * 16, dtype=np.int64)
+    cents = (splitmix64(rng_idx).astype(np.float64) / 2**63).reshape(40, 16)
+    rows = []
+    for ci in range(40):
+        for m in range(10):
+            noise = (
+                splitmix64(np.arange(16, dtype=np.int64) + ci * 1000 + m * 31 + 7)
+                .astype(np.float64) / 2**63 * 0.1
+            )
+            v = cents[ci] + noise
+            rows.append((ci * 10 + m, (v / np.linalg.norm(v)).astype(np.float32).tolist()))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    df = spark.createDataFrame(pdf).cache()
+    exact = S.cosine_topk_brute(df.limit(60), df, k=5).toPandas()
+    approx = S.cosine_topk_ivf(df.limit(60), df, dim=16, k=5,
+                               n_lists=8, nprobe=2).toPandas()
+    e = set(zip(exact["q_id"], exact["nn_id"]))
+    a = set(zip(approx["q_id"], approx["nn_id"]))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, recall

@@ -514,6 +514,64 @@ def o_file_list_pattern() -> str:
     return vals
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup CLUSTERING: MinHash-LSH candidates → exact
+    Jaccard ≥ 0.5 verify → connected components (iterative min-label
+    propagation) → (doc_id, cluster_id).  The oracle replays the same
+    edges through a recursive reachability CTE — the iterative-
+    algorithm class, SQL-checked."""
+    _utc(spark)
+    from xutil_spark.entry_queries import _read
+    from xutil_spark.operators.dedup import (
+        connected_components, minhash_lsh_pairs, ngram_jaccard_pairs,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(docs, k=8, bands=8, rows=2)
+    verified = ngram_jaccard_pairs(docs, cand, k=8, threshold=0.5)
+    comp = connected_components(verified)
+    return comp.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+def o_dup_clusters() -> str:
+    from xutil_spark.entry_queries3 import o_ngram_jaccard
+
+    return f"""
+WITH RECURSIVE verified AS ({o_ngram_jaccard()}),
+edges AS (
+  SELECT a AS src, b AS dst FROM verified
+  UNION
+  SELECT b AS src, a AS dst FROM verified
+),
+reach(src, node) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src
+"""
+
+
+def q_cosine_top5_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN in EXACT mode (nprobe = n_lists → every inverted list
+    probed): must equal the brute-force oracle bit-for-bit — proves the
+    quantize → bucket-join → re-score plumbing loses nothing.  The
+    approximate tier (nprobe < n_lists) is recall-pinned in pytest."""
+    _utc(spark)
+    from xutil_spark.entry_queries import _read
+    from xutil_spark.operators.similarity import cosine_topk_ivf
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50)
+    return cosine_topk_ivf(q, emb, dim=64, k=5, n_lists=16, nprobe=16)
+
+
+def o_cosine_top5_ivf() -> str:
+    from xutil_spark.entry_queries import o_cosine_top5
+
+    return o_cosine_top5()
+
+
 def q_value_processor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ValueProcessor hook (csv.go:36): a per-value string transform
     (trim + upper here) applied to every string column of the parsed
@@ -671,6 +729,8 @@ QUERIES4 = {
     "audio_features": q_audio_features,
     "video_frames": q_video_frames,
     "value_processor": q_value_processor,
+    "dup_clusters": q_dup_clusters,
+    "cosine_top5_ivf": q_cosine_top5_ivf,
 }
 
 ORACLES4 = {
@@ -689,4 +749,6 @@ ORACLES4 = {
     "geocode_enrich": o_geocode_enrich(),
     "streaming_dedup": o_streaming_dedup(),
     "value_processor": o_value_processor(),
+    "dup_clusters": o_dup_clusters(),
+    "cosine_top5_ivf": o_cosine_top5_ivf(),
 }

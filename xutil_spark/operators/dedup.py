@@ -248,6 +248,71 @@ def _jaccard_verify_np(sets: DataFrame, pairs: DataFrame, id_col: str,
     return src.mapInPandas(verify, schema=schema)
 
 
+def connected_components(
+    pairs: DataFrame, max_iters: int = 50,
+) -> DataFrame:
+    """Duplicate-CLUSTER resolution: connected components over the
+    near-dup pair edges → ``(id, cluster_id)`` where cluster_id is the
+    smallest member id of the component (the canonical survivor).
+
+    Iterative min-label propagation, Spark-shaped: each round every
+    node takes the min of its own label and its neighbors' labels
+    (edges both directions → one groupBy-min per round), until a round
+    changes nothing.  Rounds needed = graph diameter ≤ log n after the
+    first few rounds collapse stars; dedup components are tiny cliques,
+    so 2-3 rounds typical.  Labels are ``localCheckpoint``'ed per round
+    (flat lineage; the loop re-reads them twice).
+
+    At 10^12 docs each round is one shuffle on the node id — the same
+    cost class as the LSH bucket join that produced the edges."""
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        # neighbor-propagated candidate labels
+        prop = (
+            edges.join(labels, edges["dst"] == labels["id"], "inner")
+            .select(F.col("src").alias("id"), F.col("cluster_id"))
+        )
+        new_labels = (
+            labels.select("id", "cluster_id").unionByName(prop)
+            .groupBy("id").agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("cluster_id", "_old"),
+                            on="id")
+            .filter(F.col("cluster_id") != F.col("_old"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_by_clusters(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep ONE row per duplicate cluster (the min-id member) and every
+    row that appears in no near-dup pair — the final stage of the
+    LSH → verify → cluster dedup pipeline."""
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
 # ------------------------------------------------------------------ simhash
 
 
