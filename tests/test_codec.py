@@ -79,3 +79,46 @@ def test_psnr():
     assert p > 40.0  # single tiny perturbation stays above the lossy gate
     very_noisy = np.clip(img.astype(np.int32) + 64, 0, 255).astype(np.uint8)
     assert codec.psnr(img, very_noisy) < 40.0
+
+
+def test_png_decoder_handles_average_and_paeth_filters():
+    """Filters 3 (Average) and 4 (Paeth) built by hand with the spec's
+    per-byte ENCODER (the inverse recurrence) — decode must restore the
+    original image exactly (regression for the vectorized decoder)."""
+    import struct
+
+    img = _pattern(6, 3, 3)
+    h, w = img.shape[:2]
+    flat = img.reshape(h, w * 3).astype(np.int32)
+    bpp = 3
+
+    def enc_row(f, cur, prev):
+        out = np.zeros(w * 3, dtype=np.int32)
+        for i in range(w * 3):
+            a = cur[i - bpp] if i >= bpp else 0  # decoded left = original
+            b = prev[i]
+            if f == 3:
+                out[i] = (cur[i] - ((a + b) >> 1)) & 0xFF
+            else:
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[i] = (cur[i] - pr) & 0xFF
+        return out
+
+    zero = np.zeros(w * 3, dtype=np.int32)
+    rows = [
+        bytes([3]) + bytes(enc_row(3, flat[0], zero).astype(np.uint8)),
+        bytes([4]) + bytes(enc_row(4, flat[1], flat[0]).astype(np.uint8)),
+        bytes([3]) + bytes(enc_row(3, flat[2], flat[1]).astype(np.uint8)),
+    ]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + codec._chunk(b"IHDR", ihdr)
+        + codec._chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + codec._chunk(b"IEND", b"")
+    )
+    back = codec.decode_png(png)
+    np.testing.assert_array_equal(back, img)
