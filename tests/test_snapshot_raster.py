@@ -214,3 +214,18 @@ def test_av_unknown_codecs_stubbed(spark):
         decode_audio(b"", 10, 1, "mp3")
     with pytest.raises(NotImplementedError):
         decode_video(b"", 8, 8, 2, "h264")
+
+
+def test_iceberg_adapter_gating(spark):
+    """No Iceberg runtime in this environment: availability probe says
+    so and every adapter call raises the loud config-bearing error
+    (silent fallback would mask a misconfigured cluster)."""
+    from xutil_spark.plans import iceberg as I
+
+    if I.iceberg_available(spark):
+        pytest.skip("iceberg runtime present; gating path not testable")
+    df = spark.range(3)
+    with pytest.raises(I.IcebergUnavailable, match="iceberg-spark-runtime"):
+        I.commit(df, "cat.db.t")
+    with pytest.raises(I.IcebergUnavailable):
+        I.lineage(spark, "cat.db.t")
