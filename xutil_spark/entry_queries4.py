@@ -665,6 +665,92 @@ FROM documents GROUP BY md5(text)
 """
 
 
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming sessionization (applyInPandasWithState):
+    events replayed as a file stream, 30-min inactivity-gap sessions
+    per user.  Tail flush via a far-future SENTINEL event per user
+    (flush="none"): the sentinel closes every real session by the gap
+    rule and itself stays in state unemitted — one deterministic
+    trigger, no processing-time timeouts.  The oracle computes the same
+    sessions via lag + cumsum."""
+    _utc(spark)
+    import os
+    import shutil
+    import tempfile
+
+    from xutil_spark.entry_queries import _read
+    from xutil_spark.streaming.stateful import streaming_sessionize
+
+    ev = _read(spark, sf_dir, "events")
+    schema = ev.schema
+    work = tempfile.mkdtemp(prefix="xutil_stream_sess_")
+    src = f"{work}/src"
+    os.makedirs(src)
+    os.symlink(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+    import pandas as pd
+
+    users = [r["user_id"] for r in ev.select("user_id").distinct().collect()]
+    sent = pd.DataFrame({
+        "event_id": [-1] * len(users),
+        # µs unit, tz-naive — matches the table's timestamp_ntz(us)
+        "ts": pd.to_datetime(
+            ["2099-01-01 00:00:00"] * len(users)
+        ).astype("datetime64[us]"),
+        "user_id": users,
+        "event_type": ["sentinel"] * len(users),
+        "value": [0.0] * len(users),
+        "props": [""] * len(users),
+    })
+    # one plain FILE (not a Spark output directory — the file-stream
+    # source lists files, it does not recurse into subdirectories)
+    sent.to_parquet(f"{src}/sentinels.parquet", index=False)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = streaming_sessionize(stream, gap_seconds=1800, flush="none")
+    sink, chk = f"{work}/sink", f"{work}/chk"
+    q = (
+        out.writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", chk)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    res = (
+        spark.read.parquet(sink)
+        .select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+        .localCheckpoint()
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return res
+
+
+def o_streaming_sessions() -> str:
+    return """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
 # ========================================================= geocode enrich
 
 
@@ -726,6 +812,7 @@ QUERIES4 = {
     "file_list_pattern": q_file_list_pattern,
     "geocode_enrich": q_geocode_enrich,
     "streaming_dedup": q_streaming_dedup,
+    "streaming_sessions": q_streaming_sessions,
     "audio_features": q_audio_features,
     "video_frames": q_video_frames,
     "value_processor": q_value_processor,
@@ -748,6 +835,7 @@ ORACLES4 = {
     "file_list_pattern": o_file_list_pattern(),
     "geocode_enrich": o_geocode_enrich(),
     "streaming_dedup": o_streaming_dedup(),
+    "streaming_sessions": o_streaming_sessions(),
     "value_processor": o_value_processor(),
     "dup_clusters": o_dup_clusters(),
     "cosine_top5_ivf": o_cosine_top5_ivf(),

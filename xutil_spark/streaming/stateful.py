@@ -19,6 +19,7 @@ any stateful streaming op.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -98,14 +99,23 @@ def streaming_sessionize(
     events: DataFrame, gap_seconds: int = 1800,
     ts_col: str = "ts", key_col: str = "user_id",
     idle_flush_ms: int = 10_000,
+    flush: str = "timeout",
 ) -> DataFrame:
     """Event-time session windows with an inactivity gap, one open
     session of state per key.
 
     Sessions CLOSE when a later event for the key arrives more than
-    ``gap_seconds`` after the previous one (event-time), or when the
-    key stays silent for ``idle_flush_ms`` of processing time (timeout
-    flush, so tails drain without requiring a next event)."""
+    ``gap_seconds`` after the previous one (event-time); the open tail
+    drains per ``flush``:
+
+    * ``"timeout"`` — processing-time timeout after ``idle_flush_ms``
+      of key silence (continuous pipelines with ongoing triggers);
+    * ``"none"`` — no timeout registered; close tails by appending one
+      far-future SENTINEL event per key to the replay instead (the
+      sentinel closes every real session by the gap rule and itself
+      stays open in state, never emitted).  Deterministic for bounded
+      replays, and sidesteps the repeated timeout-only micro-batches
+      an availableNow trigger would otherwise spin through."""
     gap_us = gap_seconds * 1_000_000
 
     def sess(key, pdfs, state: GroupState):
@@ -124,9 +134,12 @@ def streaming_sessionize(
         cur = state.get if state.exists else None
         closed = []
         for pdf in pdfs:
-            ts_us = (
-                pd.to_datetime(pdf[ts_col]).astype("int64") // 1000
-            ).sort_values(kind="stable").to_numpy()
+            # unit-safe µs: the source may be datetime64[us] (parquet)
+            # or [ns] (createDataFrame) — normalize, don't assume ns
+            ts_us = np.sort(
+                pdf[ts_col].to_numpy("datetime64[us]").astype(np.int64),
+                kind="stable",
+            )
             for t in ts_us:  # per EVENT within the key group — bounded
                 if cur is None:
                     cur = (int(t), int(t), 1)
@@ -137,7 +150,8 @@ def streaming_sessionize(
                     cur = (cur[0], int(t), cur[2] + 1)
         if cur is not None:
             state.update(cur)
-            state.setTimeoutDuration(idle_flush_ms)
+            if flush == "timeout":
+                state.setTimeoutDuration(idle_flush_ms)
         if closed:
             yield pd.DataFrame({
                 "user_id": [key[0]] * len(closed),
@@ -146,7 +160,10 @@ def streaming_sessionize(
                 "n_events": [c[2] for c in closed],
             })
 
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if flush == "timeout" else GroupStateTimeout.NoTimeout
+    )
     return events.select(key_col, ts_col).groupBy(key_col).applyInPandasWithState(
-        sess, _SESS_OUT, _SESS_STATE, "append",
-        GroupStateTimeout.ProcessingTimeTimeout,
+        sess, _SESS_OUT, _SESS_STATE, "append", timeout_conf,
     )
