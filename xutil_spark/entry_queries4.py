@@ -1,9 +1,15 @@
-"""Driver-contract queries, batch 4: the INVERSE coordinate transforms
-(gis.go:106-144, 269-275, 294-306), each oracle-paired — closing the
-§2.4 conversion-matrix oracle gap.  The forward directions
-(wgs2gcj/wgs2bd/baidu_mercator) are covered in batches 1/3; these are
-the other half of the matrix: GCJ→WGS, BD→GCJ, BD→WGS, Mercator→BD09,
-tile→WGS.
+"""Driver-contract queries, batch 4 (round 2):
+
+* the INVERSE coordinate transforms (gis.go:106-144, 269-275,
+  294-306) — closing the §2.4 conversion-matrix oracle gap left by the
+  forward directions in batches 1/3;
+* the projection/source operators added this round: rename-map reorder,
+  ValueProcessor, array index-of, TimeExtend, AES round-trip,
+  BmapMocator, archive XML+GBK parse, file line counts, FTP-listing
+  pattern extraction, geocode enrichment;
+* the stateful-streaming pair (first-seen dedup, gap sessionization),
+  the dup-cluster connected-components pipeline (recursive-CTE
+  oracle), IVF exact-mode ANN, and the audio/video multimodal paths.
 
 Oracle-parity rules as everywhere: identical column aliases, ROUND'd
 float outputs, integer-deterministic derived inputs.
