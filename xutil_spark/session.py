@@ -20,8 +20,16 @@ def get_session(
     extra_conf: dict | None = None,
 ) -> SparkSession:
     if master is None:
-        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-        master = f"local[{cpus}]"
+        # respect an externally-configured master (spark-submit
+        # --master / spark.master) instead of forcing local mode —
+        # the --py-files deployment path depends on this
+        from pyspark import SparkConf
+
+        if SparkConf().contains("spark.master"):
+            master = SparkConf().get("spark.master")
+        else:
+            cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+            master = f"local[{cpus}]"
     n_threads = master.split("[")[-1].rstrip("]") if "[" in master else "4"
     try:
         n = int(n_threads.replace("*", "0")) or (os.cpu_count() or 4)
