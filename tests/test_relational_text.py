@@ -293,3 +293,46 @@ def test_crypto_unsupported_modes_raise():
         crypto.encrypt("c", "k" * 16, algorithm="DES")
     with pytest.raises(NotImplementedError):
         crypto.encrypt("c", "k" * 16, mode="CTR")
+
+
+def test_as_of_join_vs_pandas_merge_asof(spark):
+    """Union-tag as-of join vs pandas merge_asof: no-match nulls, exact
+    same-ts inclusivity, per-key isolation."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from xutil_spark.operators.relational import as_of_join
+
+    left = pd.DataFrame({
+        "k": [1, 1, 1, 2, 3],
+        "ts": pd.to_datetime([
+            "2024-01-01 08:00:00", "2024-01-01 10:00:00",
+            "2024-01-01 11:00:00", "2024-01-01 10:30:00",
+            "2024-01-01 09:00:00",
+        ]),
+        "x": [10, 20, 30, 40, 50],
+    })
+    right = pd.DataFrame({
+        "k": [1, 1, 2],
+        "ts": pd.to_datetime([
+            "2024-01-01 09:00:00", "2024-01-01 11:00:00",  # == left ts
+            "2024-01-01 10:00:00",
+        ]),
+        "v": [100, 200, 300],
+    })
+    got = (
+        as_of_join(spark.createDataFrame(left), spark.createDataFrame(right),
+                   on="k", ts="ts")
+        .toPandas().sort_values(["k", "ts"]).reset_index(drop=True)
+    )
+    exp = pd.merge_asof(
+        left.sort_values("ts"), right.sort_values("ts"),
+        on="ts", by="k", direction="backward",
+    ).sort_values(["k", "ts"]).reset_index(drop=True)
+    assert got["x"].tolist() == exp["x"].tolist()
+    assert got["v"].astype("float").fillna(-1).tolist() == \
+        exp["v"].astype("float").fillna(-1).tolist()
+    # key 1 @ 08:00 has no update yet; key 3 has none at all → null
+    assert pd.isna(got.loc[(got["k"] == 1) & (got["x"] == 10), "v"]).all()
+    assert pd.isna(got.loc[got["k"] == 3, "v"]).all()
+    # same-instant update IS visible (inclusive <=)
+    assert got.loc[(got["k"] == 1) & (got["x"] == 30), "v"].iloc[0] == 200

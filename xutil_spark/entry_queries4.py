@@ -757,6 +757,60 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward): every event picks the latest profile
+    update with update_ts <= event ts for its user.  Spark lacks the
+    operator; the engine's union-tag + single-window plan (one shuffle,
+    no range join) is checked against DuckDB's NATIVE ASOF LEFT JOIN.
+    Updates derive deterministically from user ids: 10 updates per user,
+    every 3 days from Jan 1 + (uid % 7) hours."""
+    _utc(spark)
+    from xutil_spark.entry_queries import _read
+    from xutil_spark.operators.relational import as_of_join
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0)
+    left = ev.select("event_id", "user_id", "ts")
+    users = ev.select("user_id").distinct()
+    upd = users.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(9))).alias("_k"),
+    ).select(
+        "user_id",
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(hours=F.col("user_id") % 7)
+            + F.make_interval(days=F.col("_k") * 3)
+        ).alias("ts"),
+        (F.col("user_id") * 100 + F.col("_k")).alias("profile_v"),
+    )
+    out = as_of_join(left, upd, on="user_id", ts="ts")
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "profile_v",
+    )
+
+
+def o_asof_join() -> str:
+    return """
+WITH ev AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 5 = 0),
+upd AS (
+  SELECT u.user_id,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (u.user_id % 7) * INTERVAL 1 HOUR
+           + (k.k * 3) * INTERVAL 1 DAY AS ts,
+         u.user_id * 100 + k.k AS profile_v
+  FROM (SELECT DISTINCT user_id FROM ev) u
+  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS k) k
+)
+SELECT ev.event_id, ev.user_id,
+       strftime(ev.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       upd.profile_v
+FROM ev ASOF LEFT JOIN upd
+  ON ev.user_id = upd.user_id AND ev.ts >= upd.ts
+"""
+
+
 # ========================================================= geocode enrich
 
 
@@ -824,6 +878,7 @@ QUERIES4 = {
     "value_processor": q_value_processor,
     "dup_clusters": q_dup_clusters,
     "cosine_top5_ivf": q_cosine_top5_ivf,
+    "asof_join": q_asof_join,
 }
 
 ORACLES4 = {
@@ -845,4 +900,5 @@ ORACLES4 = {
     "value_processor": o_value_processor(),
     "dup_clusters": o_dup_clusters(),
     "cosine_top5_ivf": o_cosine_top5_ivf(),
+    "asof_join": o_asof_join(),
 }

@@ -10,6 +10,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # ------------------------------------------------------------- set operators
 # The reference's "relations" are string slices (strings.go:47-124).
@@ -197,6 +198,53 @@ def time_extend(t, s: int, step_seconds: int) -> Column:
     b = trunc if s >= 0 else trunc + delta
     e = trunc + delta if s >= 0 else trunc
     return time_split(b, e, step_seconds)
+
+
+def as_of_join(
+    left: DataFrame, right: DataFrame, on: str, ts: str = "ts",
+) -> DataFrame:
+    """As-of join: each left row takes the payload of the LATEST right
+    row with ``r.ts <= l.ts`` for the same key (pandas ``merge_asof`` /
+    DuckDB ``ASOF JOIN`` backward semantics; no match → nulls).
+
+    Spark has no native as-of join; the classic scalable plan is used:
+    tag and UNION both sides, ONE window pass per key ordered by
+    (ts, side) carrying the last non-null right payload forward, keep
+    the left rows.  Exactly one shuffle on the key — no range-condition
+    join (which Spark would execute as a broadcast-nested-loop) and no
+    candidate explosion; skewed keys split fine under AQE because the
+    window is per-key sequential anyway.
+
+    Right rows sort BEFORE left rows at equal ts, so a same-instant
+    update is visible (the inclusive <= of ASOF).  Right payload
+    columns must not collide with left column names."""
+    rcols = [c for c in right.columns if c not in (on, ts)]
+    lcols = list(left.columns)
+    l2 = left.select(
+        *lcols,
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in rcols],
+        F.lit(1).alias("_side"),
+    )
+    r2 = right.select(
+        F.col(on),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
+          for c in lcols if c not in (on, ts)],
+        F.col(ts),
+        *[F.col(c) for c in rcols],
+        F.lit(0).alias("_side"),
+    ).select(*lcols, *rcols, "_side")
+    u = l2.unionByName(r2)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = u.select(
+        *lcols,
+        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in rcols],
+        "_side",
+    )
+    return carried.filter(F.col("_side") == 1).drop("_side")
 
 
 def strings_index(col, value) -> Column:
