@@ -336,3 +336,74 @@ def test_as_of_join_vs_pandas_merge_asof(spark):
     assert pd.isna(got.loc[got["k"] == 3, "v"]).all()
     # same-instant update IS visible (inclusive <=)
     assert got.loc[(got["k"] == 1) & (got["x"] == 30), "v"].iloc[0] == 200
+
+
+def test_as_of_join_property_random(spark):
+    """Property: union-tag as-of join == pandas merge_asof on randomized
+    (but deterministic) key/ts layouts, including duplicate left ts."""
+    import numpy as np
+    import pandas as pd
+    from xutil_spark.operators.relational import as_of_join
+
+    rng = np.random.default_rng(20260817)
+    for trial in range(3):
+        n_l, n_r = 120, 40
+        left = pd.DataFrame({
+            "k": rng.integers(0, 8, n_l),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10_000, n_l), unit="m"),
+            "x": np.arange(n_l),
+        })
+        right = pd.DataFrame({
+            "k": rng.integers(0, 10, n_r),  # some keys never in left
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10_000, n_r), unit="m"),
+            "v": np.arange(n_r) * 1000,
+        }).drop_duplicates(["k", "ts"])  # unique (k, ts) → well-defined
+        got = (
+            as_of_join(spark.createDataFrame(left),
+                       spark.createDataFrame(right), on="k", ts="ts")
+            .toPandas().sort_values("x").reset_index(drop=True)
+        )
+        exp = pd.merge_asof(
+            left.sort_values(["ts", "x"], kind="stable"),
+            right.sort_values("ts", kind="stable"),
+            on="ts", by="k", direction="backward",
+        ).sort_values("x").reset_index(drop=True)
+        assert got["v"].astype("float").fillna(-1).tolist() == \
+            exp["v"].astype("float").fillna(-1).tolist(), trial
+
+
+def test_rolling_fingerprints_property(spark):
+    """Property: the concatenated-buffer vectorized winnowing equals a
+    direct per-doc computation for random texts incl. empty/short."""
+    import numpy as np
+    import pandas as pd
+    from xutil_spark.operators import textops as T
+
+    rng = np.random.default_rng(7)
+    texts = []
+    for i in range(40):
+        n = int(rng.integers(0, 60))
+        texts.append("".join(chr(97 + int(c)) for c in rng.integers(0, 26, n)))
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(40), "text": texts}))
+    got = {r["doc_id"]: list(r["fingerprint"])
+           for _, r in T.rolling_fingerprints(df, window=8, keep=5)
+           .toPandas().iterrows()}
+
+    B, W = 1000003, 8
+    def direct(t):
+        data = t.encode()
+        if len(data) < W:
+            return []
+        hs = set()
+        for i in range(len(data) - W + 1):
+            acc = 0
+            for j in range(W):
+                acc = (acc * B + data[i + j]) % (1 << 64)
+            hs.add(acc)
+        out = sorted(hs)[:5]
+        return [x - (1 << 64) if x >= (1 << 63) else x for x in out]
+
+    for i, t in enumerate(texts):
+        assert got[i] == direct(t), i
