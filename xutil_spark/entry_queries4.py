@@ -633,8 +633,10 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming first-seen dedup (applyInPandasWithState,
     SURVEY §2.10 / north-star custom stateful operator): documents
     parquet replayed as a file stream, per-digest first arrival kept
-    (min doc_id within the batch), parquet sink + checkpoint.  The
-    oracle is the equivalent batch group-by."""
+    (min doc_id within the batch), parquet sink + checkpoint.  State is
+    keyed BY digest (one flag row per key — the state store shards the
+    keys; nothing grows per key).  The oracle is the equivalent batch
+    group-by."""
     _utc(spark)
     import shutil
     import tempfile
@@ -651,7 +653,7 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(src)
     os.symlink(f"{sf_dir}/documents.parquet", f"{src}/documents.parquet")
     stream = spark.readStream.schema(schema).parquet(src)
-    out = streaming_first_seen(stream, shards=8)
+    out = streaming_first_seen(stream)
     sink, chk = f"{work}/sink", f"{work}/chk"
     q = (
         out.writeStream.format("parquet").option("path", sink)

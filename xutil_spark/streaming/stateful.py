@@ -4,17 +4,22 @@ Two training-pipeline staples the built-in windowed aggregations can't
 express:
 
 * **streaming first-seen dedup** — emit each digest's FIRST arrival
-  only, across micro-batches; per-key state is the seen-digest set.
-  The streaming twin of ``operators.dedup.exact_dedup``.
+  only, across micro-batches.  The state group IS the digest, so the
+  per-key state is one flag row: Spark's state store shards the keys
+  across executors (HDFS/RocksDB backed at real scale), state size is
+  O(1) per key and never re-serialized as a growing blob.  The
+  streaming twin of ``operators.dedup.exact_dedup``.
 * **session windows with inactivity gap** — group events per key into
   sessions closed after ``gap`` of silence; state carries the open
-  session, processing-time timeout flushes it.
+  session, processing-time timeout flushes it.  Session splitting is
+  one vectorized ``np.diff`` pass over the key's (globally sorted)
+  micro-batch timestamps — no per-event Python.
 
 Both follow the Spark-recommended shape: grouped Arrow batches in,
-GroupState handle per key, vectorized pandas inside.  State size is
-bounded per key (a hash set / one open-session tuple), so executors
-hold O(keys) state — the scale knob is the key partitioning, as with
-any stateful streaming op.
+GroupState handle per key, vectorized pandas inside.  At 10^12-doc
+scale the dedup state-key cardinality equals the distinct-digest count
+— exactly how Spark's streaming dedupe (`dropDuplicates`) shards its
+own state, and the shape the state store is built to hold.
 """
 
 from __future__ import annotations
@@ -29,54 +34,43 @@ from pyspark.sql.types import (
 )
 
 _DEDUP_OUT = StructType([
-    StructField("shard", LongType(), False),
     StructField("digest", StringType(), False),
     StructField("doc_id", LongType(), True),
 ])
-_DEDUP_STATE = StructType([StructField("seen", StringType(), True)])
+# one flag row per digest — the state store shards keys, state per key
+# never grows (vs a per-shard concatenated digest blob, which would
+# re-serialize ALL seen digests every micro-batch)
+_DEDUP_STATE = StructType([StructField("seen", LongType(), True)])
 
 
 def streaming_first_seen(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    shards: int = 32,
 ) -> DataFrame:
     """First occurrence per md5 digest across the stream (exact dedup,
-    streaming flavor).  Keys are digest shards — state distributes over
-    ``shards`` groups; within one micro-batch the smallest id wins
-    (deterministic), across batches the earlier batch wins.
-
-    State per shard is the seen-digest set, serialized as one joined
-    string (GroupState rows must be flat); at real scale prefer more
-    shards + a digest-prefix key so each set stays small."""
+    streaming flavor).  Keys the state group BY DIGEST: within one
+    micro-batch the smallest id wins (deterministic), across batches
+    the earlier batch wins (the state flag suppresses every later
+    arrival).  Per-key state is a single long — bounded by
+    construction; a pytest pins this across two micro-batches."""
 
     def dedup(key, pdfs, state: GroupState):
-        seen = set()
         if state.exists:
-            (blob,) = state.get
-            if blob:
-                seen = set(blob.split(","))
-        # concat the group's Arrow chunks BEFORE dedup so "smallest id
-        # wins" holds across the whole micro-batch, not per chunk
-        chunks = [pdf for pdf in pdfs if len(pdf)]
-        if chunks:
-            batch = pd.concat(chunks, ignore_index=True).sort_values(
-                id_col, kind="stable"
-            )
-            fresh = batch[~batch["digest"].isin(seen)]
-            first = fresh.drop_duplicates("digest", keep="first")
-            seen.update(first["digest"])
-            state.update((",".join(sorted(seen)),))
-            if len(first):
-                yield first[["shard", "digest", id_col]]
-        else:
-            state.update((",".join(sorted(seen)),))
+            for _ in pdfs:  # drain the Arrow stream; digest already out
+                pass
+            return
+        best = None
+        for pdf in pdfs:
+            if len(pdf):
+                m = int(pdf[id_col].min())
+                best = m if best is None or m < best else best
+        if best is not None:
+            state.update((1,))
+            yield pd.DataFrame({"digest": [key[0]], "doc_id": [best]})
 
     keyed = docs.select(
         F.col(id_col), F.md5(F.col(text_col)).alias("digest")
-    ).withColumn(
-        "shard", F.pmod(F.xxhash64(F.col("digest")), F.lit(shards))
     )
-    return keyed.groupBy("shard").applyInPandasWithState(
+    return keyed.groupBy("digest").applyInPandasWithState(
         dedup, _DEDUP_OUT, _DEDUP_STATE, "append",
         GroupStateTimeout.NoTimeout,
     )
@@ -115,7 +109,13 @@ def streaming_sessionize(
       sentinel closes every real session by the gap rule and itself
       stays open in state, never emitted).  Deterministic for bounded
       replays, and sidesteps the repeated timeout-only micro-batches
-      an availableNow trigger would otherwise spin through."""
+      an availableNow trigger would otherwise spin through.
+
+    The split itself is vectorized: ALL of the key's Arrow chunks
+    concatenate, sort once globally (a >10k-row group spans chunks in
+    arbitrary shuffle order — per-chunk sorting would mis-split), then
+    ``np.diff > gap`` marks the session breaks in one pass; only the
+    carry-in/out of the open session is scalar."""
     gap_us = gap_seconds * 1_000_000
 
     def sess(key, pdfs, state: GroupState):
@@ -131,27 +131,49 @@ def streaming_sessionize(
                 "n_events": [n],
             })
             return
+        # unit-safe µs: the source may be datetime64[us] (parquet) or
+        # [ns] (createDataFrame) — normalize, don't assume ns.  Concat
+        # EVERY chunk before the single global sort: a key group larger
+        # than one Arrow batch arrives as multiple chunks in arbitrary
+        # order, and session splitting is only correct on the fully
+        # sorted sequence.
+        chunks = [
+            pdf[ts_col].to_numpy("datetime64[us]").astype(np.int64)
+            for pdf in pdfs if len(pdf)
+        ]
         cur = state.get if state.exists else None
-        closed = []
-        for pdf in pdfs:
-            # unit-safe µs: the source may be datetime64[us] (parquet)
-            # or [ns] (createDataFrame) — normalize, don't assume ns
-            ts_us = np.sort(
-                pdf[ts_col].to_numpy("datetime64[us]").astype(np.int64),
-                kind="stable",
-            )
-            for t in ts_us:  # per EVENT within the key group — bounded
-                if cur is None:
-                    cur = (int(t), int(t), 1)
-                elif t - cur[1] > gap_us:
-                    closed.append(cur)
-                    cur = (int(t), int(t), 1)
-                else:
-                    cur = (cur[0], int(t), cur[2] + 1)
+        if not chunks:
+            if cur is not None:
+                state.update(cur)
+                if flush == "timeout":
+                    state.setTimeoutDuration(idle_flush_ms)
+            return
+        ts = np.sort(np.concatenate(chunks), kind="stable")
+        closed: list[tuple[int, int, int]] = []
+        carry_n = 0
+        start0 = int(ts[0])
         if cur is not None:
-            state.update(cur)
-            if flush == "timeout":
-                state.setTimeoutDuration(idle_flush_ms)
+            if start0 - cur[1] <= gap_us:
+                start0, carry_n = cur[0], cur[2]  # open session continues
+            else:
+                closed.append(cur)
+        # vectorized session splitting: break after index i when the
+        # next event is > gap away
+        breaks = np.flatnonzero(np.diff(ts) > gap_us)
+        starts = np.concatenate(([0], breaks + 1))
+        ends = np.concatenate((breaks, [len(ts) - 1]))
+        counts = (ends - starts + 1).astype(np.int64)
+        s_us = ts[starts].astype(object)
+        s_us[0] = start0
+        counts = counts.astype(object)
+        counts[0] = int(counts[0]) + carry_n
+        e_us = ts[ends]
+        # all sessions but the last are closed; the last stays open
+        for i in range(len(starts) - 1):
+            closed.append((int(s_us[i]), int(e_us[i]), int(counts[i])))
+        state.update((int(s_us[-1]), int(e_us[-1]), int(counts[-1])))
+        if flush == "timeout":
+            state.setTimeoutDuration(idle_flush_ms)
         if closed:
             yield pd.DataFrame({
                 "user_id": [key[0]] * len(closed),
