@@ -214,6 +214,52 @@ def test_ngram_jaccard_broadcast_paths_equal(spark):
     assert np.allclose(f["jaccard"], s["jaccard"])
 
 
+def test_ngram_jaccard_missing_pair_ids_drop(spark):
+    """ADVICE regression: candidate pairs referencing a doc id ABSENT
+    from the doc table must DROP in the broadcast verify path (matching
+    the shuffle path's inner join) — not IndexError on ids beyond the
+    max or silently score against a neighboring doc."""
+    pdf = pd.DataFrame({
+        "doc_id": [0, 2, 4],
+        "text": ["the quick brown fox jumps", "the quick brown fox leaps",
+                 "something else entirely here"],
+    })
+    df = spark.createDataFrame(pdf)
+    pairs = spark.createDataFrame(pd.DataFrame({
+        "a": [0, 0, 1, 99],   # 1 absent (interior), 99 absent (beyond max)
+        "b": [2, 3, 2, 4],    # 3 absent
+    }))
+    fast = D.ngram_jaccard_pairs(df, pairs, k=4, threshold=None,
+                                 broadcast_sets=True).toPandas()
+    slow = D.ngram_jaccard_pairs(df, pairs, k=4, threshold=None,
+                                 broadcast_sets=False).toPandas()
+    assert sorted(zip(fast["a"], fast["b"])) == [(0, 2)]
+    assert sorted(zip(slow["a"], slow["b"])) == [(0, 2)]
+    assert np.allclose(fast["jaccard"], slow["jaccard"])
+
+
+def test_ngram_jaccard_auto_gate_is_byte_based(spark):
+    """broadcast_sets="auto" must pick the SHUFFLE path when the
+    estimated set-block bytes (rows × avg text length × 8) exceed
+    100 MB, even at a tiny row count — the gate is bytes, not rows."""
+    import pandas as _pd
+
+    small = spark.createDataFrame(_pd.DataFrame({
+        "doc_id": [0, 1], "text": ["abcdefgh xyz", "abcdefgh uvw"]}))
+    # 200 rows × 70_000 chars × 8 B ≈ 112 MB estimated → shuffle path
+    big = spark.createDataFrame(
+        _pd.DataFrame({"doc_id": range(200), "text": ["x" * 70_000] * 200}))
+    pairs = spark.createDataFrame(_pd.DataFrame({"a": [0], "b": [1]}))
+
+    def plan_of(df):
+        out = D.ngram_jaccard_pairs(df, pairs, k=4, threshold=None,
+                                    broadcast_sets="auto")
+        return out._jdf.queryExecution().analyzed().toString()
+
+    assert "MapInPandas" in plan_of(small)      # dim-sized → broadcast verify
+    assert "MapInPandas" not in plan_of(big)    # byte gate → shuffle join
+
+
 def test_connected_components_vs_networkless_oracle(spark):
     """Min-label CC over hand-built edges: chains, cliques, self-pairs,
     and a long path (multi-round propagation)."""

@@ -338,6 +338,25 @@ def test_as_of_join_vs_pandas_merge_asof(spark):
     assert got.loc[(got["k"] == 1) & (got["x"] == 30), "v"].iloc[0] == 200
 
 
+def test_as_of_join_null_payload_surfaces(spark):
+    """ADVICE regression: a matched right row whose payload VALUE is
+    NULL must surface that NULL (DuckDB ASOF / merge_asof semantics),
+    not skip back to an older non-null value."""
+    import pandas as pd
+    from xutil_spark.operators.relational import as_of_join
+
+    left = spark.createDataFrame(pd.DataFrame({
+        "k": [1], "ts": pd.to_datetime(["2024-01-01 12:00:00"]), "x": [1],
+    }))
+    right = spark.createDataFrame(pd.DataFrame({
+        "k": [1, 1],
+        "ts": pd.to_datetime(["2024-01-01 09:00:00", "2024-01-01 11:00:00"]),
+        "v": [100.0, None],  # the LATEST matching row carries NULL
+    }))
+    got = as_of_join(left, right, on="k", ts="ts").toPandas()
+    assert len(got) == 1 and pd.isna(got["v"].iloc[0])
+
+
 def test_as_of_join_property_random(spark):
     """Property: union-tag as-of join == pandas merge_asof on randomized
     (but deterministic) key/ts layouts, including duplicate left ts."""

@@ -158,6 +158,30 @@ def test_meter_observe_rows_and_wall(spark):
     assert m["_wall_sec"] > 0
 
 
+def test_meter_unexecuted_stage_skips_without_blocking(spark):
+    """ADVICE regression: a stage whose DataFrame never ran an action
+    must be OMITTED from collect() promptly — the old Observation.get
+    path blocked forever on the JVM getRow()."""
+    import time as _time
+
+    import pandas as pd
+
+    from xutil_spark.plans.metrics import Meter
+
+    meter = Meter()
+    df = spark.createDataFrame(pd.DataFrame({"x": range(10)}))
+    df = meter.observe(df, "ran")
+    df.count()
+    never = meter.observe(
+        spark.createDataFrame(pd.DataFrame({"y": [1]})), "never_ran")
+    assert never is not None
+    t0 = _time.perf_counter()
+    m = meter.collect(wait_ms=500)
+    assert _time.perf_counter() - t0 < 10  # bounded, not a hang
+    assert m["ran"]["rows"] == 10
+    assert "never_ran" not in m
+
+
 def test_meter_duplicate_stage_rejected(spark):
     import pandas as pd
 

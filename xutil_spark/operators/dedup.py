@@ -140,11 +140,19 @@ def ngram_jaccard_pairs(
     table so the — much larger — candidate-pair table never shuffles;
     False uses a shuffle (sort-merge) join, the only safe plan when the
     doc table itself is fact-sized (10^12 docs would OOM a broadcast);
-    "auto" broadcasts only when the doc table is provably dim-sized
-    (≤ 1M rows — one cheap count against the source, not the sets).
-    |A∪B| = |A| + |B| − |A∩B| saves the second array traversal."""
+    "auto" broadcasts only when the set block is provably dim-sized
+    BY BYTES: rows × avg-shingle-count × 8 ≤ 100 MB (shingle count ≤
+    text length, so one cheap count+avg(length) agg bounds it above —
+    a row-only gate would let 1M docs × ~300 hashes ≈ 2.4 GB through
+    the driver).  |A∪B| = |A| + |B| − |A∩B| saves the second array
+    traversal."""
     if broadcast_sets == "auto":
-        broadcast_sets = df.count() <= 1_000_000
+        st = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.length(text_col)).alias("alen"),
+        ).first()
+        est_bytes = (st["n"] or 0) * float(st["alen"] or 0.0) * 8
+        broadcast_sets = (st["n"] or 0) <= 1_000_000 and est_bytes <= 100 * 1024 * 1024
     hashed = F.array_distinct(
         F.expr(f"transform({_shingles_sql(text_col, k)}, s -> xxhash64(s))")
     )
@@ -204,8 +212,25 @@ def _jaccard_verify_np(sets: DataFrame, pairs: DataFrame, id_col: str,
         for b in batches:
             if not len(b):
                 continue
-            ai = np.searchsorted(ids_b, b["a"].to_numpy())
-            bi = np.searchsorted(ids_b, b["b"].to_numpy())
+            a_v, b_v = b["a"].to_numpy(), b["b"].to_numpy()
+            ai = np.searchsorted(ids_b, a_v)
+            bi = np.searchsorted(ids_b, b_v)
+            # validate the lookups: a pair id absent from the doc table
+            # must DROP (matching the shuffle path's inner join), not
+            # index out of range or silently score against a neighbor
+            if len(ids_b) == 0:
+                continue
+            ok = (
+                (np.minimum(ai, len(ids_b) - 1) == ai)
+                & (ids_b[np.minimum(ai, len(ids_b) - 1)] == a_v)
+                & (np.minimum(bi, len(ids_b) - 1) == bi)
+                & (ids_b[np.minimum(bi, len(ids_b) - 1)] == b_v)
+            )
+            if not ok.all():
+                b = b[ok].reset_index(drop=True)
+                ai, bi = ai[ok], bi[ok]
+                if not len(b):
+                    continue
             po = np.argsort(ai, kind="stable")
             ai_s, bi_s = ai[po], bi[po]
             m = np.zeros(len(b), dtype=np.int64)

@@ -217,12 +217,22 @@ def as_of_join(
 
     Right rows sort BEFORE left rows at equal ts, so a same-instant
     update is visible (the inclusive <= of ASOF).  Right payload
-    columns must not collide with left column names."""
+    columns must not collide with left column names.
+
+    The payload is carried as ONE struct per right row (null struct on
+    left rows): ``last(ignorenulls)`` then selects the whole latest
+    matching row, so a right row whose payload VALUE is NULL surfaces
+    that NULL — matching DuckDB ASOF / pandas ``merge_asof`` — instead
+    of skipping back to an older non-null value."""
     rcols = [c for c in right.columns if c not in (on, ts)]
     lcols = list(left.columns)
+    if not rcols:  # no payload columns: nothing to carry
+        return left
+    rtypes = dict(right.dtypes)
+    struct_t = "struct<" + ",".join(f"{c}:{rtypes[c]}" for c in rcols) + ">"
     l2 = left.select(
         *lcols,
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in rcols],
+        F.lit(None).cast(struct_t).alias("_r"),
         F.lit(1).alias("_side"),
     )
     r2 = right.select(
@@ -230,9 +240,9 @@ def as_of_join(
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
           for c in lcols if c not in (on, ts)],
         F.col(ts),
-        *[F.col(c) for c in rcols],
+        F.struct(*[F.col(c) for c in rcols]).alias("_r"),
         F.lit(0).alias("_side"),
-    ).select(*lcols, *rcols, "_side")
+    ).select(*lcols, "_r", "_side")
     u = l2.unionByName(r2)
     w = (
         Window.partitionBy(on)
@@ -241,10 +251,12 @@ def as_of_join(
     )
     carried = u.select(
         *lcols,
-        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in rcols],
+        F.last(F.col("_r"), ignorenulls=True).over(w).alias("_r"),
         "_side",
     )
-    return carried.filter(F.col("_side") == 1).drop("_side")
+    return carried.filter(F.col("_side") == 1).select(
+        *lcols, *[F.col(f"_r.{c}").alias(c) for c in rcols]
+    )
 
 
 def strings_index(col, value) -> Column:

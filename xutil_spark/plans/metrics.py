@@ -50,16 +50,40 @@ class Meter:
         finally:
             self._wall = time.perf_counter() - self._t0
 
-    def collect(self) -> dict:
+    def collect(self, wait_ms: int = 2000) -> dict:
         """Metrics of every stage whose plan fragment executed (stages
         pruned out of the executed plan report no metrics — absent key),
-        plus ``_wall_sec`` when the action ran through ``timed``."""
+        plus ``_wall_sec`` when the action ran through ``timed``.
+
+        Checks the JVM observation's ``future().isCompleted()`` —
+        NON-blocking, unlike ``Observation.get``, whose ``getRow()``
+        call waits forever for a stage whose DataFrame never ran an
+        action.  The listener that posts metrics fires asynchronously
+        just after the action returns, so not-yet-complete observations
+        get up to ``wait_ms`` of grace (poll loop, bounded); stages
+        still incomplete after that are OMITTED, never hung on."""
+        from pyspark.serializers import CPickleSerializer
+        from pyspark.sql import Row
+
         out: dict = {}
+        deadline = time.perf_counter() + wait_ms / 1000.0
         for name, obs in self._obs.items():
+            jo = getattr(obs, "_jo", None)
+            if jo is None:
+                continue  # never attached to a DataFrame
             try:
-                out[name] = dict(obs.get)
+                while (not jo.future().isCompleted()
+                       and time.perf_counter() < deadline):
+                    time.sleep(0.05)
+                if not jo.future().isCompleted():
+                    continue  # plan fragment never executed
+                utils = getattr(
+                    obs._jvm, "org.apache.spark.sql.api.python.PythonSQLUtils"
+                )
+                row: Row = CPickleSerializer().loads(utils.toPyRow(jo.getRow()))
+                out[name] = row.asDict(recursive=False)
             except Exception:
-                pass  # observation never executed (pruned / no action)
+                pass
         if self._wall is not None:
             out["_wall_sec"] = round(self._wall, 6)
         return out

@@ -156,6 +156,55 @@ def _member_to_pdf(member: str, content: bytes, sep: str, header: bool,
     )
 
 
+_PROBE_BYTES = 65536
+
+
+def _probe_columns(member: str, head: bytes, sep: str, header: bool,
+                   encoding: str | None, xml_to_rows,
+                   full_content=None) -> list[str]:
+    """Output column names from the leading bytes of the first member.
+
+    CSV: parse just the header line (or count the first row's fields
+    when ``header=False``).  XML with the DEFAULT hook: incremental
+    ``iterparse`` until the first record element closes — its child
+    tags are the header; truncation past that point is irrelevant.
+    XML with a CUSTOM hook: no partial protocol → ``full_content()``
+    fallback (the only path that collects a whole member)."""
+    head = skip_bom(head)
+    if member.endswith((".xml", ".xml.gz")):
+        if xml_to_rows is not None:
+            rows = xml_to_rows(full_content())
+            return [str(c) for c in rows[0]] if header and rows else (
+                [str(i) for i in range(len(rows[0]))] if rows else [])
+        import xml.etree.ElementTree as ET
+
+        tags: list[str] = []
+        depth = 0
+        try:
+            for ev, el in ET.iterparse(io.BytesIO(head), events=("start", "end")):
+                if ev == "start":
+                    depth += 1
+                else:
+                    if depth == 2:  # first record element closed
+                        tags = [ch.tag for ch in el]
+                        break
+                    depth -= 1
+        except ET.ParseError:
+            if not tags and full_content is not None:
+                rows = default_xml_to_rows(skip_bom(full_content()))
+                tags = [str(c) for c in rows[0]] if rows else []
+        if not header:
+            return [str(i) for i in range(len(tags))]
+        return [str(t) for t in tags]
+    text = head.decode(encoding or "utf-8", errors="ignore")
+    probe = pd.read_csv(
+        io.StringIO(text), sep=sep,
+        header=0 if header else None, dtype=str, keep_default_na=False,
+        nrows=1,
+    )
+    return [str(c) for c in probe.columns]
+
+
 def members_as_csv(
     spark: SparkSession, members: DataFrame, header: bool = True, sep: str = ",",
     encoding: str | None = None, xml_to_rows=None,
@@ -167,6 +216,25 @@ def members_as_csv(
     ``xml_to_rows`` is the ``XMLToCSV`` hook for ``.xml``/``.xml.gz``
     members (csv.go:35, 264-270) — defaults to the flat-record parser."""
 
+    # infer the output schema from the FIRST member's HEADER only: the
+    # probe ships just the leading bytes of one member through the
+    # driver (a 2 GB first member costs 64 KB here, not 2 GB).  XML
+    # members with a CUSTOM row hook can't be probed partially — only
+    # that case falls back to the full first-member collect.
+    first_meta = members.select(
+        "member", F.substring("content", 1, _PROBE_BYTES).alias("head")
+    ).limit(1).collect()
+    if not first_meta:
+        raise ValueError("no members")
+    data_cols = _probe_columns(
+        first_meta[0]["member"], bytes(first_meta[0]["head"]), sep, header,
+        encoding, xml_to_rows,
+        full_content=lambda: bytes(
+            members.select("content").limit(1).collect()[0]["content"]
+        ),
+    )
+    cols = ["_archive", "_member"] + data_cols
+
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             frames = []
@@ -175,20 +243,21 @@ def members_as_csv(
                                      encoding, xml_to_rows)
                 if pdf.empty:
                     continue
+                # first-header-wins POSITIONAL merge (csv.go:144-165:
+                # every member's header line drops, data rows append
+                # under the first header by position — not by name);
+                # short rows fill '', extra trailing columns drop
+                pdf = pdf.iloc[:, : len(data_cols)]
+                pdf.columns = data_cols[: pdf.shape[1]]
+                for missing in data_cols[pdf.shape[1]:]:
+                    pdf[missing] = ""
+                pdf = pdf[data_cols]
                 pdf.insert(0, "_archive", r.archive)
                 pdf.insert(1, "_member", r.member)
                 frames.append(pdf)
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
-    # infer the output schema from the first member (driver-side peek —
-    # dim-scale metadata only, never fact data)
-    first = members.select("archive", "member", "content").limit(1).collect()
-    if not first:
-        raise ValueError("no members")
-    probe = _member_to_pdf(first[0]["member"], bytes(first[0]["content"]),
-                           sep, header, encoding, xml_to_rows)
-    cols = ["_archive", "_member"] + [str(c) for c in probe.columns]
     schema = T.StructType([T.StructField(c, T.StringType(), True) for c in cols])
     return members.mapInPandas(parse, schema=schema)
 
