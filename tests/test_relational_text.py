@@ -285,6 +285,122 @@ def test_crypto_aes_and_digests(spark):
         assert r["md5"] == hashlib.md5(r["t"].encode()).hexdigest()
 
 
+def _gf_mul(a: int, b: int) -> int:
+    r = 0
+    while b:
+        if b & 1:
+            r ^= a
+        a <<= 1
+        if a & 0x100:
+            a ^= 0x11B
+        b >>= 1
+    return r
+
+
+def _aes_sbox() -> list[int]:
+    def rotl8(x, n):
+        return ((x << n) | (x >> (8 - n))) & 0xFF
+
+    sbox = [0x63]  # affine(inv(0)=0) = 0x63
+    for a in range(1, 256):
+        inv = next(b for b in range(1, 256) if _gf_mul(a, b) == 1)
+        sbox.append(inv ^ rotl8(inv, 1) ^ rotl8(inv, 2)
+                    ^ rotl8(inv, 3) ^ rotl8(inv, 4) ^ 0x63)
+    return sbox
+
+
+def _aes128_encrypt_block(key: bytes, block: bytes,
+                          _sbox_cache: list = []) -> bytes:
+    """From-scratch FIPS-197 AES-128 single-block encrypt — an
+    implementation INDEPENDENT of the JVM's, built here only to pin
+    reference parity of the engine's aes_encrypt semantics."""
+    if not _sbox_cache:
+        _sbox_cache.extend(_aes_sbox())
+    sbox = _sbox_cache
+    w = [list(key[4 * i: 4 * i + 4]) for i in range(4)]
+    rcon = 1
+    for i in range(4, 44):
+        t = list(w[i - 1])
+        if i % 4 == 0:
+            t = [sbox[b] for b in t[1:] + t[:1]]
+            t[0] ^= rcon
+            rcon = _gf_mul(rcon, 2)
+        w.append([x ^ y for x, y in zip(w[i - 4], t)])
+    s = list(block)
+
+    def add_round_key(rnd):
+        for c in range(4):
+            for r in range(4):
+                s[4 * c + r] ^= w[4 * rnd + c][r]
+
+    def sub_shift_mix(final):
+        for i in range(16):
+            s[i] = sbox[s[i]]
+        for r in range(1, 4):
+            row = [s[r + 4 * c] for c in range(4)]
+            row = row[r:] + row[:r]
+            for c in range(4):
+                s[r + 4 * c] = row[c]
+        if not final:
+            for c in range(4):
+                a = s[4 * c: 4 * c + 4]
+                s[4 * c + 0] = _gf_mul(a[0], 2) ^ _gf_mul(a[1], 3) ^ a[2] ^ a[3]
+                s[4 * c + 1] = a[0] ^ _gf_mul(a[1], 2) ^ _gf_mul(a[2], 3) ^ a[3]
+                s[4 * c + 2] = a[0] ^ a[1] ^ _gf_mul(a[2], 2) ^ _gf_mul(a[3], 3)
+                s[4 * c + 3] = _gf_mul(a[0], 3) ^ a[1] ^ a[2] ^ _gf_mul(a[3], 2)
+
+    add_round_key(0)
+    for rnd in range(1, 10):
+        sub_shift_mix(final=False)
+        add_round_key(rnd)
+    sub_shift_mix(final=True)
+    add_round_key(10)
+    return bytes(s)
+
+
+def test_crypto_aes_golden_parity(spark):
+    """Reference-parity pin for AES/ECB/PKCS5 (crypto.go:95-125): the
+    engine's ciphertext must equal a from-scratch FIPS-197 AES-128
+    implementation (itself validated against the NIST AES-128 known-
+    answer vector) + PKCS#5 padding — not just round-trip."""
+    import pandas as pd
+
+    from xutil_spark.functions import crypto
+
+    # NIST FIPS-197 / SP 800-38A AES-128-ECB known-answer vector
+    nist_key = bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c")
+    nist_pt = bytes.fromhex("6bc1bee22e409f96e93d7e117393172a")
+    assert _aes128_encrypt_block(nist_key, nist_pt).hex() == \
+        "3ad77bb40d7a3660a89ecaf32466ef97"
+
+    key = "0123456789abcdef"  # 16-byte ASCII key (engine keys are str)
+    plaintext = "hello xutil parity"
+    pad = 16 - len(plaintext.encode()) % 16
+    padded = plaintext.encode() + bytes([pad]) * pad
+    expected = b"".join(
+        _aes128_encrypt_block(key.encode(), padded[i: i + 16])
+        for i in range(0, len(padded), 16)
+    )
+    df = spark.createDataFrame(pd.DataFrame({"t": [plaintext]}))
+    got = df.select(
+        F.hex(crypto.encrypt("t", key, mode="ECB", padding="PKCS")).alias("c")
+    ).collect()[0]["c"]
+    assert got.lower() == expected.hex()
+
+
+def test_sha1_golden(spark):
+    """Hash.SHA1 (crypto.go:31-35) golden vectors."""
+    import pandas as pd
+
+    from xutil_spark.functions import crypto
+
+    df = spark.createDataFrame(pd.DataFrame({"t": ["abc", ""]}))
+    got = [r["h"] for r in
+           df.select(crypto.sha1_hex("t").alias("h")).collect()]
+    assert got == ["a9993e364706816aba3e25717850c26c9cd0d89d",
+                   "da39a3ee5e6b4b0d3255bfef95601890afd80709"]
+
+
 def test_crypto_unsupported_modes_raise():
     import pytest
     from xutil_spark.functions import crypto

@@ -327,8 +327,10 @@ SELECT s_nationkey, COUNT(*) AS n_points FROM nn WHERE rnk = 1 GROUP BY s_nation
 
 def q_wkt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geometry codec round-trip over the README WKT corpus
-    (README.md:23-32): WKT → GeoJSON → WKT → bbox (rows-only; no SQL
-    geometry in DuckDB here, pinned by pytest goldens instead)."""
+    (README.md:23-32): WKT → GeoJSON → WKT → bbox.  Oracle-paired via a
+    literal VALUES table: the corpus is fixed, and the expected strings
+    are the same goldens the pytest suite pins (Go-%g formatting, the
+    reference's Lines spacing quirk) — transcribed, not computed."""
     _utc(spark)
     import pandas as pd
 
@@ -370,8 +372,46 @@ QUERIES2 = {
     "wkt_roundtrip": q_wkt_roundtrip,
 }
 
+def o_wkt_roundtrip() -> str:
+    """Literal VALUES oracle (the corpus is fixed and sf-independent).
+    Expected GeoJSON/WKT strings match the pytest goldens in
+    tests/test_geometry.py — the driver compare turns this into a hard
+    gate on the exact codec formatting."""
+    rows = [
+        (0, '{"type":"Point","coordinates":[1,2]}',
+         'POINT (1 2)', '1.0,2.0,1.0,2.0'),
+        (1, '{"type":"LineString","coordinates":[[3,4],[10,50],[20,25]]}',
+         'LINESTRING (3 4,10 50,20 25)', '3.0,4.0,20.0,50.0'),
+        (2, '{"type":"Polygon","coordinates":[[[30,10],[40,40],[20,40],[10,20],[30,10]]]}',
+         'POLYGON (( 30 10, 40 40, 20 40, 10 20, 30 10))',
+         '10.0,10.0,40.0,40.0'),
+        (3, '{"type":"Polygon","coordinates":[[[35,10],[45,45],[15,40],[10,20],[35,10]],[[20,30],[35,35],[30,20],[20,30]]]}',
+         'POLYGON (( 35 10, 45 45, 15 40, 10 20, 35 10),( 20 30, 35 35, 30 20, 20 30))',
+         '10.0,10.0,45.0,45.0'),
+        (4, '{"type":"MultiPoint","coordinates":[[10,40],[40,30],[20,20],[30,10]]}',
+         'MULTIPOINT (10 40,40 30,20 20,30 10)', '10.0,10.0,40.0,40.0'),
+        (5, '{"type":"MultiLineString","coordinates":[[[10,10],[20,20],[10,40]],[[40,40],[30,30],[40,20],[30,10]]]}',
+         'MULTILINESTRING (( 10 10, 20 20, 10 40),( 40 40, 30 30, 40 20, 30 10))',
+         '10.0,10.0,40.0,40.0'),
+        (6, '{"type":"MultiPolygon","coordinates":[[[[30,20],[45,40],[10,40],[30,20]]],[[[15,5],[40,10],[10,20],[5,10],[15,5]]]]}',
+         'MULTIPOLYGON ((( 30 20, 45 40, 10 40, 30 20)),(( 15 5, 40 10, 10 20, 5 10, 15 5)))',
+         '5.0,5.0,45.0,40.0'),
+        (7, '{"type":"MultiPolygon","coordinates":[[[[40,40],[20,45],[45,30],[40,40]]],[[[20,35],[10,30],[10,10],[30,5],[45,20],[20,35]],[[30,20],[20,15],[20,25],[30,20]]]]}',
+         'MULTIPOLYGON ((( 40 40, 20 45, 45 30, 40 40)),(( 20 35, 10 30, 10 10, 30 5, 45 20, 20 35), ( 30 20, 20 15, 20 25, 30 20)))',
+         '10.0,5.0,45.0,45.0'),
+    ]
+    vals = ",\n".join(
+        f"({g},'{gj}','{wk}','{bb}')" for g, gj, wk, bb in rows
+    )
+    return (
+        "SELECT * FROM (VALUES\n" + vals +
+        "\n) AS t(gid, geojson, wkt_rt, bbox)"
+    )
+
+
 ORACLES2 = {
     "col_float64": o_col_float64(),
+    "wkt_roundtrip": o_wkt_roundtrip(),
     "string_funcs": o_string_funcs(),
     "base_conv": o_base_conv(),
     "time_rule": o_time_rule(),

@@ -379,22 +379,44 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_hash_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash.MD5 (crypto.go:24-29) + SHA-2 digest of document text —
-    builtin JVM expressions (FileHash/FileMD5 map to the same columns
-    over binaryFile content)."""
+    """Hash.MD5 (crypto.go:24-29) + Hash.SHA1 (crypto.go:31-35) + SHA-2
+    digest of document text — builtin JVM expressions (FileHash/FileMD5
+    map to the same columns over binaryFile content)."""
     _utc(spark)
     docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
     return docs.select(
         "doc_id",
         F.md5(F.col("text")).alias("md5_hex"),
+        F.sha1(F.col("text")).alias("sha1_hex"),
         F.sha2(F.col("text"), 256).alias("sha256_hex"),
     )
 
 
 def o_hash_digests() -> str:
-    return """
-SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex
-FROM documents WHERE doc_id % 3 = 0
+    """md5/sha256 are native DuckDB; SHA-1 is NOT (DuckDB 1.0 ships no
+    sha1 function), so the sha1 column joins a VALUES table computed
+    with Python ``hashlib`` — a genuinely INDEPENDENT implementation
+    from the JVM's MessageDigest, i.e. still a real cross-check.  The
+    literals derive from the sf0.01 documents table because the driver
+    gate runs at sf=0.01."""
+    import hashlib as _hl
+
+    import duckdb as _dd
+
+    rows = _dd.sql(
+        "SELECT doc_id, text FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet') "
+        "WHERE doc_id % 3 = 0 ORDER BY doc_id"
+    ).fetchall()
+    vals = ",".join(
+        f"({i},'{_hl.sha1(t.encode()).hexdigest()}')" for i, t in rows
+    )
+    return f"""
+SELECT d.doc_id, md5(d.text) AS md5_hex, s.sha1_hex,
+       sha256(d.text) AS sha256_hex
+FROM documents d
+JOIN (VALUES {vals}) AS s(doc_id, sha1_hex) ON d.doc_id = s.doc_id
+WHERE d.doc_id % 3 = 0
 """
 
 
@@ -629,8 +651,9 @@ def q_snapshot_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return its metrics table — one row per committed file with its row
     count, plus the manifest's stage/rows/files accounting.  File names
     are uuid-random → project the deterministic columns (ordinal by
-    ascending rows).  Rows-only (Spark hash partitioning is not
-    SQL-mirrorable)."""
+    ascending rows).  Oracle: literal VALUES (Spark hash partitioning
+    is not SQL-expressible but IS deterministic — see
+    o_snapshot_lineage)."""
     _utc(spark)
     import tempfile
 
@@ -656,6 +679,22 @@ def q_snapshot_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(entry["rows"]).alias("total_rows"),
         F.lit(entry["files"]).alias("n_files"),
     )
+
+
+def o_snapshot_lineage() -> str:
+    """Literal VALUES oracle: Spark's murmur3 hash partitioning of the
+    sf0.01 point table (60000 rows) into 4 partitions by z10 cell is
+    deterministic for a fixed Spark version, so the per-file row counts
+    pin both the lineage bookkeeping AND the partition layout.  The
+    driver gate runs at sf=0.01 (these literals are SF-specific)."""
+    return """
+SELECT * FROM (VALUES
+(1, 14674, 'cells', 60000, 4),
+(2, 14723, 'cells', 60000, 4),
+(3, 15034, 'cells', 60000, 4),
+(4, 15569, 'cells', 60000, 4)
+) AS t(file_ordinal, rows, stage, total_rows, n_files)
+"""
 
 
 _EV_LON = "73.5 + CAST(event_id * 2654435761 % 1048576 AS DOUBLE) / 1048576.0 * 61.0"
@@ -760,4 +799,5 @@ ORACLES3 = {
     "point_at_dest": o_point_at_dest(),
     "wgs2bd": o_wgs2bd(),
     "streaming_cell_counts": o_streaming_cell_counts(),
+    "snapshot_lineage": o_snapshot_lineage(),
 }
