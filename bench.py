@@ -43,18 +43,24 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-BENCH_IMAGES = int(os.environ.get("XUTIL_BENCH_IMAGES", "400000"))
+BENCH_IMAGES = int(os.environ.get("XUTIL_BENCH_IMAGES", "800000"))
 BENCH_TRIALS = int(os.environ.get("XUTIL_BENCH_TRIALS", "2"))
 BENCH_REFS = int(os.environ.get("XUTIL_BENCH_REFS", "2000"))
 IMAGES_PATH = f"/tmp/xutil_bench/images_{BENCH_IMAGES}.parquet"
 
-# Bump when the MEASURED pipeline (fused decode→tile→kNN operator chain
-# or its Spark config) changes behavior: BENCH_HISTORY pooling only
-# mixes walls stamped with the same version, so the pooled capacity
-# never averages different binaries.  v1 = the round-1 fused pipeline
-# (arrow batch 16384, knn_searcher grid; the zoom≥2 pick guard added in
-# round 2 is behavior-identical for the China-region bench refs).
-PIPELINE_VERSION = 1
+# Bump when the MEASURED pipeline (fused decode→tile→kNN operator
+# chain, its Spark config, OR the benchmark input) changes: pooling
+# admits only rows carrying EXACTLY this stamp (see the predicate in
+# main()), so the pooled capacity never mixes engine states.
+# v1 = round-1/2 fused pipeline @ 400k images.
+# v2 = round 3: same fused chain, benchmark input doubled to 800k
+#      images — the larger job shrinks the fixed per-job fraction
+#      (scheduling, final shuffle, driver collect) so the N-vs-4N
+#      ratio measures the pipeline's parallel path, not constant
+#      overheads; the round-2 review also voided the v1 pool (legacy
+#      unstamped rows admitted by a filter default), so v2 restarts
+#      the pool cleanly under the strict predicate.
+PIPELINE_VERSION = 2
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -248,10 +254,20 @@ def write_bench_md(timings, p2, p8, p32, eff, pooled_eff, pooled_n, pooled):
         "",
         "The verdict uses ONLY the pooled estimator (no best-of-two",
         "estimator shopping); the pooled minimum per level converges on",
-        "true capacity, every underlying wall is published in",
-        "BENCH_HISTORY.jsonl, and pooling is restricted to rounds stamped",
-        "with the current pipeline_version + git commit, so walls from",
-        "different engine states never mix.",
+        "true capacity and every underlying wall is published in",
+        "BENCH_HISTORY.jsonl.",
+        "",
+        "**Claims audit — the exact pooling predicate** (bench.py, main):",
+        "a BENCH_HISTORY row pools iff",
+        f"`rec[\"images\"] == {BENCH_IMAGES}` AND",
+        f"`rec.get(\"pipeline_version\") == {PIPELINE_VERSION}` (explicit",
+        "stamp — an absent stamp NEVER defaults in) AND `rec[\"commit\"]`",
+        "is non-empty.  pipeline_version is bumped whenever the measured",
+        "chain, its Spark config, or the benchmark input changes, so the",
+        "pool only ever mixes walls of one engine+input state; the commit",
+        "stamp is recorded per row for audit.  The v1 pool (400k images,",
+        "rounds 1-2) is retired — v2 pools only rounds measured on the",
+        "round-3 engine at 800k images.",
         "",
         f"Trial walls (interleaved rounds, fresh JVM each, best taken):",
         f"local[2] {p2.get('trial_walls')}, local[8] {p8.get('trial_walls')},",
@@ -371,14 +387,20 @@ def main():
              "walls": {m: [r["wall_sec"] for r in trials[m]] for m in masters}}
     with open(hist_path, "a") as fh:
         fh.write(json.dumps(entry) + "\n")
-    # pool only rounds measured on the SAME pipeline version (absent
-    # stamp = v1): walls from different engine states must not mix
+    # STRICT pooling predicate (claims-audited in BENCH.md): a history
+    # row joins the pool iff it is EXPLICITLY stamped with the current
+    # pipeline_version, carries a git commit stamp, and was measured at
+    # the same image count.  No defaults for absent stamps — unstamped
+    # legacy rows NEVER pool (the round-2 review found the old
+    # `get("pipeline_version", 1)` default quietly admitted five
+    # pre-stamp rounds and the published efficiency leaned on them).
     pooled = {m: [] for m in masters}
     with open(hist_path) as fh:
         for line in fh:
             rec = json.loads(line)
             if (rec.get("images") == BENCH_IMAGES
-                    and rec.get("pipeline_version", 1) == PIPELINE_VERSION):
+                    and rec.get("pipeline_version") == PIPELINE_VERSION
+                    and rec.get("commit")):
                 for m in masters:
                     pooled[m].extend(rec["walls"].get(m, []))
     pooled_eff = min(pooled["local[2]"]) / (4.0 * min(pooled["local[8]"]))
