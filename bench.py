@@ -60,7 +60,12 @@ IMAGES_PATH = f"/tmp/xutil_bench/images_{BENCH_IMAGES}.parquet"
 #      overheads; the round-2 review also voided the v1 pool (legacy
 #      unstamped rows admitted by a filter default), so v2 restarts
 #      the pool cleanly under the strict predicate.
-PIPELINE_VERSION = 2
+# v3 = round 3: cache-sized work units — kNN grid search chunks at
+#      1024 points, the fused chain slices Arrow batches to ≤2048
+#      rows, and the session default Arrow batch drops 16384→1024
+#      (400k input, pinned local[32]: 42.8s → 8.5s; local[8]
+#      25.7s → ~16s).  One v2 round retired.
+PIPELINE_VERSION = 3
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 

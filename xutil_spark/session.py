@@ -47,12 +47,19 @@ def get_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # 16k rows/batch, NOT the 64k sometimes recommended: with ~4 KB
-        # binary payloads a 64k batch keeps ~260 MB in flight per worker
-        # and the allocation churn destroys parallel scaling (measured
-        # 14.0s → 8.8s for the 400k-image decode at pinned local[8];
-        # 50.0s → 37.6s at local[2])
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "16384")
+        # 1k rows/batch, NOT the 64k sometimes recommended: the engine's
+        # pandas-UDF operators carry ~4 KB binary payloads (images), so
+        # a 64k batch keeps ~260 MB in flight per worker and a 16k batch
+        # ~64 MB — at 32 concurrent workers that materialization churn
+        # caps throughput well below the hardware (measured on the 400k
+        # bench pipeline, pinned local[32]: 32.9s at 16384 vs 8.5s at
+        # 1024; pinned local[8]: 25.7s vs ~16s; the JVM-side record
+        # batch is built and held whole before the Python worker sees
+        # it, so smaller batches also overlap scan and compute).  Narrow
+        # rows pay a per-batch constant (~100 µs) — negligible until
+        # row counts per task reach 10^7, where operators that care
+        # (kNN grid, jaccard verify) already chunk internally.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("XUTIL_SPARK_DRIVER_MEM", "8g"))
     )
