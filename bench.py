@@ -270,9 +270,11 @@ def write_bench_md(timings, p2, p8, p32, eff, pooled_eff, pooled_n, pooled):
         "is non-empty.  pipeline_version is bumped whenever the measured",
         "chain, its Spark config, or the benchmark input changes, so the",
         "pool only ever mixes walls of one engine+input state; the commit",
-        "stamp is recorded per row for audit.  The v1 pool (400k images,",
-        "rounds 1-2) is retired — v2 pools only rounds measured on the",
-        "round-3 engine at 800k images.",
+        "stamp is recorded per row for audit.  The v1 pool (400k images)",
+        "and the v2 pool (800k, pre-kNN-chunking engine) are retired —",
+        f"v{PIPELINE_VERSION} pools only rounds measured on the current",
+        "engine (1024-row Arrow batches, chunked kNN, sliced fused",
+        "batches) at 800k images.",
         "",
         f"Trial walls (interleaved rounds, fresh JVM each, best taken):",
         f"local[2] {p2.get('trial_walls')}, local[8] {p8.get('trial_walls')},",
