@@ -949,10 +949,12 @@ QUERIES = {
 from xutil_spark.entry_queries2 import ORACLES2, QUERIES2  # noqa: E402
 from xutil_spark.entry_queries3 import ORACLES3, QUERIES3  # noqa: E402
 from xutil_spark.entry_queries4 import ORACLES4, QUERIES4  # noqa: E402
+from xutil_spark.entry_queries5 import ORACLES5, QUERIES5  # noqa: E402
 
 QUERIES.update(QUERIES2)
 QUERIES.update(QUERIES3)
 QUERIES.update(QUERIES4)
+QUERIES.update(QUERIES5)
 
 ORACLES = {
     "tile_assign_z15": o_tile_assign_z15(),
@@ -981,6 +983,7 @@ ORACLES = {
 ORACLES.update(ORACLES2)
 ORACLES.update(ORACLES3)
 ORACLES.update(ORACLES4)
+ORACLES.update(ORACLES5)
 
 # ------------------------------------------------------------ registry order
 #
@@ -994,13 +997,13 @@ ORACLES.update(ORACLES4)
 #      semantics, the two reworked streaming ops — already in #1 —
 #      plus the newly oracle-paired wkt_roundtrip / snapshot_lineage
 #      and the round-3 computed-VALUES pairs simhash_docs /
-#      fingerprints),
+#      fingerprints / s2_cells),
 #   3. the flagship spatial/dedup/agg queries.
 # Long-green kernel-only transforms (wgs2gcj, dist_compare, …) and the
 # remaining rows-only queries sit past index 49: their evidence is
 # r01/r02 green rows + pytest, and none of their code changed
-# (time_parse_ladder / set_minus_users rotated out to make room —
-# both r01+r02 green, code untouched since round 1).
+# (time_parse_ladder / set_minus_users / string_funcs rotated out to
+# make room — all r01+r02 green, code untouched since round 1).
 _DRIVER_WINDOW = [
     # --- never driver-verified, oracle-paired (round-2 additions) ---
     "gcj2wgs", "bd2gcj", "bd2wgs", "wgs2bd", "mercator_to_bd09",
@@ -1011,7 +1014,7 @@ _DRIVER_WINDOW = [
     "file_lines_count", "file_list_pattern", "geocode_enrich",
     # --- changed or newly oracle-paired this round ---
     "hash_digests", "wkt_roundtrip", "snapshot_lineage", "ngram_jaccard",
-    "simhash_docs", "fingerprints",
+    "simhash_docs", "fingerprints", "s2_cells",
     # --- flagship spatial / dedup / relational coverage ---
     "tile_assign_z15", "tile_rollup_z10", "tile_pixel_z12", "knn_k3",
     "range_count_50km", "pip_city_tiles", "salted_tile_join",
@@ -1019,7 +1022,7 @@ _DRIVER_WINDOW = [
     "top3_orders_per_cust", "events_weekly_sunday", "dedup_exact",
     "minhash_sigs", "lsh_dup_pairs", "lang_id", "token_counts",
     "quality", "cosine_top5", "embedding_near_dup", "idcard_pipeline",
-    "col_float64", "string_funcs",
+    "col_float64",
 ]
 assert len(_DRIVER_WINDOW) == 50 and len(set(_DRIVER_WINDOW)) == 50
 QUERIES = {

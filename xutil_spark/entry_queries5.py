@@ -1,0 +1,87 @@
+"""Round-3 contract queries: S2 cell encoding.
+
+Engine addition beyond the reference (north rule: "batched H3/S2 cell
+encoding of image capture locations") — the reference's only cells are
+slippy-map tiles (gis.go:238-283).  Oracle strategy mirrors the other
+computed-VALUES pairs (sha1, simhash, winnowing): an independently
+coded scalar implementation (`kernels/s2.cell_id_py`, math.* trig and
+big-int bit walk) generates golden literals over the sf0.01 gate
+input, cross-checking the engine's vectorized numpy path end-to-end
+through Spark.
+
+Output levels are 16/12 (cells ~600 m / ~10 km): coarse enough that a
+<=4-ulp trig difference between numpy and libm cannot flip a cell
+(flip probability per point ~2^16 * 4 * 2^-52), fine enough to prove
+the full face/Hilbert pipeline.  Leaf-level (30) parity is pinned in
+tests/test_s2.py on literal inputs where both sides see identical
+doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+def q_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled points -> leaf S2 encode (one vectorized UDF) -> level-16
+    and level-12 keys derived JVM-side by the bit-mask parent (no
+    re-encode), plus the canonical hex token."""
+    # function-local to avoid a circular import when this batch module
+    # is imported before xutil_spark.entry_queries (same pattern as
+    # entry_queries4)
+    from xutil_spark.entry_queries import _points, _utc
+    from xutil_spark.operators.s2cells import cell_encode_s2, s2_parent, s2_token
+
+    _utc(spark)
+
+    pts = (
+        _points(spark, sf_dir)
+        .filter(F.col("pid") % 97 == 0)
+        .select("pid", "lon", "lat")
+        .distinct()  # lineitem carries exact duplicate rows at every SF
+    )
+    enc = cell_encode_s2(pts, level=30, out_col="s2_leaf")
+    return enc.select(
+        "pid",
+        s2_parent("s2_leaf", 16).alias("s2_16"),
+        s2_parent("s2_leaf", 12).alias("s2_12"),
+        s2_token(s2_parent("s2_leaf", 12)).alias("tok_12"),
+    )
+
+
+def o_s2_cells() -> str:
+    """Golden VALUES oracle: scalar cell_id_py at levels 16/12 directly
+    (not via the leaf mask — so the JVM parent mask is cross-checked
+    against direct coarse encoding too)."""
+    import duckdb as _dd
+
+    from xutil_spark.kernels.s2 import cell_id_py, token_py
+
+    # inlined copy of entry_queries._PTS_SQL over the sf0.01 parquet
+    # (kept local so this module imports standalone without a circular
+    # init-time dependency; any drift from the Spark-side _points shows
+    # up immediately as a driver hash mismatch)
+    pts_sql = """
+SELECT l_orderkey * 10 + l_linenumber AS pid,
+       73.5 + ((l_orderkey * 2654435761 + l_linenumber * 40503) % 1048576) / 1048576.0 * 61.0 AS lon,
+       18.2 + ((l_orderkey * 1597334677 + l_linenumber * 69697) % 1048576) / 1048576.0 * 35.3 AS lat
+FROM read_parquet('/root/testdata/sf0.01/lineitem.parquet')
+"""
+    rows = _dd.sql(
+        f"SELECT DISTINCT pid, lon, lat FROM ({pts_sql}) "
+        "WHERE pid % 97 = 0 ORDER BY pid"
+    ).fetchall()
+    vals = ",".join(
+        f"({p},{cell_id_py(lo, la, 16)},{cell_id_py(lo, la, 12)},"
+        f"'{token_py(cell_id_py(lo, la, 12))}')"
+        for p, lo, la in rows
+    )
+    return f"""
+SELECT CAST(pid AS BIGINT) AS pid, CAST(s2_16 AS BIGINT) AS s2_16,
+       CAST(s2_12 AS BIGINT) AS s2_12, tok_12
+FROM (VALUES {vals}) AS s(pid, s2_16, s2_12, tok_12)
+"""
+
+
+QUERIES5 = {"s2_cells": q_s2_cells}
+ORACLES5 = {"s2_cells": o_s2_cells()}
