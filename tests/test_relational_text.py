@@ -542,3 +542,81 @@ def test_rolling_fingerprints_property(spark):
 
     for i, t in enumerate(texts):
         assert got[i] == direct(t), i
+
+
+# ---------------------------------------------------- repetition filters
+
+
+def test_repetition_features_known_values(spark):
+    from xutil_spark.operators.textops import repetition_features
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat the cat sat the cat"),
+            (2, "alpha beta gamma delta"),
+            (3, ""),
+            (4, "one two"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_features(df).collect()}
+    # doc 1: 6 trigrams, 3 distinct -> 0.5; "the cat" x3, 6 chars x3
+    # occurrences over 24 non-space chars -> 0.75
+    assert out[1]["n_words"] == 8
+    assert out[1]["dup_trigram_frac"] == 0.5
+    assert out[1]["top_bigram"] == "the cat"
+    assert out[1]["top_bigram_char_frac"] == 0.75
+    assert out[1]["keep"] is False
+    # doc 2: all n-grams unique; tie on count=1 -> lexicographically
+    # smallest bigram; 9 bigram chars / 19 doc chars
+    assert out[2]["dup_trigram_frac"] == 0.0
+    assert out[2]["top_bigram"] == "alpha beta"
+    assert out[2]["top_bigram_char_frac"] == round(9 / 19, 6)
+    # doc 3: empty -> all-zero metrics, keep
+    assert out[3]["n_words"] == 0
+    assert out[3]["top_bigram"] == ""
+    assert out[3]["top_bigram_char_frac"] == 0.0
+    assert out[3]["keep"] is True
+    # doc 4: a single bigram covering the whole doc
+    assert out[4]["top_bigram_char_frac"] == 1.0
+    assert out[4]["keep"] is False
+
+
+def test_line_repetition_features_known_values(spark):
+    from xutil_spark.operators.textops import line_repetition_features
+
+    df = spark.createDataFrame(
+        [(1, "aa\nbb\naa\n\ncc"), (2, "solo"), (3, "")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in line_repetition_features(df).collect()}
+    # 4 non-empty lines, 3 distinct; 8 line chars, 6 distinct-set chars
+    assert out[1]["n_lines"] == 4
+    assert out[1]["dup_line_frac"] == 0.25
+    assert out[1]["dup_line_char_frac"] == 0.25
+    assert out[2]["dup_line_frac"] == 0.0
+    assert out[3]["n_lines"] == 0
+    assert out[3]["dup_line_char_frac"] == 0.0
+
+
+def test_rep_filter_matches_oracle(spark):
+    """Engine vs DuckDB oracle at sf0.001 (the driver runs sf0.01; this
+    pins the same comparison in-repo on the smaller input)."""
+    import duckdb
+
+    from xutil_spark.entry_queries5 import o_rep_filter, q_rep_filter
+
+    s = q_rep_filter(spark, "/root/testdata/sf0.001").toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    o = con.execute(o_rep_filter()).df()
+    s = s.sort_values("doc_id").reset_index(drop=True)
+    o = o.sort_values("doc_id").reset_index(drop=True)
+    assert len(s) == len(o)
+    assert list(s["top_bigram"]) == list(o["top_bigram"])
+    assert (s["dup_trigram_frac"] - o["dup_trigram_frac"]).abs().max() == 0
+    assert (s["top_bigram_char_frac"] - o["top_bigram_char_frac"]).abs().max() == 0
+    assert list(s["keep"]) == list(o["keep"])

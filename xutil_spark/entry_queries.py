@@ -1002,8 +1002,9 @@ ORACLES.update(ORACLES5)
 # Long-green kernel-only transforms (wgs2gcj, dist_compare, …) and the
 # remaining rows-only queries sit past index 49: their evidence is
 # r01/r02 green rows + pytest, and none of their code changed
-# (time_parse_ladder / set_minus_users / string_funcs rotated out to
-# make room — all r01+r02 green, code untouched since round 1).
+# (time_parse_ladder / set_minus_users / string_funcs / col_float64
+# rotated out to make room — all r01+r02 green, code untouched since
+# round 1).
 _DRIVER_WINDOW = [
     # --- never driver-verified, oracle-paired (round-2 additions) ---
     "gcj2wgs", "bd2gcj", "bd2wgs", "wgs2bd", "mercator_to_bd09",
@@ -1014,7 +1015,7 @@ _DRIVER_WINDOW = [
     "file_lines_count", "file_list_pattern", "geocode_enrich",
     # --- changed or newly oracle-paired this round ---
     "hash_digests", "wkt_roundtrip", "snapshot_lineage", "ngram_jaccard",
-    "simhash_docs", "fingerprints", "s2_cells",
+    "simhash_docs", "fingerprints", "s2_cells", "rep_filter",
     # --- flagship spatial / dedup / relational coverage ---
     "tile_assign_z15", "tile_rollup_z10", "tile_pixel_z12", "knn_k3",
     "range_count_50km", "pip_city_tiles", "salted_tile_join",
@@ -1022,7 +1023,6 @@ _DRIVER_WINDOW = [
     "top3_orders_per_cust", "events_weekly_sunday", "dedup_exact",
     "minhash_sigs", "lsh_dup_pairs", "lang_id", "token_counts",
     "quality", "cosine_top5", "embedding_near_dup", "idcard_pipeline",
-    "col_float64",
 ]
 assert len(_DRIVER_WINDOW) == 50 and len(set(_DRIVER_WINDOW)) == 50
 QUERIES = {

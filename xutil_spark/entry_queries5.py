@@ -85,3 +85,75 @@ FROM (VALUES {vals}) AS s(pid, s2_16, s2_12, tok_12)
 
 QUERIES5 = {"s2_cells": q_s2_cells}
 ORACLES5 = {"s2_cells": o_s2_cells()}
+
+
+def q_rep_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style n-gram repetition filter over the documents table:
+    per-doc duplicate-trigram fraction, top word-bigram + the char
+    fraction it covers, and the keep verdict at the default
+    thresholds.  The line-based half (`line_repetition_features`) is
+    pinned by pytest on a multi-line corpus (this corpus is
+    single-line, so its metrics are degenerate here)."""
+    from xutil_spark.entry_queries import _read, _utc
+    from xutil_spark.operators.textops import repetition_features
+
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents")
+    out = repetition_features(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        "dup_trigram_frac", "top_bigram", "top_bigram_char_frac", "keep",
+    )
+
+
+def o_rep_filter() -> str:
+    """Independent DuckDB formulation: list comprehensions for the
+    n-gram arrays, unnest + QUALIFY row_number for the per-doc top
+    bigram (vs the engine's min_by-on-struct two-level aggregation)."""
+    return r"""
+WITH d AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+), base AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         CASE WHEN len(w) >= 3 THEN
+           list_transform(range(1, len(w) - 1),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         ELSE []::VARCHAR[] END AS tri,
+         CASE WHEN len(w) >= 2 THEN
+           list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+         ELSE []::VARCHAR[] END AS big,
+         length(regexp_replace(lower(trim(text)), '\s+', '', 'g')) AS nschars
+  FROM d
+), tris AS (
+  SELECT doc_id, n_words, nschars, big,
+         CASE WHEN len(tri) > 0
+              THEN round(1.0 - len(list_distinct(tri))::DOUBLE / len(tri), 6)
+              ELSE 0.0 END AS dup_trigram_frac
+  FROM base
+), cnts AS (
+  SELECT doc_id, bgm, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(big) AS bgm FROM base)
+  GROUP BY 1, 2
+), top AS (
+  SELECT doc_id, bgm, cnt FROM cnts
+  QUALIFY row_number() OVER (PARTITION BY doc_id
+                             ORDER BY cnt DESC, bgm ASC) = 1
+)
+SELECT t.doc_id, CAST(t.n_words AS BIGINT) AS n_words, t.dup_trigram_frac,
+       COALESCE(p.bgm, '') AS top_bigram,
+       round(COALESCE(p.cnt, 0) * length(replace(COALESCE(p.bgm, ''), ' ', ''))
+             / greatest(t.nschars, 1), 6) AS top_bigram_char_frac,
+       (t.dup_trigram_frac <= 0.3
+        AND round(COALESCE(p.cnt, 0) * length(replace(COALESCE(p.bgm, ''), ' ', ''))
+                  / greatest(t.nschars, 1), 6) <= 0.18) AS keep
+FROM tris t LEFT JOIN top p USING (doc_id)
+"""
+
+
+QUERIES5["rep_filter"] = q_rep_filter
+ORACLES5["rep_filter"] = o_rep_filter()

@@ -152,3 +152,126 @@ def rolling_fingerprints(
     fp.__annotations__ = {"texts": pd.Series, "return": pd.Series}
     udf = pandas_udf(fp, "array<long>")
     return df.select(F.col(id_col), udf(F.col(text_col)).alias("fingerprint"))
+
+
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    max_dup_trigram_frac: float = 0.3,
+    max_top_bigram_char_frac: float = 0.18,
+) -> DataFrame:
+    """Gopher/C4-style n-gram repetition filters (public heuristics from
+    the Gopher paper's repetition-removal rules, re-specified exactly
+    here): per document,
+
+    * ``dup_trigram_frac`` — fraction of word-3-gram occurrences that
+      are repeats of an earlier 3-gram (1 − distinct/total; 0 when the
+      doc has fewer than 3 words);
+    * ``top_bigram`` / ``top_bigram_char_frac`` — the most frequent
+      word-2-gram (ties → lexicographically smallest) and the fraction
+      of the doc's non-space characters its occurrences cover
+      (count × non-space chars of the bigram / doc non-space chars);
+    * ``keep`` — both fractions within the thresholds.
+
+    Shape at scale: the n-gram arrays and the trigram fraction are pure
+    codegen'd array expressions (zero shuffles); the per-doc top bigram
+    is explode → two-level partial aggregation (``count`` then
+    ``min_by`` on a (−count, bigram) struct key — max count, lexical
+    tie-break, no window sort).  Tokenization matches ``tokens()``
+    (lowercase, ``\\s+`` split), so the oracle SQL can reproduce every
+    value exactly; fractions are emitted at 6 dp on both sides.
+    """
+    d = df.select(F.col(id_col), F.col(text_col)).withColumn("_w", tokens(text_col))
+    n = F.size("_w")
+    # NB: Spark's sequence(1, 0) DESCENDS to [1, 0] instead of being
+    # empty, so short docs need the explicit size guard
+    tri = F.expr(
+        "case when size(_w) >= 3 then"
+        " transform(sequence(1, size(_w) - 2),"
+        " i -> concat_ws(' ', _w[i-1], _w[i], _w[i+1]))"
+        " else cast(array() as array<string>) end"
+    )
+    big = F.expr(
+        "case when size(_w) >= 2 then"
+        " transform(sequence(1, size(_w) - 1),"
+        " i -> concat_ws(' ', _w[i-1], _w[i]))"
+        " else cast(array() as array<string>) end"
+    )
+    nonspace = F.length(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", ""))
+    base = d.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        F.when(
+            F.size(tri) > 0,
+            F.lit(1.0) - F.size(F.array_distinct(tri)) / F.size(tri),
+        ).otherwise(F.lit(0.0)).alias("_dup_tri"),
+        nonspace.alias("_nschars"),
+        big.alias("_big"),
+    )
+    counts = (
+        base.select(id_col, F.explode("_big").alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = counts.groupBy(id_col).agg(
+        F.min_by(
+            F.struct(F.col("bg"), F.col("cnt")),
+            F.struct((-F.col("cnt")).alias("nc"), F.col("bg")),
+        ).alias("_t")
+    )
+    out = (
+        base.drop("_big")
+        .join(top, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.col("n_words"),
+            F.round("_dup_tri", 6).alias("dup_trigram_frac"),
+            F.coalesce(F.col("_t.bg"), F.lit("")).alias("top_bigram"),
+            F.round(
+                F.coalesce(F.col("_t.cnt"), F.lit(0))
+                * F.length(F.regexp_replace(F.coalesce(F.col("_t.bg"), F.lit("")), " ", ""))
+                / F.greatest(F.col("_nschars"), F.lit(1)),
+                6,
+            ).alias("top_bigram_char_frac"),
+        )
+        .withColumn(
+            "keep",
+            (F.col("dup_trigram_frac") <= F.lit(max_dup_trigram_frac))
+            & (F.col("top_bigram_char_frac") <= F.lit(max_top_bigram_char_frac)),
+        )
+    )
+    return out
+
+
+def line_repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplicate-LINE repetition metrics (the line-based half of the
+    Gopher rules): fraction of non-empty lines that repeat an earlier
+    line, and the fraction of line characters sitting in those repeat
+    occurrences (total line chars − chars of the distinct line set,
+    over total line chars).  Pure array expressions — zero shuffles;
+    meaningful only for multi-line corpora (single-line docs score 0)."""
+    c = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    d = df.select(F.col(id_col), lines.alias("_l"))
+    n = F.size("_l")
+    nd = F.size(F.array_distinct("_l"))
+    chars = F.aggregate(
+        "_l", F.lit(0).cast("long"), lambda acc, l: acc + F.length(l)
+    )
+    dchars = F.aggregate(
+        F.array_distinct("_l"), F.lit(0).cast("long"), lambda acc, l: acc + F.length(l)
+    )
+    return d.select(
+        F.col(id_col),
+        n.alias("n_lines"),
+        F.round(
+            F.when(n > 0, F.lit(1.0) - nd / n).otherwise(F.lit(0.0)), 6
+        ).alias("dup_line_frac"),
+        F.round(
+            F.when(chars > 0, (chars - dchars) / chars).otherwise(F.lit(0.0)), 6
+        ).alias("dup_line_char_frac"),
+    )
