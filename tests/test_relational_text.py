@@ -620,3 +620,46 @@ def test_rep_filter_matches_oracle(spark):
     assert (s["dup_trigram_frac"] - o["dup_trigram_frac"]).abs().max() == 0
     assert (s["top_bigram_char_frac"] - o["top_bigram_char_frac"]).abs().max() == 0
     assert list(s["keep"]) == list(o["keep"])
+
+
+def test_pii_scrub_known_values(spark):
+    from xutil_spark.operators.textops import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x-y.co.uk now, dial +86 138-0000 1234, "
+                "host 192.168.0.1 end"),
+            (2, "no pii here"),
+            (3, "two mails p@q.io and r@s.dev"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert (out[1]["n_email"], out[1]["n_phone"], out[1]["n_ipv4"]) == (1, 1, 1)
+    assert out[1]["scrubbed"] == (
+        "mail <EMAIL> now, dial <PHONE>, host <IPV4> end"
+    )
+    assert (out[2]["n_email"], out[2]["n_phone"], out[2]["n_ipv4"]) == (0, 0, 0)
+    assert out[2]["scrubbed"] == "no pii here"
+    assert out[3]["n_email"] == 2
+    assert out[3]["scrubbed"] == "two mails <EMAIL> and <EMAIL>"
+
+
+def test_pii_scrub_matches_oracle(spark):
+    import duckdb
+
+    from xutil_spark.entry_queries5 import o_pii_scrub, q_pii_scrub
+
+    s = (
+        q_pii_scrub(spark, "/root/testdata/sf0.001")
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    o = con.execute(o_pii_scrub()).df().sort_values("doc_id").reset_index(drop=True)
+    assert len(s) == len(o)
+    for c in ("n_email", "n_phone", "n_ipv4", "scrubbed"):
+        assert list(s[c]) == list(o[c]), c

@@ -1002,9 +1002,9 @@ ORACLES.update(ORACLES5)
 # Long-green kernel-only transforms (wgs2gcj, dist_compare, …) and the
 # remaining rows-only queries sit past index 49: their evidence is
 # r01/r02 green rows + pytest, and none of their code changed
-# (time_parse_ladder / set_minus_users / string_funcs / col_float64
-# rotated out to make room — all r01+r02 green, code untouched since
-# round 1).
+# (time_parse_ladder / set_minus_users / string_funcs / col_float64 /
+# embedding_near_dup rotated out to make room — all r01+r02 green,
+# code untouched since they last went green).
 _DRIVER_WINDOW = [
     # --- never driver-verified, oracle-paired (round-2 additions) ---
     "gcj2wgs", "bd2gcj", "bd2wgs", "wgs2bd", "mercator_to_bd09",
@@ -1015,14 +1015,14 @@ _DRIVER_WINDOW = [
     "file_lines_count", "file_list_pattern", "geocode_enrich",
     # --- changed or newly oracle-paired this round ---
     "hash_digests", "wkt_roundtrip", "snapshot_lineage", "ngram_jaccard",
-    "simhash_docs", "fingerprints", "s2_cells", "rep_filter",
+    "simhash_docs", "fingerprints", "s2_cells", "rep_filter", "pii_scrub",
     # --- flagship spatial / dedup / relational coverage ---
     "tile_assign_z15", "tile_rollup_z10", "tile_pixel_z12", "knn_k3",
     "range_count_50km", "pip_city_tiles", "salted_tile_join",
     "knn_category_pivot", "pricing_summary", "rollup_pricing",
     "top3_orders_per_cust", "events_weekly_sunday", "dedup_exact",
     "minhash_sigs", "lsh_dup_pairs", "lang_id", "token_counts",
-    "quality", "cosine_top5", "embedding_near_dup", "idcard_pipeline",
+    "quality", "cosine_top5", "idcard_pipeline",
 ]
 assert len(_DRIVER_WINDOW) == 50 and len(set(_DRIVER_WINDOW)) == 50
 QUERIES = {

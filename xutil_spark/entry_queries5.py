@@ -157,3 +157,57 @@ FROM tris t LEFT JOIN top p USING (doc_id)
 
 QUERIES5["rep_filter"] = q_rep_filter
 ORACLES5["rep_filter"] = o_rep_filter()
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style PII scrubbing.  The corpus itself carries no PII, so the
+    query first injects one deterministic email / phone / IPv4 literal
+    per doc (pure string building from doc_id+lang, reproduced verbatim
+    in the oracle SQL) — the regexes are then exercised on real
+    matches, not vacuously."""
+    from xutil_spark.entry_queries import _read, _utc
+    from xutil_spark.operators.textops import pii_scrub
+
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" user"), F.col("doc_id").cast("string"),
+            F.lit("@mail-"), F.col("lang"), F.lit(".org call +86 138 "),
+            F.col("doc_id").cast("string"),
+            F.lit(" at 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("text"),
+    )
+    return pii_scrub(seeded)
+
+
+def o_pii_scrub() -> str:
+    from xutil_spark.operators.textops import PII_PATTERNS
+
+    em, ph, ip = (PII_PATTERNS[k] for k in ("email", "phone", "ipv4"))
+    return f"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' user' || doc_id || '@mail-' || lang ||
+         '.org call +86 138 ' || doc_id || ' at 10.0.' ||
+         (doc_id % 256) || '.7' AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{em}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(t, '{ph}')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(t, '{ip}')) AS BIGINT) AS n_ipv4,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(t, '{em}', '<EMAIL>', 'g'),
+           '{ph}', '<PHONE>', 'g'),
+         '{ip}', '<IPV4>', 'g') AS scrubbed
+FROM seeded
+"""
+
+
+QUERIES5["pii_scrub"] = q_pii_scrub
+ORACLES5["pii_scrub"] = o_pii_scrub()

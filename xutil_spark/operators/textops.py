@@ -275,3 +275,38 @@ def line_repetition_features(
             F.when(chars > 0, (chars - dchars) / chars).otherwise(F.lit(0.0)), 6
         ).alias("dup_line_char_frac"),
     )
+
+
+# Fixed, documented PII patterns (C4-style scrubbing).  Kept to syntax
+# valid in BOTH Java regex (Spark) and RE2 (DuckDB) — no lookaround,
+# no backrefs — so the oracle SQL can run the identical patterns.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+[0-9][0-9 -]{7,14}[0-9]",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style PII scrubbing: replace emails / international phone
+    numbers / IPv4 literals with typed placeholder tokens and emit the
+    per-kind match counts.  Pure codegen'd regexp expressions (one
+    projection, zero shuffles, no Python); patterns are the fixed
+    ``PII_PATTERNS`` table, replacement order email → phone → ipv4 (an
+    email's domain can never contain '<', so later passes cannot touch
+    earlier placeholders)."""
+    c = F.col(text_col)
+    out = df.select(F.col(id_col), c.alias("_t"))
+    counts = []
+    scrubbed = F.col("_t")
+    for kind, pat in PII_PATTERNS.items():
+        counts.append(
+            F.size(F.regexp_extract_all("_t", F.lit(pat), F.lit(0)))
+            .cast("long").alias(f"n_{kind}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
+    return out.select(
+        F.col(id_col), *counts, scrubbed.alias("scrubbed")
+    )
