@@ -75,7 +75,8 @@ HEADLINE = [
     "top3_orders_per_cust", "events_weekly_sunday", "dedup_exact",
     "minhash_sigs", "lsh_dup_pairs", "lang_id", "quality", "cosine_top5",
     "ngram_jaccard", "embedding_near_dup", "idcard_pipeline",
-    "baidu_mercator", "simhash_docs",
+    "baidu_mercator", "simhash_docs", "s2_cells", "rep_filter",
+    "pii_scrub",
 ]
 
 
