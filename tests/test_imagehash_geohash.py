@@ -1,0 +1,113 @@
+"""Image dHash + geohash: engine-vs-scalar parity, published vectors,
+banded-join exactness."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from xutil_spark.entry_queries6 import _dhash_py, _geohash_py
+
+
+# ------------------------------------------------------------ geohash
+
+
+def test_geohash_published_vectors():
+    """Public reference vectors (geohash.org / Wikipedia examples)."""
+    assert _geohash_py(10.40744, 57.64911, 11) == "u4pruydqqvj"
+    assert _geohash_py(-5.6, 42.6, 5) == "ezs42"
+    assert _geohash_py(112.5584, 37.8324, 9) == "ww8p1r4t8"
+
+
+def test_geohash_spark_matches_scalar(spark):
+    """The Morton-spread Column expression reproduces the scalar
+    bisection-loop encode on a grid including edge coordinates."""
+    from xutil_spark.functions.geohash import geohash
+
+    lons = [-180.0, -5.6, 0.0, 10.40744, 112.5584, 179.99999, 180.0]
+    lats = [-90.0, -42.0, 0.0, 42.6, 57.64911, 89.99999, 90.0]
+    rows = [(lo, la) for lo in lons for la in lats]
+    sdf = spark.createDataFrame(pd.DataFrame(rows, columns=["lon", "lat"]))
+    for p in (1, 5, 7, 12):
+        got = {
+            (r["lon"], r["lat"]): r["gh"]
+            for r in sdf.select("lon", "lat",
+                                geohash("lon", "lat", p).alias("gh")).collect()
+        }
+        for lo, la in rows:
+            assert got[(lo, la)] == _geohash_py(lo, la, p), (lo, la, p)
+
+
+def test_geohash_prefix_identity(spark):
+    """geohash(p) is a prefix of geohash(p') for p < p' — the rollup
+    identity the contract query leans on."""
+    from xutil_spark.functions.geohash import geohash
+
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame({
+        "lon": rng.uniform(-180, 180, 200),
+        "lat": rng.uniform(-90, 90, 200),
+    })
+    sdf = spark.createDataFrame(pdf)
+    out = sdf.select(
+        geohash("lon", "lat", 12).alias("g12"),
+        geohash("lon", "lat", 7).alias("g7"),
+        geohash("lon", "lat", 3).alias("g3"),
+    ).collect()
+    for r in out:
+        assert r["g12"].startswith(r["g7"])
+        assert r["g7"].startswith(r["g3"])
+
+
+# ------------------------------------------------------------ dHash
+
+
+def test_dhash_engine_matches_scalar(spark):
+    """Vectorized decode→gray→resample→bits == scalar formula path,
+    across all three size cycles and both codecs (raw + PNG)."""
+    from xutil_spark.data.synth import images_table
+    from xutil_spark.raster.images import dhash
+
+    got = {r["image_id"]: r["dhash"]
+           for r in dhash(images_table(spark, 48)).collect()}
+    assert len(got) == 48
+    for i in range(48):
+        assert got[f"img{i:012d}"] == _dhash_py(i), i
+
+
+def test_hamming_banded_join_is_exact(spark):
+    """Banded bucket join reproduces the brute-force hamming≤t pair set
+    (pigeonhole exactness for t ≤ bands−1)."""
+    from xutil_spark.operators.dedup import hamming_near_dup_pairs
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(-2**62, 2**62, 40, dtype=np.int64)
+    # plant near-dups: flip 1-3 bits of some fingerprints
+    fps = list(base)
+    for k in range(12):
+        v = int(base[k]) & (2**64 - 1)
+        for b in rng.integers(0, 64, (k % 3) + 1):
+            v ^= 1 << int(b)
+        fps.append(np.int64(v - (1 << 64) if v >= (1 << 63) else v))
+    pdf = pd.DataFrame({"fid": [f"f{j:03d}" for j in range(len(fps))],
+                        "fp": np.array(fps, dtype=np.int64)})
+    sdf = spark.createDataFrame(pdf)
+    got = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in hamming_near_dup_pairs(sdf, "fp", "fid",
+                                        max_hamming=3, bands=4).collect()
+    }
+    expect = {}
+    for i in range(len(fps)):
+        for j in range(i + 1, len(fps)):
+            h = bin((int(fps[i]) ^ int(fps[j])) & (2**64 - 1)).count("1")
+            if h <= 3:
+                expect[(f"f{i:03d}", f"f{j:03d}")] = h
+    assert got == expect
+
+
+def test_hamming_banded_join_rejects_loose_bands():
+    with pytest.raises(ValueError):
+        from xutil_spark.operators.dedup import hamming_near_dup_pairs
+
+        hamming_near_dup_pairs(None, "fp", "fid", max_hamming=4, bands=4)

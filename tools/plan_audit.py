@@ -22,7 +22,8 @@ AUDITED = [
     "top3_orders_per_cust", "dedup_exact", "minhash_sigs", "lsh_dup_pairs",
     "ngram_jaccard", "embedding_near_dup", "cosine_top5", "idcard_pipeline",
     "geocode_enrich", "row_kv_reorder", "value_processor", "asof_join",
-    "s2_cells", "rep_filter", "pii_scrub",
+    "s2_cells", "rep_filter", "pii_scrub", "image_dhash_pairs",
+    "geohash_cells",
 ]
 
 

@@ -950,11 +950,13 @@ from xutil_spark.entry_queries2 import ORACLES2, QUERIES2  # noqa: E402
 from xutil_spark.entry_queries3 import ORACLES3, QUERIES3  # noqa: E402
 from xutil_spark.entry_queries4 import ORACLES4, QUERIES4  # noqa: E402
 from xutil_spark.entry_queries5 import ORACLES5, QUERIES5  # noqa: E402
+from xutil_spark.entry_queries6 import ORACLES6, QUERIES6  # noqa: E402
 
 QUERIES.update(QUERIES2)
 QUERIES.update(QUERIES3)
 QUERIES.update(QUERIES4)
 QUERIES.update(QUERIES5)
+QUERIES.update(QUERIES6)
 
 ORACLES = {
     "tile_assign_z15": o_tile_assign_z15(),
@@ -984,6 +986,7 @@ ORACLES.update(ORACLES2)
 ORACLES.update(ORACLES3)
 ORACLES.update(ORACLES4)
 ORACLES.update(ORACLES5)
+ORACLES.update(ORACLES6)
 
 # ------------------------------------------------------------ registry order
 #
@@ -1003,8 +1006,11 @@ ORACLES.update(ORACLES5)
 # remaining rows-only queries sit past index 49: their evidence is
 # r01/r02 green rows + pytest, and none of their code changed
 # (time_parse_ladder / set_minus_users / string_funcs / col_float64 /
-# embedding_near_dup rotated out to make room — all r01+r02 green,
-# code untouched since they last went green).
+# embedding_near_dup, then minhash_sigs / pricing_summary /
+# rollup_pricing / top3_orders_per_cust / events_weekly_sunday /
+# token_counts / quality rotated out to make room for the round-3
+# media goldens + dhash/geohash — all r01+r02 green, code untouched
+# since they last went green).
 _DRIVER_WINDOW = [
     # --- never driver-verified, oracle-paired (round-2 additions) ---
     "gcj2wgs", "bd2gcj", "bd2wgs", "wgs2bd", "mercator_to_bd09",
@@ -1016,13 +1022,18 @@ _DRIVER_WINDOW = [
     # --- changed or newly oracle-paired this round ---
     "hash_digests", "wkt_roundtrip", "snapshot_lineage", "ngram_jaccard",
     "simhash_docs", "fingerprints", "s2_cells", "rep_filter", "pii_scrub",
+    # --- newly oracle-paired this round (computed-VALUES media goldens:
+    #     previously rows-only, never hash-verified by the driver) ---
+    "images_decode_stats", "image_resize", "audio_features",
+    "video_frames", "knn_images_refs",
+    # --- new round-3 batch-2 operators (image dHash near-dup, geohash) ---
+    "image_dhash_pairs", "geohash_cells",
     # --- flagship spatial / dedup / relational coverage ---
     "tile_assign_z15", "tile_rollup_z10", "tile_pixel_z12", "knn_k3",
     "range_count_50km", "pip_city_tiles", "salted_tile_join",
-    "knn_category_pivot", "pricing_summary", "rollup_pricing",
-    "top3_orders_per_cust", "events_weekly_sunday", "dedup_exact",
-    "minhash_sigs", "lsh_dup_pairs", "lang_id", "token_counts",
-    "quality", "cosine_top5", "idcard_pipeline",
+    "knn_category_pivot", "dedup_exact",
+    "lsh_dup_pairs", "lang_id",
+    "cosine_top5", "idcard_pipeline",
 ]
 assert len(_DRIVER_WINDOW) == 50 and len(set(_DRIVER_WINDOW)) == 50
 QUERIES = {

@@ -387,34 +387,43 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return df.select(F.col(id_col), udf(token_hashes).alias("simhash"))
 
 
-def simhash_near_dup_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+def hamming_near_dup_pairs(
+    fp: DataFrame, fp_col: str, id_col: str,
     max_hamming: int = 3, bands: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming ≤ t: split the 64-bit print into
-    ``bands`` 16-bit bands; by pigeonhole any pair within hamming ≤
-    bands-1 shares an exact band → bucket join, then exact hamming
-    filter via bit_count(xor)."""
-    # materialize once: the 4 band branches AND both self-join sides
-    # otherwise each re-execute the fingerprint UDF stage
-    sh = simhash(df, text_col, id_col).localCheckpoint()
+    """Near-dup pairs by hamming distance over ANY 64-bit fingerprint
+    column (SimHash text prints, image dHash, …): split the print into
+    ``bands`` equal bit bands; by pigeonhole any pair within hamming ≤
+    bands-1 shares at least one exact band → banded bucket self-join,
+    then exact hamming filter via bit_count(xor).  EXACT (not
+    approximate) for ``max_hamming ≤ bands - 1``.
+
+    Plan: one union of ``bands`` narrow projections over the (already
+    materialized) fingerprint table, one shuffle on (band, bkey), the
+    xor/bit_count filter inside codegen.  At 10^12 rows the bucket join
+    is the classic LSH shape — no cross join anywhere."""
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"banded join is only exact for max_hamming <= bands-1 "
+            f"(got t={max_hamming}, bands={bands})"
+        )
     parts = []
     for b in range(bands):
         shift = b * (64 // bands)
         mask = (1 << (64 // bands)) - 1
         parts.append(
-            sh.select(
+            fp.select(
                 F.col(id_col),
-                F.col("simhash"),
+                F.col(fp_col),
                 F.lit(b).alias("band"),
-                F.shiftrightunsigned("simhash", shift).bitwiseAND(F.lit(mask).cast("long")).alias("bkey"),
+                F.shiftrightunsigned(fp_col, shift).bitwiseAND(F.lit(mask).cast("long")).alias("bkey"),
             )
         )
     bands_df = parts[0]
     for p in parts[1:]:
         bands_df = bands_df.unionByName(p)
-    a = bands_df.select(F.col(id_col).alias("a"), F.col("simhash").alias("_ha"), "band", "bkey")
-    b_ = bands_df.select(F.col(id_col).alias("b"), F.col("simhash").alias("_hb"), "band", "bkey")
+    a = bands_df.select(F.col(id_col).alias("a"), F.col(fp_col).alias("_ha"), "band", "bkey")
+    b_ = bands_df.select(F.col(id_col).alias("b"), F.col(fp_col).alias("_hb"), "band", "bkey")
     return (
         a.join(b_, on=["band", "bkey"], how="inner")
         .filter(F.col("a") < F.col("b"))
@@ -423,3 +432,15 @@ def simhash_near_dup_pairs(
         .select("a", "b", "hamming")
         .distinct()
     )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    max_hamming: int = 3, bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming ≤ t (see
+    ``hamming_near_dup_pairs`` for the banded-join shape)."""
+    # materialize once: the band branches AND both self-join sides
+    # otherwise each re-execute the fingerprint UDF stage
+    sh = simhash(df, text_col, id_col).localCheckpoint()
+    return hamming_near_dup_pairs(sh, "simhash", id_col, max_hamming, bands)

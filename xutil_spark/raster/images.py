@@ -95,6 +95,45 @@ def resize(images: DataFrame, out_w: int, out_h: int, out_fmt: str = "raw") -> D
     return images.mapInPandas(run, schema=RESIZE_SCHEMA)
 
 
+DHASH_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType(), False),
+    T.StructField("dhash", T.LongType(), False),
+])
+
+
+def dhash(images: DataFrame, id_col: str = "image_id") -> DataFrame:
+    """64-bit difference-hash (dHash) per image: decode → integer
+    grayscale ``(299·r + 587·g + 114·b) // 1000`` → 9×8 nearest-neighbor
+    resample → bit ``y·8+x`` set iff ``gray[y,x] > gray[y,x+1]``.
+
+    All-integer math end to end (no float gray, no rounding) so the
+    fingerprint is platform-exact and oracle-checkable.  Perceptual
+    near-dup image pairs then come from
+    ``operators.dedup.hamming_near_dup_pairs`` over the result — the
+    image side of the text SimHash pipeline.
+
+    The decode is per row (inherent for variable-size blobs); the
+    gray/resample/bit steps are vectorized numpy per image."""
+
+    bitw = np.int64(1) << np.arange(64, dtype=np.int64).reshape(8, 8)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, fps = [], []
+            for r in b.itertuples(index=False):
+                px = K_codec.decode_image(bytes(r.bytes), int(r.w), int(r.h), r.fmt)
+                g = (px.astype(np.int64) @ np.array([299, 587, 114])) // 1000
+                yi = np.arange(8) * int(r.h) // 8
+                xi = np.arange(9) * int(r.w) // 9
+                G = g[yi][:, xi]
+                bits = G[:, :-1] > G[:, 1:]
+                ids.append(getattr(r, id_col))
+                fps.append(int((bitw * bits).sum()))
+            yield pd.DataFrame({"image_id": ids, "dhash": np.array(fps, dtype=np.int64)})
+
+    return images.mapInPandas(run, schema=DHASH_SCHEMA)
+
+
 MOSAIC_SCHEMA = T.StructType([
     T.StructField("cell", T.LongType(), False),
     T.StructField("zoom", T.IntegerType(), False),
