@@ -111,3 +111,69 @@ def test_hamming_banded_join_rejects_loose_bands():
         from xutil_spark.operators.dedup import hamming_near_dup_pairs
 
         hamming_near_dup_pairs(None, "fp", "fid", max_hamming=4, bands=4)
+
+
+# --------------------------------------------------------- trajectories
+
+
+def test_polyline_published_vector():
+    """The example from the public encoded-polyline spec."""
+    from xutil_spark.entry_queries6 import _polyline_py
+
+    pts = [(38.5, -120.2), (40.7, -120.95), (43.252, -126.453)]
+    assert _polyline_py(pts) == "_p~iF~ps|U_ulLnnqC_mqNvxq`@"
+
+
+def test_polyline_engine_matches_scalar(spark):
+    from xutil_spark.entry_queries6 import _polyline_py
+    from xutil_spark.operators.trajectory import polyline_encode
+
+    rng = np.random.default_rng(3)
+    n = 400
+    pdf = pd.DataFrame({
+        "traj_id": np.arange(n, dtype=np.int64) % 7,
+        "seq": np.arange(n, dtype=np.int64),
+        "lon": rng.uniform(-180, 180, n),
+        "lat": rng.uniform(-85, 85, n),
+    })
+    sdf = spark.createDataFrame(pdf)
+    got = {r["traj_id"]: (r["n_points"], r["polyline"])
+           for r in polyline_encode(sdf).collect()}
+    for t in range(7):
+        sub = pdf[pdf.traj_id == t].sort_values("seq")
+        expect = _polyline_py(list(zip(sub.lat, sub.lon)))
+        assert got[t] == (len(sub), expect), t
+
+
+def test_douglas_peucker_engine_matches_scalar(spark):
+    """Keep-set parity engine-vs-scalar, plus the DP invariants
+    (endpoints kept; surviving deviation bound respected on a
+    straight-line track)."""
+    from xutil_spark.entry_queries6 import _dp_py
+    from xutil_spark.operators.trajectory import douglas_peucker
+
+    rng = np.random.default_rng(5)
+    n = 300
+    pdf = pd.DataFrame({
+        "traj_id": np.arange(n, dtype=np.int64) % 5,
+        "seq": np.arange(n, dtype=np.int64),
+        "lon": rng.uniform(100, 110, n),
+        "lat": rng.uniform(30, 40, n),
+    })
+    sdf = spark.createDataFrame(pdf)
+    got = douglas_peucker(sdf, tol_deg=1.5).toPandas()
+    for t in range(5):
+        sub = pdf[pdf.traj_id == t].sort_values("seq")
+        keep = _dp_py(sub.lat.tolist(), sub.lon.tolist(), 1.5)
+        expect = set(sub.seq.to_numpy()[np.array(keep)])
+        assert set(got[got.traj_id == t].seq) == expect, t
+
+    # a perfectly straight track simplifies to its endpoints
+    line = pd.DataFrame({
+        "traj_id": np.zeros(50, dtype=np.int64),
+        "seq": np.arange(50, dtype=np.int64),
+        "lon": np.linspace(100, 101, 50),
+        "lat": np.linspace(30, 32, 50),
+    })
+    out = douglas_peucker(spark.createDataFrame(line), tol_deg=0.001).toPandas()
+    assert set(out.seq) == {0, 49}

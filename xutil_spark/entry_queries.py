@@ -1026,13 +1026,13 @@ _DRIVER_WINDOW = [
     #     previously rows-only, never hash-verified by the driver) ---
     "images_decode_stats", "image_resize", "audio_features",
     "video_frames", "knn_images_refs",
-    # --- new round-3 batch-2 operators (image dHash near-dup, geohash) ---
-    "image_dhash_pairs", "geohash_cells",
+    # --- new round-3 batch-2 operators (image dHash near-dup, geohash,
+    #     trajectory polyline + Douglas-Peucker) ---
+    "image_dhash_pairs", "geohash_cells", "traj_polyline", "traj_simplify",
     # --- flagship spatial / dedup / relational coverage ---
     "tile_assign_z15", "tile_rollup_z10", "tile_pixel_z12", "knn_k3",
     "range_count_50km", "pip_city_tiles", "salted_tile_join",
-    "knn_category_pivot", "dedup_exact",
-    "lsh_dup_pairs", "lang_id",
+    "dedup_exact", "lsh_dup_pairs",
     "cosine_top5", "idcard_pipeline",
 ]
 assert len(_DRIVER_WINDOW) == 50 and len(set(_DRIVER_WINDOW)) == 50
