@@ -189,3 +189,87 @@ def streaming_sessionize(
     return events.select(key_col, ts_col).groupBy(key_col).applyInPandasWithState(
         sess, _SESS_OUT, _SESS_STATE, "append", timeout_conf,
     )
+
+
+_GEOFENCE_OUT = StructType([
+    StructField("user_id", LongType(), False),
+    StructField("event_id", LongType(), False),
+    StructField("ts", TimestampType(), True),
+    StructField("kind", StringType(), False),
+    StructField("fence_id", LongType(), False),
+])
+# one open row per entity: the fence it was last seen in (-1 = outside)
+_GEOFENCE_STATE = StructType([StructField("last_fence", LongType(), True)])
+
+
+def streaming_geofence(
+    located: DataFrame, fence_col: str = "fence",
+    key_col: str = "user_id", ts_col: str = "ts", id_col: str = "event_id",
+) -> DataFrame:
+    """Stateful geofence transition detection (geospatial × streaming):
+    emit an ``exit`` / ``enter`` row whenever an entity's fence
+    assignment changes between consecutive events.
+
+    ``located`` already carries the per-event fence id (-1 = outside
+    every fence) — assignment happens UPSTREAM as a codegen'd JVM
+    expression (literal rectangles) or a broadcast PiP join, so this
+    stage is pure transition logic.  Semantics (mirrored 1:1 by the
+    batch lag() oracle):
+
+    * events order by (ts, event_id) within each entity;
+    * a change from fence p to fence f at event e emits ``exit`` of p
+      (if p ≠ -1) and ``enter`` of f (if f ≠ -1), both stamped with
+      e's (ts, event_id);
+    * the entity's first-ever event compares against -1 (outside).
+
+    State per key is ONE long (the last fence) — bounded by
+    construction, sharded by the state store; within a batch the
+    change-scan is one vectorized shift-compare over the concatenated,
+    lexsorted chunks (no per-event Python)."""
+
+    def fence(key, pdfs, state: GroupState):
+        if state.hasTimedOut:  # pragma: no cover - NoTimeout configured
+            for _ in pdfs:
+                pass
+            return
+        chunks = [
+            (
+                pdf[ts_col].to_numpy("datetime64[us]").astype(np.int64),
+                pdf[id_col].to_numpy(np.int64),
+                pdf[fence_col].to_numpy(np.int64),
+            )
+            for pdf in pdfs if len(pdf)
+        ]
+        if not chunks:
+            return
+        ts = np.concatenate([c[0] for c in chunks])
+        eid = np.concatenate([c[1] for c in chunks])
+        fc = np.concatenate([c[2] for c in chunks])
+        order = np.lexsort((eid, ts))
+        ts, eid, fc = ts[order], eid[order], fc[order]
+        carry = int(state.get[0]) if state.exists else -1
+        prev = np.concatenate(([carry], fc[:-1]))
+        chg = prev != fc
+        state.update((int(fc[-1]),))
+        if not chg.any():
+            return
+        exits = chg & (prev != -1)
+        enters = chg & (fc != -1)
+        rows = {
+            "user_id": np.concatenate((np.full(int(exits.sum()), int(key[0]),
+                                               dtype=np.int64),
+                                       np.full(int(enters.sum()), int(key[0]),
+                                               dtype=np.int64))),
+            "event_id": np.concatenate((eid[exits], eid[enters])),
+            "ts": pd.to_datetime(np.concatenate((ts[exits], ts[enters])),
+                                 unit="us"),
+            "kind": ["exit"] * int(exits.sum()) + ["enter"] * int(enters.sum()),
+            "fence_id": np.concatenate((prev[exits], fc[enters])),
+        }
+        yield pd.DataFrame(rows)
+
+    cols = [key_col, id_col, ts_col, fence_col]
+    return located.select(*cols).groupBy(key_col).applyInPandasWithState(
+        fence, _GEOFENCE_OUT, _GEOFENCE_STATE, "append",
+        GroupStateTimeout.NoTimeout,
+    )
