@@ -177,3 +177,62 @@ def test_douglas_peucker_engine_matches_scalar(spark):
     })
     out = douglas_peucker(spark.createDataFrame(line), tol_deg=0.001).toPandas()
     assert set(out.seq) == {0, 49}
+
+
+def _geohash_decode_py(gh: str):
+    """Scalar decode: independent bit-walk (vs the engine's Morton
+    compaction masks)."""
+    b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    bits = []
+    for ch in gh:
+        d = b32.index(ch)
+        bits.extend((d >> k) & 1 for k in range(4, -1, -1))
+    xb = bits[0::2]
+    yb = bits[1::2]
+    xq = sum(b << (len(xb) - 1 - i) for i, b in enumerate(xb))
+    yq = sum(b << (len(yb) - 1 - i) for i, b in enumerate(yb))
+    lon_span = 360.0 / (1 << len(xb))
+    lat_span = 180.0 / (1 << len(yb))
+    return ((xq + 0.5) * lon_span - 180.0, (yq + 0.5) * lat_span - 90.0,
+            lon_span / 2.0, lat_span / 2.0)
+
+
+def test_geohash_decode_engine_matches_scalar(spark):
+    from xutil_spark.functions.geohash import geohash, geohash_decode
+
+    rng = np.random.default_rng(17)
+    pdf = pd.DataFrame({
+        "lon": rng.uniform(-180, 180, 150),
+        "lat": rng.uniform(-90, 90, 150),
+    })
+    sdf = spark.createDataFrame(pdf)
+    for p in (5, 7, 12):
+        enc = sdf.select("lon", "lat", geohash("lon", "lat", p).alias("gh"))
+        dec = geohash_decode("gh", p)
+        out = enc.select(
+            "lon", "lat", "gh",
+            dec["lon"].alias("clon"), dec["lat"].alias("clat"),
+            dec["lon_err"].alias("elon"), dec["lat_err"].alias("elat"),
+            geohash(dec["lon"], dec["lat"], p).alias("gh2"),
+        ).collect()
+        for r in out:
+            slon, slat, selon, selat = _geohash_decode_py(r["gh"])
+            assert (r["clon"], r["clat"]) == (slon, slat), r["gh"]
+            assert (r["elon"], r["elat"]) == (selon, selat)
+            # the original point lies inside the decoded cell …
+            assert abs(r["lon"] - r["clon"]) <= r["elon"] * (1 + 1e-12)
+            assert abs(r["lat"] - r["clat"]) <= r["elat"] * (1 + 1e-12)
+            # … and the center re-encodes to the same hash
+            assert r["gh2"] == r["gh"]
+
+
+def test_geohash_decode_published_vector(spark):
+    """ezs42 decodes to the Wikipedia example cell (42.60498…,
+    -5.60302… ± the precision-5 half-cell)."""
+    from xutil_spark.functions.geohash import geohash_decode
+
+    sdf = spark.createDataFrame(pd.DataFrame({"gh": ["ezs42"]}))
+    dec = geohash_decode("gh", 5)
+    r = sdf.select(dec["lon"].alias("lon"), dec["lat"].alias("lat")).first()
+    assert abs(r["lon"] - -5.60302734375) < 1e-12
+    assert abs(r["lat"] - 42.60498046875) < 1e-12

@@ -82,3 +82,58 @@ def geohash(lon, lat, precision: int = 12) -> Column:
         )
         chars.append(F.element_at(alphabet, (digit + 1).cast("int")))
     return F.concat(*chars)
+
+
+# inverse of _SPREAD: gather the even bits of a 60-bit interleave back
+# into one 30-bit integer (classic Morton compaction masks)
+_COMPACT = (
+    (1, 0x3333333333333333),
+    (2, 0x0F0F0F0F0F0F0F0F),
+    (4, 0x00FF00FF00FF00FF),
+    (8, 0x0000FFFF0000FFFF),
+    (16, 0x00000000FFFFFFFF),
+)
+
+
+def _compact_bits(c: Column) -> Column:
+    x = c.bitwiseAND(_lit64(0x5555555555555555))
+    for sh, m in _COMPACT:
+        x = x.bitwiseOR(F.shiftrightunsigned(x, sh)).bitwiseAND(_lit64(m))
+    return x
+
+
+def geohash_decode(gh, precision: int) -> dict[str, Column]:
+    """Decode a length-``precision`` geohash string back to its cell:
+    center lon/lat plus the half-cell errors.  Pure JVM expressions —
+    per-char ``locate`` into the alphabet literal rebuilds the 5p-bit
+    code, Morton compaction masks de-interleave it.
+
+    ``precision`` must be a literal (it fixes the bit widths); decode
+    of mixed-length hashes should group by length first.  Returns a
+    dict of named Columns: lon, lat, lon_err, lat_err."""
+    if not 1 <= precision <= 12:
+        raise ValueError("geohash precision must be in 1..12")
+    gh = F.col(gh) if isinstance(gh, str) else gh
+    alphabet = F.array(*[F.lit(ch) for ch in _B32])
+    code = _lit64(0)
+    for i in range(precision):
+        digit = F.array_position(alphabet, F.substring(gh, i + 1, 1)) - 1
+        code = F.shiftleft(code, 5).bitwiseOR(digit.cast("long"))
+    nbits = 5 * precision
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    code60 = F.shiftleft(code, 60 - nbits)
+    x = _compact_bits(F.shiftrightunsigned(code60, 1))
+    y = _compact_bits(code60)
+    # quantized cell index at full 30-bit resolution; the cell spans
+    # 2^(30-bits) quanta, its center sits half a span in
+    xq = F.shiftrightunsigned(x, 30 - lon_bits)
+    yq = F.shiftrightunsigned(y, 30 - lat_bits)
+    lon_span = 360.0 / float(1 << lon_bits)
+    lat_span = 180.0 / float(1 << lat_bits)
+    return {
+        "lon": (xq.cast("double") + 0.5) * F.lit(lon_span) - 180.0,
+        "lat": (yq.cast("double") + 0.5) * F.lit(lat_span) - 90.0,
+        "lon_err": F.lit(lon_span / 2.0),
+        "lat_err": F.lit(lat_span / 2.0),
+    }
