@@ -198,6 +198,10 @@ def _geohash_decode_py(gh: str):
 
 
 def test_geohash_decode_engine_matches_scalar(spark):
+    """Each stage MATERIALIZES before the next: composing
+    decode(encode(...)) in one projection inlines the encode tree into
+    every decode term (see the geohash_decode docstring) — real
+    pipelines have a shuffle or sink between them."""
     from xutil_spark.functions.geohash import geohash, geohash_decode
 
     rng = np.random.default_rng(17)
@@ -206,23 +210,29 @@ def test_geohash_decode_engine_matches_scalar(spark):
         "lat": rng.uniform(-90, 90, 150),
     })
     sdf = spark.createDataFrame(pdf)
-    for p in (5, 7, 12):
-        enc = sdf.select("lon", "lat", geohash("lon", "lat", p).alias("gh"))
+    for p in (5, 12):
+        enc = sdf.select(
+            "lon", "lat", geohash("lon", "lat", p).alias("gh")
+        ).toPandas()
         dec = geohash_decode("gh", p)
-        out = enc.select(
+        out = spark.createDataFrame(enc).select(
             "lon", "lat", "gh",
             dec["lon"].alias("clon"), dec["lat"].alias("clat"),
             dec["lon_err"].alias("elon"), dec["lat_err"].alias("elat"),
-            geohash(dec["lon"], dec["lat"], p).alias("gh2"),
+        ).toPandas()
+        for r in out.itertuples(index=False):
+            slon, slat, selon, selat = _geohash_decode_py(r.gh)
+            assert (r.clon, r.clat) == (slon, slat), r.gh
+            assert (r.elon, r.elat) == (selon, selat)
+            # the original point lies inside the decoded cell
+            assert abs(r.lon - r.clon) <= r.elon * (1 + 1e-12)
+            assert abs(r.lat - r.clat) <= r.elat * (1 + 1e-12)
+        # the centers re-encode to the same hashes (stage 3, again
+        # from materialized inputs)
+        re = spark.createDataFrame(out).select(
+            "gh", geohash("clon", "clat", p).alias("gh2")
         ).collect()
-        for r in out:
-            slon, slat, selon, selat = _geohash_decode_py(r["gh"])
-            assert (r["clon"], r["clat"]) == (slon, slat), r["gh"]
-            assert (r["elon"], r["elat"]) == (selon, selat)
-            # the original point lies inside the decoded cell …
-            assert abs(r["lon"] - r["clon"]) <= r["elon"] * (1 + 1e-12)
-            assert abs(r["lat"] - r["clat"]) <= r["elat"] * (1 + 1e-12)
-            # … and the center re-encodes to the same hash
+        for r in re:
             assert r["gh2"] == r["gh"]
 
 

@@ -1029,11 +1029,11 @@ _DRIVER_WINDOW = [
     # --- new round-3 batch-2 operators (image dHash near-dup, geohash,
     #     trajectory polyline + Douglas-Peucker, streaming geofence) ---
     "image_dhash_pairs", "geohash_cells", "traj_polyline", "traj_simplify",
-    "streaming_geofence",
+    "streaming_geofence", "image_dedup",
     # --- flagship spatial / dedup / relational coverage ---
     "tile_assign_z15", "tile_rollup_z10", "tile_pixel_z12", "knn_k3",
     "range_count_50km", "pip_city_tiles", "salted_tile_join",
-    "dedup_exact", "lsh_dup_pairs",
+    "lsh_dup_pairs",
     "idcard_pipeline",
 ]
 assert len(_DRIVER_WINDOW) == 50 and len(set(_DRIVER_WINDOW)) == 50

@@ -110,7 +110,16 @@ def geohash_decode(gh, precision: int) -> dict[str, Column]:
 
     ``precision`` must be a literal (it fixes the bit widths); decode
     of mixed-length hashes should group by length first.  Returns a
-    dict of named Columns: lon, lat, lon_err, lat_err."""
+    dict of named Columns: lon, lat, lon_err, lat_err.
+
+    Composition caveat: decoding a geohash COMPUTED IN THE SAME
+    PROJECTION (e.g. ``geohash_decode(geohash(lon, lat, p), p)``)
+    inlines the whole encode tree into every per-char term of the
+    decode — Catalyst's projection collapse turns that into a
+    quadratic-size plan that can take minutes to optimize.  Encode and
+    decode stages over real pipelines are separated by a shuffle or
+    sink anyway; in a single-process chain, materialize between them
+    (``df.localCheckpoint()`` or write/read)."""
     if not 1 <= precision <= 12:
         raise ValueError("geohash precision must be in 1..12")
     gh = F.col(gh) if isinstance(gh, str) else gh
