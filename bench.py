@@ -76,7 +76,8 @@ HEADLINE = [
     "minhash_sigs", "lsh_dup_pairs", "lang_id", "quality", "cosine_top5",
     "ngram_jaccard", "embedding_near_dup", "idcard_pipeline",
     "baidu_mercator", "simhash_docs", "s2_cells", "rep_filter",
-    "pii_scrub", "image_dhash_pairs", "geohash_cells",
+    "pii_scrub", "image_dhash_pairs", "geohash_cells", "traj_polyline",
+    "traj_simplify", "image_dedup",
 ]
 
 

@@ -23,7 +23,7 @@ AUDITED = [
     "ngram_jaccard", "embedding_near_dup", "cosine_top5", "idcard_pipeline",
     "geocode_enrich", "row_kv_reorder", "value_processor", "asof_join",
     "s2_cells", "rep_filter", "pii_scrub", "image_dhash_pairs",
-    "geohash_cells", "traj_polyline", "traj_simplify",
+    "geohash_cells", "traj_polyline", "traj_simplify", "image_dedup",
 ]
 
 
