@@ -246,3 +246,46 @@ def test_geohash_decode_published_vector(spark):
     r = sdf.select(dec["lon"].alias("lon"), dec["lat"].alias("lat")).first()
     assert abs(r["lon"] - -5.60302734375) < 1e-12
     assert abs(r["lat"] - 42.60498046875) < 1e-12
+
+
+# ------------------------------------------------------------ sketches
+
+
+def test_heavy_hitters_exact_mode(spark):
+    """capacity >= distinct keys -> bounds collapse to exact counts."""
+    from xutil_spark.operators.sketches import heavy_hitters
+
+    rng = np.random.default_rng(29)
+    keys = rng.integers(0, 40, 5000)
+    sdf = spark.createDataFrame(pd.DataFrame({"k": keys}))
+    got = heavy_hitters(sdf, "k", k=10, capacity=1000).collect()
+    truth = pd.Series(keys).value_counts()
+    expect = sorted(
+        ((int(c), int(k)) for k, c in truth.items()),
+        key=lambda t: (-t[0], t[1])
+    )[:10]
+    assert [(r["count_ub"], r["key"]) for r in got] == expect
+    for r in got:
+        assert r["count_lb"] == r["count_ub"]
+
+
+def test_heavy_hitters_approximate_bounds(spark):
+    """Tiny capacity: reported bounds must bracket the true counts and
+    the dominant key must survive eviction pressure."""
+    from xutil_spark.operators.sketches import heavy_hitters
+
+    rng = np.random.default_rng(31)
+    # zipf-ish: key 0 dominates, long tail of rare keys
+    keys = np.concatenate([
+        np.zeros(3000, dtype=np.int64),
+        np.full(800, 1, dtype=np.int64),
+        rng.integers(2, 500, 1200),
+    ])
+    rng.shuffle(keys)
+    sdf = spark.createDataFrame(pd.DataFrame({"k": keys})).repartition(4)
+    got = heavy_hitters(sdf, "k", k=5, capacity=8).collect()
+    truth = pd.Series(keys).value_counts().to_dict()
+    assert got[0]["key"] == 0  # the dominant key is found
+    for r in got:
+        true = truth.get(r["key"], 0)
+        assert r["count_lb"] <= true <= r["count_ub"], (r, true)

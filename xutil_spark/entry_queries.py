@@ -1029,10 +1029,10 @@ _DRIVER_WINDOW = [
     # --- new round-3 batch-2 operators (image dHash near-dup, geohash,
     #     trajectory polyline + Douglas-Peucker, streaming geofence) ---
     "image_dhash_pairs", "geohash_cells", "traj_polyline", "traj_simplify",
-    "streaming_geofence", "image_dedup",
+    "streaming_geofence", "image_dedup", "heavy_hitters_users",
     # --- flagship spatial / dedup / relational coverage ---
     "tile_assign_z15", "tile_rollup_z10", "tile_pixel_z12", "knn_k3",
-    "range_count_50km", "pip_city_tiles", "salted_tile_join",
+    "range_count_50km", "pip_city_tiles",
     "lsh_dup_pairs",
     "idcard_pipeline",
 ]

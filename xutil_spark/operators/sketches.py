@@ -1,0 +1,119 @@
+"""Streaming-sketch operators: space-saving heavy hitters.
+
+The space-saving summary (Metwally, Agrawal, El Abbadi — "Efficient
+computation of frequent and top-k elements in data streams", public
+algorithm) keeps at most ``capacity`` counters per partition; an
+arriving key not in the summary evicts the minimum counter and
+inherits its count as overestimation error.  Guarantees per partition:
+
+* every key with true count > N/capacity is present;
+* for a kept key, ``count - err ≤ true ≤ count``.
+
+Distributed shape (Spark-first): one ``mapInPandas`` pass builds a
+per-PARTITION summary (the generator folds every Arrow batch of its
+partition into one bounded dict — batches are value_counts-vectorized,
+the Python loop is per DISTINCT key per batch, capped by capacity);
+the partition summaries (≤ capacity rows each) then merge with one
+tiny groupBy.  Merge bound: a key absent from a SATURATED partition
+may have occurred up to that partition's min-counter times there, so
+its upper bound adds that partition's min; absent from an unsaturated
+partition (nothing ever evicted) truly means count 0 there.
+
+EXACT MODE: with ``capacity`` ≥ the per-partition distinct-key count
+no partition saturates, every err is 0, and the merged counts equal
+GROUP BY COUNT exactly — that regime is what the driver oracle checks
+(same trick as IVF at nprobe = n_lists); the approximate regime's
+bounds are pinned in pytest.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def space_saving_summaries(
+    df: DataFrame, key_col: str, capacity: int = 4096,
+) -> DataFrame:
+    """Per-partition space-saving summaries: ≤ ``capacity`` rows per
+    input partition, each (key, cnt, err, pmin, pid_).  ``pmin`` is
+    the partition's absent-key bound — its minimum counter if the
+    summary saturated, else 0 — riding along on every row so the merge
+    needs no second pass."""
+    schema = T.StructType([
+        T.StructField("key", df.schema[key_col].dataType, True),
+        T.StructField("cnt", T.LongType(), False),
+        T.StructField("err", T.LongType(), False),
+        T.StructField("pmin", T.LongType(), False),
+        T.StructField("pid_", T.IntegerType(), False),
+    ])
+    tagged = df.select(F.col(key_col).alias("key"),
+                       F.spark_partition_id().alias("_pid"))
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = -1
+        counters: dict = {}  # key -> [cnt, err]
+        saturated = False
+        for b in it:
+            if len(b) and pid < 0:
+                pid = int(b["_pid"].iloc[0])
+            for key, n in b["key"].value_counts(dropna=True).items():
+                n = int(n)
+                if key in counters:
+                    counters[key][0] += n
+                elif len(counters) < capacity:
+                    counters[key] = [n, 0]
+                else:
+                    saturated = True
+                    mk = min(counters, key=lambda kk: counters[kk][0])
+                    mc = counters.pop(mk)[0]
+                    counters[key] = [mc + n, mc]
+        if not counters:
+            return
+        pmin = min(v[0] for v in counters.values()) if saturated else 0
+        yield pd.DataFrame({
+            "key": list(counters.keys()),
+            "cnt": [v[0] for v in counters.values()],
+            "err": [v[1] for v in counters.values()],
+            "pmin": pmin,
+            "pid_": pid,
+        })
+
+    return tagged.mapInPandas(build, schema=schema)
+
+
+def heavy_hitters(
+    df: DataFrame, key_col: str, k: int = 20, capacity: int = 4096,
+) -> DataFrame:
+    """Top-k keys with count bounds from merged space-saving summaries.
+
+    Output: (key, count_lb, count_ub) ordered by count_ub DESC with a
+    deterministic key tiebreak, limited to k.  In exact mode (no
+    partition saturates) count_lb == count_ub == the true count."""
+    summ = space_saving_summaries(df, key_col, capacity).localCheckpoint()
+    total_pmin = (
+        summ.select("pid_", "pmin").distinct()
+        .agg(F.sum("pmin").alias("t")).first()["t"]
+    ) or 0
+    merged = (
+        summ.groupBy("key")
+        .agg(
+            F.sum("cnt").alias("_cnt"),
+            F.sum("err").alias("_err"),
+            F.sum("pmin").alias("_seen_pmin"),
+        )
+        .select(
+            "key",
+            (F.col("_cnt") - F.col("_err")).alias("count_lb"),
+            (F.col("_cnt") + F.lit(int(total_pmin)) - F.col("_seen_pmin"))
+            .alias("count_ub"),
+        )
+    )
+    return (
+        merged.orderBy(F.col("count_ub").desc(), F.col("key").asc())
+        .limit(k)
+    )
