@@ -289,3 +289,66 @@ def test_heavy_hitters_approximate_bounds(spark):
     for r in got:
         true = truth.get(r["key"], 0)
         assert r["count_lb"] <= true <= r["count_ub"], (r, true)
+
+
+# ------------------------------------------------- grid-density clusters
+
+
+def test_grid_density_clusters(spark):
+    """Three planted blobs + sparse noise: dense cells label into one
+    component per blob; isolated dense cells label themselves."""
+    from xutil_spark.functions import native
+    from xutil_spark.operators.clustering import grid_density_clusters
+
+    rng = np.random.default_rng(37)
+    blobs = []
+    for cx, cy, n in ((116.40, 39.90, 600), (121.47, 31.23, 500),
+                      (113.26, 23.13, 400)):
+        blobs.append(pd.DataFrame({
+            "lon": rng.normal(cx, 0.25, n),
+            "lat": rng.normal(cy, 0.20, n),
+        }))
+    noise = pd.DataFrame({
+        "lon": rng.uniform(75, 130, 800),
+        "lat": rng.uniform(20, 50, 800),
+    })
+    pdf = pd.concat(blobs + [noise], ignore_index=True)
+    pdf["pid"] = np.arange(len(pdf), dtype=np.int64)
+    sdf = spark.createDataFrame(pdf)
+    out = grid_density_clusters(sdf, zoom=10, min_count=8).toPandas()
+
+    # scalar reference: counts -> dense -> BFS over 8-neighborhood
+    def cell_xy(c):
+        return (c % (1 << 58)) // (1 << 29), c % (1 << 29)
+
+    cnt = (
+        sdf.select(native.cell("lon", "lat", 10).alias("c"))
+        .groupBy("c").count().withColumnRenamed("count", "n").toPandas()
+    )
+    dense = {int(r.c): int(r.n) for r in cnt.itertuples() if r.n >= 8}
+    labels = {}
+    for start in sorted(dense):
+        if start in labels:
+            continue
+        comp, stack = [], [start]
+        seen = {start}
+        while stack:
+            c = stack.pop()
+            comp.append(c)
+            x, y = cell_xy(c)
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    nb = c + dx * (1 << 29) + dy
+                    if nb in dense and nb not in seen:
+                        seen.add(nb)
+                        stack.append(nb)
+        root = min(comp)
+        for c in comp:
+            labels[c] = root
+    got = {int(r.cell): (int(r.cluster_id), int(r.n_points))
+           for r in out.itertuples()}
+    assert got == {c: (labels[c], dense[c]) for c in dense}
+    # sanity: at least 3 multi-cell clusters (the blobs)
+    from collections import Counter
+    sizes = Counter(v for v, _ in got.values())
+    assert sum(1 for s in sizes.values() if s >= 3) >= 3

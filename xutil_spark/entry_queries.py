@@ -1030,10 +1030,10 @@ _DRIVER_WINDOW = [
     #     trajectory polyline + Douglas-Peucker, streaming geofence) ---
     "image_dhash_pairs", "geohash_cells", "traj_polyline", "traj_simplify",
     "streaming_geofence", "image_dedup", "heavy_hitters_users",
+    "grid_clusters",
     # --- flagship spatial / dedup / relational coverage ---
     "tile_assign_z15", "tile_rollup_z10", "tile_pixel_z12", "knn_k3",
     "range_count_50km", "pip_city_tiles",
-    "lsh_dup_pairs",
     "idcard_pipeline",
 ]
 assert len(_DRIVER_WINDOW) == 50 and len(set(_DRIVER_WINDOW)) == 50
