@@ -277,6 +277,17 @@ def test_connected_components_vs_networkless_oracle(spark):
     }
 
 
+def test_connected_components_long_chain_log_rounds(spark):
+    """Pointer jumping must label a 64-node PATH within O(log D) rounds:
+    max_iters=12 would be nowhere near enough for plain O(diameter)
+    min-label propagation (63 rounds), so this pins the jump step."""
+    edges = pd.DataFrame({"a": list(range(63)), "b": list(range(1, 64))})
+    got = D.connected_components(spark.createDataFrame(edges),
+                                 max_iters=12).toPandas()
+    assert len(got) == 64
+    assert set(got["cluster_id"]) == {0}
+
+
 def test_dedup_by_clusters_keeps_min_per_component(spark):
     df = spark.createDataFrame(pd.DataFrame({
         "doc_id": [1, 2, 3, 7, 9],

@@ -352,3 +352,82 @@ def test_grid_density_clusters(spark):
     from collections import Counter
     sizes = Counter(v for v, _ in got.values())
     assert sum(1 for s in sizes.values() if s >= 3) >= 3
+
+
+# ----------------------------------------------------------- pHash (DCT)
+
+
+def _phash_scalar(px):
+    """Pure-Python pHash reference: scalar loops end to end (own basis
+    via math.cos, two-pass scalar DCT, list-sort median) — independent
+    of the engine's batched-matmul path."""
+    import math
+
+    h, w = px.shape[:2]
+    gray = [
+        [
+            (299 * int(px[y][x][0]) + 587 * int(px[y][x][1])
+             + 114 * int(px[y][x][2])) // 1000
+            for x in range(w)
+        ]
+        for y in range(h)
+    ]
+    G = [[gray[y * h // 32][x * w // 32] for x in range(32)] for y in range(32)]
+
+    def rnd(v):
+        return int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))
+
+    C = [
+        [rnd(math.cos(math.pi * (2 * m + 1) * k / 64) * 16384) for m in range(32)]
+        for k in range(32)
+    ]
+    T1 = [
+        [sum(C[u][n] * G[n][m] for n in range(32)) for m in range(32)]
+        for u in range(8)
+    ]
+    D = [
+        [sum(T1[u][m] * C[v][m] for m in range(32)) for v in range(8)]
+        for u in range(8)
+    ]
+    vals = [D[u][v] for u in range(8) for v in range(8)]
+    med = sorted(vals[1:])[31]
+    fp = 0
+    for j in range(1, 64):
+        if vals[j] > med:
+            fp |= 1 << j
+    return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+
+def test_phash_spark_matches_scalar(spark):
+    """Batched-matmul engine pHash == scalar reference on the synthetic
+    corpus (all three size classes, both codecs)."""
+    from xutil_spark.data.synth import images_table, pixels_for
+    from xutil_spark.raster.images import phash_dct
+
+    got = {
+        r["image_id"]: r["phash64"]
+        for r in phash_dct(images_table(spark, 12)).collect()
+    }
+    assert len(got) == 12
+    for i in range(12):
+        assert got[f"img{i:012d}"] == _phash_scalar(pixels_for(i)), i
+
+
+def test_phash_perceptual_invariance():
+    """pHash is DC-blind: a global brightness shift moves the hash only
+    a few bits (clipping at 255 perturbs some AC terms), while a
+    different scene lands far away — the separation property the
+    near-dup join relies on."""
+    from xutil_spark.data.synth import pixels_for
+
+    base = pixels_for(0)
+    brighter = np.clip(base.astype(np.int64) + 40, 0, 255).astype(np.uint8)
+    h0 = _phash_scalar(base)
+    hb = _phash_scalar(brighter)
+    # clipping saturates the gradient so a few AC bits flip; the
+    # distance must still sit far below the different-scene distance
+    assert bin((h0 ^ hb) & ((1 << 64) - 1)).count("1") <= 8
+
+    other = pixels_for(7)[:, ::-1]  # different scene, mirrored
+    ho = _phash_scalar(other)
+    assert bin((h0 ^ ho) & ((1 << 64) - 1)).count("1") >= 20

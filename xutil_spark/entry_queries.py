@@ -951,12 +951,14 @@ from xutil_spark.entry_queries3 import ORACLES3, QUERIES3  # noqa: E402
 from xutil_spark.entry_queries4 import ORACLES4, QUERIES4  # noqa: E402
 from xutil_spark.entry_queries5 import ORACLES5, QUERIES5  # noqa: E402
 from xutil_spark.entry_queries6 import ORACLES6, QUERIES6  # noqa: E402
+from xutil_spark.entry_queries7 import ORACLES7, QUERIES7  # noqa: E402
 
 QUERIES.update(QUERIES2)
 QUERIES.update(QUERIES3)
 QUERIES.update(QUERIES4)
 QUERIES.update(QUERIES5)
 QUERIES.update(QUERIES6)
+QUERIES.update(QUERIES7)
 
 ORACLES = {
     "tile_assign_z15": o_tile_assign_z15(),
@@ -987,6 +989,7 @@ ORACLES.update(ORACLES3)
 ORACLES.update(ORACLES4)
 ORACLES.update(ORACLES5)
 ORACLES.update(ORACLES6)
+ORACLES.update(ORACLES7)
 
 # ------------------------------------------------------------ registry order
 #
@@ -1030,9 +1033,10 @@ _DRIVER_WINDOW = [
     #     trajectory polyline + Douglas-Peucker, streaming geofence) ---
     "image_dhash_pairs", "geohash_cells", "traj_polyline", "traj_simplify",
     "streaming_geofence", "image_dedup", "heavy_hitters_users",
-    "grid_clusters",
-    # --- flagship spatial / dedup / relational coverage ---
-    "tile_assign_z15", "tile_rollup_z10", "tile_pixel_z12", "knn_k3",
+    "grid_clusters", "image_phash",
+    # --- flagship spatial / dedup / relational coverage
+    #     (tile_pixel_z12 rotated out: r01+r02 green, code untouched) ---
+    "tile_assign_z15", "tile_rollup_z10", "knn_k3",
     "range_count_50km", "pip_city_tiles",
     "idcard_pipeline",
 ]

@@ -280,16 +280,25 @@ def connected_components(
     near-dup pair edges → ``(id, cluster_id)`` where cluster_id is the
     smallest member id of the component (the canonical survivor).
 
-    Iterative min-label propagation, Spark-shaped: each round every
-    node takes the min of its own label and its neighbors' labels
-    (edges both directions → one groupBy-min per round), until a round
-    changes nothing.  Rounds needed = graph diameter ≤ log n after the
-    first few rounds collapse stars; dedup components are tiny cliques,
-    so 2-3 rounds typical.  Labels are ``localCheckpoint``'ed per round
-    (flat lineage; the loop re-reads them twice).
+    Min-label propagation WITH pointer jumping (path compression — the
+    classic PRAM/Pregel technique): each round every node first takes
+    the min of its own label and its neighbors' labels (one
+    groupBy-min along the edges), then replaces its label with its
+    label's label (one self-join on the label table).  Propagation
+    alone needs O(diameter) rounds — a near-dup CHAIN (a drifting
+    sequence of images, each within threshold of the next) makes that
+    O(n); the jump step halves label-chain length every round, so
+    convergence is O(log diameter) for any graph shape.  Labels are
+    ``localCheckpoint``'ed per round (flat lineage).
 
-    At 10^12 docs each round is one shuffle on the node id — the same
-    cost class as the LSH bucket join that produced the edges."""
+    Termination: stop when a full propagate+jump round changes no
+    label — labels only decrease and a propagate fixed point means the
+    label is constant across every edge, i.e. per-component min.
+
+    At 10^12 docs each round is two shuffles on the node id — same
+    cost class as the LSH bucket join that produced the edges, and the
+    round count stays logarithmic even for adversarial chain
+    components."""
     edges = (
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
@@ -303,23 +312,39 @@ def connected_components(
         .localCheckpoint()
     )
     for _ in range(max_iters):
-        # neighbor-propagated candidate labels
-        prop = (
+        # 1. propagate: min over self + neighbor labels (pre-aggregated
+        #    map-side before the join output shuffles)
+        nbr_min = (
             edges.join(labels, edges["dst"] == labels["id"], "inner")
-            .select(F.col("src").alias("id"), F.col("cluster_id"))
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("cluster_id").alias("_nbr"))
+        )
+        prop = (
+            labels.join(nbr_min, on="id", how="left")
+            .select(
+                "id",
+                F.col("cluster_id").alias("_old"),
+                F.least(F.col("cluster_id"), F.coalesce("_nbr", "cluster_id"))
+                .alias("cluster_id"),
+            )
+        )
+        # 2. jump: label ← label(label).  Every label is a node id, so
+        #    the inner self-join keeps all rows.
+        tgt = labels.select(
+            F.col("id").alias("_tid"), F.col("cluster_id").alias("_tlabel")
         )
         new_labels = (
-            labels.select("id", "cluster_id").unionByName(prop)
-            .groupBy("id").agg(F.min("cluster_id").alias("cluster_id"))
+            prop.join(tgt, prop["cluster_id"] == tgt["_tid"], "inner")
+            .select(
+                "id",
+                F.least(F.col("cluster_id"), F.col("_tlabel")).alias("cluster_id"),
+                (F.least(F.col("cluster_id"), F.col("_tlabel"))
+                 != F.col("_old")).alias("_changed"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("cluster_id", "_old"),
-                            on="id")
-            .filter(F.col("cluster_id") != F.col("_old"))
-            .limit(1).count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        labels = new_labels.select("id", "cluster_id")
         if changed == 0:
             break
     return labels

@@ -134,6 +134,76 @@ def dhash(images: DataFrame, id_col: str = "image_id") -> DataFrame:
     return images.mapInPandas(run, schema=DHASH_SCHEMA)
 
 
+PHASH_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType(), False),
+    T.StructField("phash64", T.LongType(), False),
+])
+
+
+def _dct_basis(n: int = 32, scale: int = 16384) -> np.ndarray:
+    """Fixed-point DCT-II basis: ``C[k][m] = round(cos(pi*(2m+1)*k/(2n))
+    * scale)``, round-half-away-from-zero, built with ``math.cos`` so the
+    engine and any independent oracle derive bit-identical integers (a
+    float DCT would make the hash platform/order-sensitive — the whole
+    point of the fixed-point variant is an exactly checkable pHash)."""
+    import math
+
+    out = np.empty((n, n), dtype=np.int64)
+    for k in range(n):
+        for m in range(n):
+            v = math.cos(math.pi * (2 * m + 1) * k / (2 * n)) * scale
+            out[k, m] = int(math.floor(v + 0.5)) if v >= 0 else int(
+                math.ceil(v - 0.5))
+    return out
+
+
+def phash_dct(images: DataFrame, id_col: str = "image_id") -> DataFrame:
+    """64-bit perceptual hash (pHash, DCT flavor) per image, with a
+    fixed-point integer DCT so the fingerprint is platform-exact:
+
+    decode → integer grayscale ``(299·r + 587·g + 114·b) // 1000`` →
+    32×32 nearest-neighbor resample → ``D = C·G·Cᵀ`` with the int64
+    basis from ``_dct_basis`` → take the low-frequency 8×8 block
+    (row-major ``vals[0..63]``, ``vals[0]`` = DC) → median = LOWER
+    median of the 63 AC values (``sorted(vals[1:])[31]`` — integer, no
+    .5 averaging) → bit 0 is always 0 (DC excluded, standard pHash
+    practice), bit j (j ≥ 1) set iff ``vals[j] > median``.
+
+    The decode is per row (inherent for variable-size blobs); resample
+    gathers + the DCT run BATCHED — one stacked (B,32,32) int64 tensor,
+    two broadcast matmuls per Arrow batch.  Near-dup image pairs come
+    from ``operators.dedup.hamming_near_dup_pairs`` over the result,
+    same as dHash/SimHash."""
+
+    C = _dct_basis()
+    CT = C.T.copy()
+    bitw = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    yi32 = np.arange(32, dtype=np.int64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, grays = [], []
+            for r in b.itertuples(index=False):
+                px = K_codec.decode_image(bytes(r.bytes), int(r.w), int(r.h), r.fmt)
+                g = (px.astype(np.int64) @ np.array([299, 587, 114])) // 1000
+                grays.append(g[yi32 * int(r.h) // 32][:, yi32 * int(r.w) // 32])
+                ids.append(getattr(r, id_col))
+            if not ids:
+                yield pd.DataFrame({"image_id": [], "phash64": []})
+                continue
+            G = np.stack(grays)                     # (B, 32, 32) int64
+            D = C @ G @ CT                          # batched, |D| < 2^47
+            vals = D[:, :8, :8].reshape(len(ids), 64)
+            med = np.sort(vals[:, 1:], axis=1)[:, 31]
+            bits = vals > med[:, None]
+            bits[:, 0] = False
+            fp = (bits.astype(np.uint64) * bitw).sum(axis=1, dtype=np.uint64)
+            yield pd.DataFrame(
+                {"image_id": ids, "phash64": fp.view(np.int64)})
+
+    return images.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
 MOSAIC_SCHEMA = T.StructType([
     T.StructField("cell", T.LongType(), False),
     T.StructField("zoom", T.IntegerType(), False),
