@@ -24,7 +24,7 @@ AUDITED = [
     "geocode_enrich", "row_kv_reorder", "value_processor", "asof_join",
     "s2_cells", "rep_filter", "pii_scrub", "image_dhash_pairs",
     "geohash_cells", "traj_polyline", "traj_simplify", "image_dedup",
-    "heavy_hitters_users", "grid_clusters",
+    "heavy_hitters_users", "grid_clusters", "image_phash",
 ]
 
 
