@@ -77,7 +77,7 @@ HEADLINE = [
     "ngram_jaccard", "embedding_near_dup", "idcard_pipeline",
     "baidu_mercator", "simhash_docs", "s2_cells", "rep_filter",
     "pii_scrub", "image_dhash_pairs", "geohash_cells", "traj_polyline",
-    "traj_simplify", "image_dedup",
+    "traj_simplify", "image_dedup", "image_phash",
 ]
 
 
