@@ -261,29 +261,38 @@ def test_ngram_jaccard_auto_gate_is_byte_based(spark):
 
 
 def test_connected_components_vs_networkless_oracle(spark):
-    """Min-label CC over hand-built edges: chains, cliques, self-pairs,
-    and a long path (multi-round propagation)."""
+    """CC over hand-built edges: chains, cliques, self-pairs, and a
+    long path — BOTH strategies (driver union-find under the edge
+    gate; iterative pointer jumping forced with gate=0) must produce
+    the identical min-label result."""
     edges = pd.DataFrame({
         "a": [1, 2, 10, 11, 20, 30, 31, 32, 33],
         "b": [2, 3, 11, 12, 21, 31, 32, 33, 34],
     })
-    got = D.connected_components(spark.createDataFrame(edges)).toPandas()
-    comp = dict(zip(got["id"], got["cluster_id"]))
-    assert comp == {
+    expect = {
         1: 1, 2: 1, 3: 1,
         10: 10, 11: 10, 12: 10,
         20: 20, 21: 20,
         30: 30, 31: 30, 32: 30, 33: 30, 34: 30,  # path of length 5
     }
+    got_uf = D.connected_components(spark.createDataFrame(edges)).toPandas()
+    assert dict(zip(got_uf["id"], got_uf["cluster_id"])) == expect
+    got_it = D.connected_components(
+        spark.createDataFrame(edges), driver_edge_gate=0
+    ).toPandas()
+    assert dict(zip(got_it["id"], got_it["cluster_id"])) == expect
 
 
 def test_connected_components_long_chain_log_rounds(spark):
-    """Pointer jumping must label a 64-node PATH within O(log D) rounds:
+    """The ITERATIVE path (gate=0) must label a 64-node PATH within
+    O(log D) rounds with NO per-round driver count: the fixed round
+    budget is ⌈log₂(64)⌉+1 = 7 plus one fixed-point check, and
     max_iters=12 would be nowhere near enough for plain O(diameter)
-    min-label propagation (63 rounds), so this pins the jump step."""
+    min-label propagation (63 rounds), so this pins the jump step AND
+    the budget-based termination."""
     edges = pd.DataFrame({"a": list(range(63)), "b": list(range(1, 64))})
     got = D.connected_components(spark.createDataFrame(edges),
-                                 max_iters=12).toPandas()
+                                 max_iters=12, driver_edge_gate=0).toPandas()
     assert len(got) == 64
     assert set(got["cluster_id"]) == {0}
 

@@ -89,8 +89,13 @@ SELECT * FROM (
 
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed near-dup pairs (the 10^12-scale path: bucket join
-    instead of pair join).  Approximate by construction → rows-only;
-    recall vs the exact variant is pytest-pinned."""
+    instead of pair join).  Approximate but fully DETERMINISTIC — the
+    splitmix64 hyperplanes fix every bucket, so the exact output is
+    oracle-checkable: kernels/lsh_py.py re-derives planes (bit-equal
+    big-int scalar path), buckets (sequential dots; numpy matmul signs
+    agree with margin ≥5e-5 on the gate input), candidate pairs and
+    rounded cosines independently of the numpy engine path.  Recall vs
+    the exact variant additionally pytest-pinned."""
     _utc(spark)
     from xutil_spark.operators.similarity import embedding_near_dup_pairs
 
@@ -98,16 +103,61 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, dim=64, threshold=0.3, n_bits=8)
 
 
+def _sf001_embeddings():
+    """(ids, vecs) of the driver-gate input (sf0.01), exact float32→
+    float64 widening — used by the two LSH computed-VALUES oracles."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table("/root/testdata/sf0.01/embeddings.parquet")
+    ids = t.column("vec_id").to_pylist()
+    vecs = [[float(x) for x in v] for v in t.column("embedding").to_pylist()]
+    return ids, vecs
+
+
+def o_embedding_near_dup_lsh() -> str:
+    """Computed-VALUES golden from the independent scalar LSH path
+    (kernels/lsh_py.near_dup_pairs_py) over the sf0.01 gate input."""
+    from xutil_spark.kernels.lsh_py import near_dup_pairs_py
+
+    ids, vecs = _sf001_embeddings()
+    pairs = near_dup_pairs_py(ids, vecs, threshold=0.3, n_bits=8)
+    vals = ",".join(f"({a},{b},{s!r})" for a, b, s in pairs)
+    return f"""
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(score AS DOUBLE) AS score
+FROM (VALUES {vals}) AS t(a, b, score)
+"""
+
+
 def q_cosine_top5_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 via multi-table random-hyperplane LSH with hamming-1
-    multiprobe — the scale path twin of cosine_top5.  Approximate →
-    rows-only; recall pytest-pinned on planted clusters."""
+    multiprobe — the scale path twin of cosine_top5.  Approximate but
+    deterministic (fixed splitmix64 hyperplanes), so exact-output
+    oracle-checkable via the independent scalar path in
+    kernels/lsh_py.py; recall additionally pytest-pinned on planted
+    clusters."""
     _utc(spark)
     from xutil_spark.operators.similarity import cosine_topk_lsh
 
     emb = _read(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 50)
     return cosine_topk_lsh(q, emb, dim=64, k=5)
+
+
+def o_cosine_top5_lsh() -> str:
+    """Computed-VALUES golden from kernels/lsh_py.topk_lsh_py (same
+    tables/probes/tie-break: score DESC, nn_id ASC)."""
+    from xutil_spark.kernels.lsh_py import topk_lsh_py
+
+    ids, vecs = _sf001_embeddings()
+    q_ids = sorted(i for i in ids if i < 50)
+    rows = topk_lsh_py(q_ids, ids, vecs, k=5, n_bits=8, n_tables=4)
+    vals = ",".join(f"({q},{nn},{s!r},{r})" for q, nn, s, r in rows)
+    return f"""
+SELECT CAST(q_id AS BIGINT) AS q_id, CAST(nn_id AS BIGINT) AS nn_id,
+       CAST(score AS DOUBLE) AS score, CAST(rank AS INT) AS rank
+FROM (VALUES {vals}) AS t(q_id, nn_id, score, rank)
+"""
 
 
 # ============================================================== id cards
@@ -578,8 +628,11 @@ def q_snapshot_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resumable-pipeline contract demo (north rule): two stages commit
     atomic snapshots to a fresh store; the pipeline then RE-RUNS and
     must skip both stages (resume-from-checkpoint), returning identical
-    committed data plus per-stage executed/skipped flags.  Rows-only
-    (filesystem snapshots are not SQL-expressible)."""
+    committed data plus per-stage executed/skipped flags.  The oracle
+    recomputes the z10 cell histogram in SQL and asserts the exact
+    executed/skipped literals — a stage that re-executes on the resume
+    run (or commits wrong data through the snapshot round-trip) hash-
+    mismatches."""
     _utc(spark)
     import tempfile
 
@@ -607,6 +660,24 @@ def q_snapshot_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg2.withColumn(
         "first_run_executed", F.lit(",".join(p1.executed))
     ).withColumn("resume_skipped", F.lit(",".join(p2.skipped)))
+
+
+def o_snapshot_resume() -> str:
+    """z10 cell histogram over the (dup-preserving) point derivation,
+    plus the exact stage-ledger literals: 'cells,agg' executed on the
+    cold run AND 'cells,agg' skipped on the resume run."""
+    x = "CAST(floor((lon + 180.0) / 360.0 * 1024) AS BIGINT)"
+    y = ("CAST(floor((1.0 - ln(tan(lat * pi() / 180.0) + 1.0 /"
+         " cos(lat * pi() / 180.0)) / pi()) / 2.0 * 1024) AS BIGINT)")
+    return f"""
+WITH pts AS ({_PTS_SQL})
+SELECT 10 * 288230376151711744 + {x} * 536870912 + {y} AS cell,
+       COUNT(*) AS n,
+       'cells,agg' AS first_run_executed,
+       'cells,agg' AS resume_skipped
+FROM pts
+GROUP BY 1
+"""
 
 
 def q_wgs2bd(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -787,6 +858,8 @@ QUERIES3 = {
 ORACLES3 = {
     "ngram_jaccard": o_ngram_jaccard(),
     "embedding_near_dup": o_embedding_near_dup(),
+    "embedding_near_dup_lsh": o_embedding_near_dup_lsh(),
+    "cosine_top5_lsh": o_cosine_top5_lsh(),
     "idcard_pipeline": o_idcard_pipeline(),
     "baidu_mercator": o_baidu_mercator(),
     "time_split_hourly": o_time_split_hourly(),
@@ -800,4 +873,5 @@ ORACLES3 = {
     "wgs2bd": o_wgs2bd(),
     "streaming_cell_counts": o_streaming_cell_counts(),
     "snapshot_lineage": o_snapshot_lineage(),
+    "snapshot_resume": o_snapshot_resume(),
 }

@@ -376,9 +376,11 @@ FROM documents WHERE doc_id % 5 = 0
 def q_bmap_mocator(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BmapMocator (map.go:265-293): Baidu encoded polyline → Mercator
     parse → MercatorToBd09 per vertex → LINESTRING WKT with Go-%g
-    formatting.  Mocator strings are synthesized from pid integers;
-    rows-only (Go shortest-round-trip float formatting is not
-    SQL-expressible — the codec is pinned by pytest goldens)."""
+    formatting.  Mocator strings are synthesized from pid integers, so
+    the whole chain is deterministic and the driver oracle is a
+    computed-VALUES golden from kernels/baidu_scalar.py (independent
+    scalar MercatorToBd09 + formatting; Go %g itself is additionally
+    pinned by pytest goldens vs map.go vectors)."""
     _utc(spark)
     from xutil_spark.entry_queries import _points
     from xutil_spark.functions import geo_udfs
@@ -397,6 +399,35 @@ def q_bmap_mocator(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 for pair in zip(xs, ys) for c in pair])
     moc = F.concat(F.lit("4|0,0;1,1|1-"), coords, F.lit(";"))
     return pts.select("pid", geo_udfs.bmap_mocator(moc).alias("wkt"))
+
+
+def o_bmap_mocator() -> str:
+    """Computed-VALUES golden: the mocator inputs are pure integer
+    arithmetic on pid, so kernels/baidu_scalar.py (independent scalar
+    MercatorToBd09 + %g path, re-transcribed tables, no shared code
+    with kernels/baidu.py) re-derives every WKT string."""
+    import duckdb as _dd
+
+    from xutil_spark.kernels.baidu_scalar import bmap_mocator_py
+
+    pids = [r[0] for r in _dd.sql(
+        "SELECT DISTINCT l_orderkey * 10 + l_linenumber AS pid "
+        "FROM read_parquet('/root/testdata/sf0.01/lineitem.parquet') "
+        "WHERE (l_orderkey * 10 + l_linenumber) % 23 = 1 ORDER BY pid"
+    ).fetchall()]
+    rows = []
+    for pid in pids:
+        coords = ",".join(
+            f"{((pid * 31 + i * 7) % 2001) * 21000},"
+            f"{((pid * 17 + i * 11) % 1301) * 19900}"
+            for i in range(3)
+        )
+        wkt = bmap_mocator_py(f"4|0,0;1,1|1-{coords};")
+        rows.append(f"({pid},'{wkt}')")
+    return f"""
+SELECT CAST(pid AS BIGINT) AS pid, wkt
+FROM (VALUES {",".join(rows)}) AS t(pid, wkt)
+"""
 
 
 # ======================================================== archive sources
@@ -893,6 +924,7 @@ ORACLES4 = {
     "strings_index": o_strings_index(),
     "time_extend": o_time_extend(),
     "aes_roundtrip": o_aes_roundtrip(),
+    "bmap_mocator": o_bmap_mocator(),
     "parse_zip_xml": o_parse_zip_xml(),
     "file_lines_count": o_file_lines_count(),
     "file_list_pattern": o_file_list_pattern(),

