@@ -354,6 +354,26 @@ def test_grid_density_clusters(spark):
     assert sum(1 for s in sizes.values() if s >= 3) >= 3
 
 
+def test_grid_density_clusters_deep_zoom(spark):
+    """zoom=26 packs x·2^29+y beyond the 53-bit double mantissa: the
+    cell-x decode must be integer bit arithmetic or neighbor ids
+    silently corrupt.  Two points one cell apart in x at zoom 26 must
+    merge into one 2-cell cluster."""
+    from xutil_spark.operators.clustering import grid_density_clusters
+
+    step = 360.0 / (1 << 26)  # one zoom-26 cell in lon
+    pdf = pd.DataFrame({
+        "lon": [116.400000, 116.400000 + step],
+        "lat": [39.900000, 39.900000],
+    })
+    out = grid_density_clusters(
+        spark.createDataFrame(pdf), zoom=26, min_count=1
+    ).toPandas()
+    assert len(out) == 2
+    assert out["cluster_id"].nunique() == 1
+    assert out["cluster_id"].iloc[0] == out["cell"].min()
+
+
 # ----------------------------------------------------------- pHash (DCT)
 
 

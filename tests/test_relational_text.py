@@ -168,6 +168,44 @@ def test_id_card_pipeline(spark):
     assert bool(got["_ok_pattern"]) and bool(got["_ok_check"])
 
 
+def test_id_card_region_decode_full_cardinality(spark):
+    """3-level prefix decode against the FULL ~3.4k-row region dim
+    (data/synth.region_rows, loaded through load_region_dim's JSON
+    route — idcard.go:40-53 at real cardinality), pinned against a
+    scalar dict lookup for district-, city- and province-level hits
+    plus codes with missing district (110199, 320499) and a missing
+    province (830101 → all three levels null)."""
+    import json
+    import tempfile
+
+    from xutil_spark.data.synth import region_rows
+
+    regions = region_rows()
+    assert len(regions) > 3000
+    lookup = dict(regions)
+    with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as fh:
+        json.dump(lookup, fh)
+        path = fh.name
+    dim = R.load_region_dim(spark, path)
+    assert dim.count() == len(regions)
+
+    codes = [c for c, _ in regions if c[4:6] != "00"][::293] + [
+        "110199", "320499", "830101",
+    ]
+    ids = spark.createDataFrame(pd.DataFrame({
+        "id": [f"{c}19830101001" for c in codes]  # 15-digit → 18 upgrade
+    }))
+    got = R.id_card_pipeline(ids, dim, as_of="2026-01-01").toPandas()
+    by_code = {r["id"][:6]: r for _, r in got.iterrows()}
+    assert len(by_code) == len(codes)
+    for c in codes:
+        r = by_code[c]
+        assert r["district"] == lookup.get(c), c
+        assert r["city"] == lookup.get(c[:4] + "00"), c
+        assert r["province"] == lookup.get(c[:2] + "0000"), c
+    assert by_code["830101"]["province"] is None
+
+
 def test_id_validity_and_pattern(spark):
     df = spark.createDataFrame(pd.DataFrame({
         "id": ["210212198310191044", "210212198310191043", "00021219831019104x"]

@@ -269,3 +269,26 @@ def with_location(images: DataFrame) -> DataFrame:
     return images.withColumn("lon", native.lon_from_phash("phash")).withColumn(
         "lat", native.lat_from_phash("phash")
     )
+
+
+def region_rows() -> list:
+    """Full-cardinality synthetic admin-region dim (~3.2k rows)
+    mirroring the GB/T 2260 / ChinaAddr.json SHAPE the reference ships
+    (idcard.go:40-53): 31 real province code points, per-province
+    city codes ``PPcc00``, per-city district codes ``PPccdd``; names
+    are synthetic ASCII (the reference data file is not copied — what
+    matters for the engine is 3-level prefix-join parity at real
+    cardinality, not the Chinese name strings)."""
+    prov_codes = [11, 12, 13, 14, 15, 21, 22, 23, 31, 32, 33, 34, 35,
+                  36, 37, 41, 42, 43, 44, 45, 46, 50, 51, 52, 53, 54,
+                  61, 62, 63, 64, 65]
+    rows = []
+    for p in prov_codes:
+        rows.append((f"{p}0000", f"Province{p}"))
+        n_cities = 4 + p % 6
+        for c in range(1, n_cities + 1):
+            rows.append((f"{p}{c:02d}00", f"P{p} City{c}"))
+            n_dist = 10 + (p * 7 + c) % 11
+            for d in range(1, n_dist + 1):
+                rows.append((f"{p}{c:02d}{d:02d}", f"P{p} C{c} District{d}"))
+    return rows

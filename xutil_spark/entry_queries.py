@@ -82,6 +82,22 @@ def _utc(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def _await_stream(q, work: str | None = None, timeout: int = 300) -> None:
+    """awaitTermination with the timeout actually CHECKED: on expiry the
+    sink holds a partial result (a baffling hash mismatch downstream)
+    and the query would keep running while its checkpoint/sink dirs get
+    cleaned up — stop it and fail loudly instead."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        if work:
+            import shutil
+
+            shutil.rmtree(work, ignore_errors=True)
+        raise TimeoutError(
+            f"streaming query did not finish within {timeout}s"
+        )
+
+
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derived deterministic points from lineitem (Spark side mirrors
     _PTS_SQL bit-for-bit: integer ops then one double expression)."""

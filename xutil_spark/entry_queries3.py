@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from xutil_spark.entry_queries import (
-    _PTS_SQL, _points, _read, _utc, o_lsh_dup_pairs,
+    _PTS_SQL, _await_stream, _points, _read, _utc, o_lsh_dup_pairs,
 )
 from xutil_spark.functions import native
 
@@ -162,17 +162,20 @@ FROM (VALUES {vals}) AS t(q_id, nn_id, score, rank)
 
 # ============================================================== id cards
 
-# synthetic 3-level admin-region dim (ASCII names; a real deployment
-# loads the full public admin-code table via load_region_dim)
-_REGIONS = [
-    ("110105", "Chaoyang District"), ("110100", "Beijing City"), ("110000", "Beijing"),
-    ("310115", "Pudong District"), ("310100", "Shanghai City"), ("310000", "Shanghai"),
-    ("440305", "Nanshan District"), ("440300", "Shenzhen City"), ("440000", "Guangdong"),
-    ("320106", "Gulou District"), ("320100", "Nanjing City"), ("320000", "Jiangsu"),
-    ("610113", "Yanta District"), ("610100", "Xian City"), ("610000", "Shaanxi"),
-    ("500103", "Yuzhong District"), ("500100", "Chongqing City"), ("500000", "Chongqing"),
+# full-cardinality synthetic admin-region dim (~3.4k rows, the
+# ChinaAddr.json shape at real size — see data/synth.region_rows);
+# loaded in the query through load_region_dim's JSON path so the
+# reference's idcard.go:40-53 loading route is driver-exercised too
+from xutil_spark.data.synth import region_rows as _region_rows
+
+_REGIONS = _region_rows()
+# ID region codes cycle ~110 district codes spread across the dim,
+# plus three probes the 3-level join must NULL correctly: 110199
+# (district absent, city+province present), 320499 (same, other
+# province), 830101 (province absent entirely → all three levels null)
+_CODE6 = [c for c, _ in _REGIONS if c[4:6] != "00"][::29] + [
+    "110199", "320499", "830101",
 ]
-_CODE6 = [c for c, _ in _REGIONS if not c.endswith("0000") and not c.endswith("00")]
 _WI = [7, 9, 10, 5, 8, 4, 2, 1, 6, 3, 7, 9, 10, 5, 8, 4, 2]
 _Y11 = "10X98765432"
 
@@ -228,7 +231,22 @@ def q_idcard_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("c_custkey") % 7 == 0, F.concat(id17, F.lit("0")))
         .otherwise(F.concat(id17, F.col("_ck"))),
     )
-    dim = spark.createDataFrame(pd.DataFrame(_REGIONS, columns=["code", "name"]))
+    # write the dim as JSON and load through load_region_dim — the
+    # reference's ChinaAddr.json route (idcard.go:40-53) at full
+    # cardinality, not a toy in-memory frame
+    import json
+    import os
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), "xutil_region_dim.json")
+    if not os.path.exists(path):
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(dict(_REGIONS), fh)
+        os.replace(tmp, path)  # atomic: concurrent query runs see whole files
+    from xutil_spark.operators.relational import load_region_dim
+
+    dim = load_region_dim(spark, path)
     out = id_card_pipeline(ids, dim, id_col="id", as_of="2026-01-01",
                            check_col="_ck")
     return out.select(
@@ -809,7 +827,7 @@ def q_streaming_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.writeStream.format("memory").queryName(name)
         .outputMode("complete").trigger(availableNow=True).start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     return spark.table(name).select(
         F.col("window_start").cast("long").alias("win_start_epoch"),
         "cell",

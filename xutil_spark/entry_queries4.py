@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from xutil_spark.entry_queries import _PTS_SQL, _points, _utc
+from xutil_spark.entry_queries import _PTS_SQL, _await_stream, _points, _utc
 
 # ------------------------------------------------------------ shared SQL
 
@@ -691,7 +691,7 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("checkpointLocation", chk)
         .outputMode("append").trigger(availableNow=True).start()
     )
-    q.awaitTermination(300)
+    _await_stream(q, work)
     res = spark.read.parquet(sink).select("doc_id", "digest").localCheckpoint()
     shutil.rmtree(work, ignore_errors=True)
     return res
@@ -751,7 +751,7 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("checkpointLocation", chk)
         .outputMode("append").trigger(availableNow=True).start()
     )
-    q.awaitTermination(300)
+    _await_stream(q, work)
     res = (
         spark.read.parquet(sink)
         .select(

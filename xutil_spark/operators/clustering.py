@@ -25,6 +25,7 @@ from xutil_spark.operators.dedup import connected_components
 
 _ZBASE = 288230376151711744  # 2^58, cell id = z·2^58 + x·2^29 + y
 _XBASE = 536870912           # 2^29
+_XSHIFT = 29
 
 
 def grid_density_clusters(
@@ -42,8 +43,10 @@ def grid_density_clusters(
     )
     dense = cells.filter(F.col("n_points") >= min_count).localCheckpoint()
 
-    x = (F.col("cell") % _ZBASE) / F.lit(_XBASE)
-    x = F.floor(x).cast("long")
+    # integer bit arithmetic, not double division: x*2^29+y exceeds the
+    # 53-bit double mantissa for zoom > 24, which would silently corrupt
+    # neighbor ids / bounds checks at deep zooms
+    x = F.shiftright((F.col("cell") % _ZBASE).cast("long"), _XSHIFT)
     y = F.col("cell") % _XBASE
     nbrs = []
     for dx in (-1, 0, 1):

@@ -29,11 +29,15 @@ FENCES = [
 
 
 def fence_assign(lon, lat, fences=None) -> Column:
-    """First (min-fid) containing rectangle, -1 outside."""
+    """Smallest-fid containing rectangle, -1 outside.  Fences are
+    sorted by fid before the CASE chain is built, so a custom unsorted
+    list with overlapping rectangles still matches the oracle's
+    MIN(fid) semantics (reversed iteration makes the lowest fid the
+    outermost WHEN)."""
     lon = F.col(lon) if isinstance(lon, str) else lon
     lat = F.col(lat) if isinstance(lat, str) else lat
     expr = F.lit(-1).cast("long")
-    for fid, w, s, e, n in reversed(fences or FENCES):
+    for fid, w, s, e, n in reversed(sorted(fences or FENCES)):
         cond = (lon >= F.lit(w)) & (lon < F.lit(e)) & \
                (lat >= F.lit(s)) & (lat < F.lit(n))
         expr = F.when(cond, F.lit(fid).cast("long")).otherwise(expr)

@@ -55,8 +55,16 @@ def space_saving_summaries(
                        F.spark_partition_id().alias("_pid"))
 
     def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import heapq
+
         pid = -1
         counters: dict = {}  # key -> [cnt, err]
+        # lazy min-heap of (cnt, key): entries go stale when a key's
+        # count is bumped (or the key is evicted); eviction pops stale
+        # tops until it finds a live minimum — amortized O(log cap) per
+        # eviction instead of a full O(cap) dict scan (a batch of many
+        # distinct misses would otherwise degrade to O(distinct·cap))
+        heap: list = []
         saturated = False
         for b in it:
             if len(b) and pid < 0:
@@ -64,14 +72,26 @@ def space_saving_summaries(
             for key, n in b["key"].value_counts(dropna=True).items():
                 n = int(n)
                 if key in counters:
-                    counters[key][0] += n
+                    c = counters[key]
+                    c[0] += n
+                    heapq.heappush(heap, (c[0], key))
                 elif len(counters) < capacity:
                     counters[key] = [n, 0]
+                    heapq.heappush(heap, (n, key))
                 else:
                     saturated = True
-                    mk = min(counters, key=lambda kk: counters[kk][0])
-                    mc = counters.pop(mk)[0]
+                    while True:
+                        mc, mk = heap[0]
+                        if counters.get(mk, (None,))[0] == mc:
+                            break
+                        heapq.heappop(heap)  # stale
+                    heapq.heappop(heap)
+                    counters.pop(mk)
                     counters[key] = [mc + n, mc]
+                    heapq.heappush(heap, (mc + n, key))
+            if len(heap) > 4 * capacity:  # compact accumulated stale entries
+                heap = [(v[0], k) for k, v in counters.items()]
+                heapq.heapify(heap)
         if not counters:
             return
         pmin = min(v[0] for v in counters.values()) if saturated else 0

@@ -216,7 +216,14 @@ def streaming_geofence(
     stage is pure transition logic.  Semantics (mirrored 1:1 by the
     batch lag() oracle):
 
-    * events order by (ts, event_id) within each entity;
+    * events order by (ts, event_id) within each entity — WITHIN one
+      micro-batch.  Across batches the state only remembers the last
+      fence, so events arriving out of time order in a LATER batch
+      produce transitions the batch lag() oracle would not: the 1:1
+      oracle mirror holds only when each entity's events arrive in
+      (ts, event_id) order across batches (trivially satisfied by the
+      contract query's single availableNow batch; a production feed
+      needs source ordering or an upstream watermark+sort stage);
     * a change from fence p to fence f at event e emits ``exit`` of p
       (if p ≠ -1) and ``enter`` of f (if f ≠ -1), both stamped with
       e's (ts, event_id);
