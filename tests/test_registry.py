@@ -4,20 +4,44 @@ The external driver evaluates only the first 50 entries of
 ``queries()`` (empirically: CORRECTNESS_r02.json == registry[:50]), so
 the registry ORDER is itself part of the contract: every query that
 needs a hard-gate row must sit inside that window.
+
+Rotation policy (round 4 onwards): the committed CORRECTNESS_r*.json
+files ARE the evidence ledger — a query's "last green round" is the
+newest file whose row for it has rows/schema/hash all matching.  The
+staleness rule below requires every query that was NOT green in the
+most recent round (including never-evaluated ones) to sit inside the
+next window, so no query's evidence ever goes stale beyond two rounds.
+Queries whose code changed in the current round are front-loaded by
+hand (see the window comments in entry_queries.py).
 """
+
+import glob
+import json
+import os
+import re
 
 from xutil_spark.entry_queries import _DRIVER_WINDOW, ORACLES, QUERIES
 
-# the 21 oracle-paired round-2 queries that had no driver row in r02,
-# plus wgs2bd / streaming_cell_counts (same gap per the round-2 review)
-NEVER_VERIFIED = {
-    "gcj2wgs", "bd2gcj", "bd2wgs", "wgs2bd", "mercator_to_bd09",
-    "tile2wgs", "asof_join", "dup_clusters", "cosine_top5_ivf",
-    "streaming_dedup", "streaming_sessions", "streaming_cell_counts",
-    "parse_zip_xml", "row_kv_reorder", "value_processor",
-    "strings_index", "time_extend", "aes_roundtrip",
-    "file_lines_count", "file_list_pattern", "geocode_enrich",
-}
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _last_green() -> tuple[dict, int]:
+    """query -> newest round with a fully-green row; plus the newest
+    round number on disk."""
+    last: dict = {}
+    latest = 0
+    for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        latest = max(latest, rnd)
+        with open(path) as fh:
+            for q, rec in json.load(fh).items():
+                if (rec.get("rows_match") and rec.get("schema_match")
+                        and rec.get("hash_match") and not rec.get("err")):
+                    last[q] = max(last.get(q, 0), rnd)
+    return last, latest
 
 
 def test_driver_window_is_first_50_and_oracle_paired():
@@ -27,8 +51,13 @@ def test_driver_window_is_first_50_and_oracle_paired():
     assert not missing, f"window entries without an oracle: {missing}"
 
 
-def test_never_verified_queries_inside_window():
-    assert NEVER_VERIFIED <= set(_DRIVER_WINDOW)
+def test_no_query_evidence_stale_beyond_last_round():
+    """Every query not green in the most recent recorded round (stale
+    or never-green) must be inside the next driver window."""
+    last, latest = _last_green()
+    must = {q for q in QUERIES if last.get(q, 0) < latest}
+    out = must - set(_DRIVER_WINDOW)
+    assert not out, f"stale-evidence queries outside the window: {sorted(out)}"
 
 
 def test_every_oracle_has_a_query():

@@ -444,9 +444,79 @@ def test_crypto_unsupported_modes_raise():
     from xutil_spark.functions import crypto
 
     with pytest.raises(NotImplementedError):
-        crypto.encrypt("c", "k" * 16, algorithm="DES")
+        crypto.encrypt("c", "k" * 16, algorithm="RC4")
     with pytest.raises(NotImplementedError):
-        crypto.encrypt("c", "k" * 16, mode="CTR")
+        crypto.encrypt("c", "k" * 16, mode="XTS")
+
+
+def test_blockcipher_nist_kats():
+    """Kernel pins: DES forward/inverse on the classic FIPS-81-lineage
+    known answer; AES-128 forward/inverse on FIPS-197 appendix C.1;
+    AES CTR / OFB / CFB128 first blocks on NIST SP 800-38A
+    (F.5.1 / F.4.1 / F.3.13)."""
+    from xutil_spark.kernels.blockciphers import AES128, DES, _keystream_apply
+
+    d = DES(bytes.fromhex("133457799BBCDFF1"))
+    ct = d.encrypt_block(bytes.fromhex("0123456789ABCDEF"))
+    assert ct.hex().upper() == "85E813540F0AB405"
+    assert d.decrypt_block(ct).hex().upper() == "0123456789ABCDEF"
+
+    a = AES128(bytes.fromhex("000102030405060708090a0b0c0d0e0f"))
+    ct = a.encrypt_block(bytes.fromhex("00112233445566778899aabbccddeeff"))
+    assert ct.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
+    assert a.decrypt_block(ct).hex() == "00112233445566778899aabbccddeeff"
+
+    key = bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c")
+    pt1 = bytes.fromhex("6bc1bee22e409f96e93d7e117393172a")
+    iv = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    ctr0 = bytes.fromhex("f0f1f2f3f4f5f6f7f8f9fafbfcfdfeff")
+    assert _keystream_apply(AES128(key), iv, pt1, "CFB", False).hex() \
+        == "3b3fd92eb72dad20333449f8e83cfb4a"
+    assert _keystream_apply(AES128(key), iv, pt1, "OFB", False).hex() \
+        == "3b3fd92eb72dad20333449f8e83cfb4a"
+    assert _keystream_apply(AES128(key), ctr0, pt1, "CTR", False).hex() \
+        == "874d6191b620e3261bef6864990db6ce"
+
+
+def test_blockcipher_roundtrip_matrix():
+    """crypto.go semantics round-trip for every algorithm × mode ×
+    padding (IV = key, pad in every mode, ZERO strips both ends)."""
+    from xutil_spark.kernels.blockciphers import crypt
+
+    msg = "The quick brown fox -- 你好".encode()
+    for algo, key in (("DES", b"deskey12"), ("AES", b"0123456789abcdef")):
+        for mode in ("ECB", "CBC", "CTR", "OFB", "CFB"):
+            for padding in ("PKCS5", "ZERO"):
+                ct = crypt(msg, key, algo, mode, padding)
+                assert crypt(ct, key, algo, mode, padding, decrypt=True) \
+                    == msg, (algo, mode, padding)
+    # ZERO-unpad both-ends quirk (Go bytes.TrimFunc, crypto.go:60-64):
+    # leading NULs in the plaintext are stripped on decrypt too
+    ct = crypt(b"\x00lead", b"deskey12", "DES", "ECB", "ZERO")
+    assert crypt(ct, b"deskey12", "DES", "ECB", "ZERO", decrypt=True) == b"lead"
+
+
+def test_crypto_des_stream_modes_spark(spark):
+    """DES/CBC and AES/CTR column round-trips through the pandas-UDF
+    kernel path (reference IV=key semantics)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from xutil_spark.functions import crypto
+
+    df = spark.createDataFrame(pd.DataFrame({"t": ["hello 世界", "x", ""]}))
+    out = df.select(
+        "t",
+        crypto.decrypt(crypto.encrypt(F.col("t"), "deskey12",
+                                      algorithm="DES", mode="CBC"),
+                       "deskey12", algorithm="DES", mode="CBC")
+        .cast("string").alias("rt_des"),
+        crypto.decrypt(crypto.encrypt(F.col("t"), "0123456789abcdef",
+                                      mode="CTR"),
+                       "0123456789abcdef", mode="CTR")
+        .cast("string").alias("rt_ctr"),
+    ).toPandas()
+    assert out["rt_des"].tolist() == out["t"].tolist()
+    assert out["rt_ctr"].tolist() == out["t"].tolist()
 
 
 def test_as_of_join_vs_pandas_merge_asof(spark):

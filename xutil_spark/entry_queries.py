@@ -1031,30 +1031,34 @@ ORACLES.update(ORACLES7)
 # media goldens + dhash/geohash — all r01+r02 green, code untouched
 # since they last went green).
 _DRIVER_WINDOW = [
-    # --- never driver-verified, oracle-paired (round-2 additions) ---
-    "gcj2wgs", "bd2gcj", "bd2wgs", "wgs2bd", "mercator_to_bd09",
-    "tile2wgs", "asof_join", "dup_clusters", "cosine_top5_ivf",
-    "streaming_dedup", "streaming_sessions", "streaming_cell_counts",
-    "parse_zip_xml", "row_kv_reorder", "value_processor",
-    "strings_index", "time_extend", "aes_roundtrip",
-    "file_lines_count", "file_list_pattern", "geocode_enrich",
-    # --- changed or newly oracle-paired this round ---
-    "hash_digests", "wkt_roundtrip", "snapshot_lineage", "ngram_jaccard",
-    "simhash_docs", "fingerprints", "s2_cells", "rep_filter", "pii_scrub",
-    # --- newly oracle-paired this round (computed-VALUES media goldens:
-    #     previously rows-only, never hash-verified by the driver) ---
-    "images_decode_stats", "image_resize", "audio_features",
-    "video_frames", "knn_images_refs",
-    # --- new round-3 batch-2 operators (image dHash near-dup, geohash,
-    #     trajectory polyline + Douglas-Peucker, streaming geofence) ---
-    "image_dhash_pairs", "geohash_cells", "traj_polyline", "traj_simplify",
-    "streaming_geofence", "image_dedup", "heavy_hitters_users",
-    "grid_clusters", "image_phash",
-    # --- flagship spatial / dedup / relational coverage
-    #     (tile_pixel_z12 rotated out: r01+r02 green, code untouched) ---
-    "tile_assign_z15", "tile_rollup_z10", "knn_k3",
-    "range_count_50km", "pip_city_tiles",
-    "idcard_pipeline",
+    # --- round 4: never driver-green — the 4 formerly rows-only/
+    #     no-oracle entries (now computed-VALUES-oracled) + the new
+    #     DES/stream-mode query ---
+    "embedding_near_dup_lsh", "cosine_top5_lsh", "snapshot_resume",
+    "bmap_mocator", "des_roundtrip",
+    # --- code touched this round (CC union-find gate + budget rounds:
+    #     dup_clusters/image_dedup/grid_clusters; heap eviction:
+    #     heavy_hitters_users; crypto routing: aes_roundtrip; stream
+    #     await guard: 4 streaming queries; full-cardinality region
+    #     dim through load_region_dim: idcard_pipeline) ---
+    "dup_clusters", "image_dedup", "grid_clusters", "heavy_hitters_users",
+    "aes_roundtrip", "streaming_dedup", "streaming_sessions",
+    "streaming_cell_counts", "streaming_geofence", "idcard_pipeline",
+    # --- evidence refresh: every query whose last green row is r02
+    #     (the staleness rule in tests/test_registry.py enforces this
+    #     rotation automatically from the CORRECTNESS_r*.json ledger) ---
+    "tile_pixel_z12", "wgs2gcj", "pricing_summary", "top3_orders_per_cust",
+    "events_weekly_sunday", "set_minus_users", "ip_roundtrip",
+    "time_parse_ladder", "dedup_exact", "minhash_sigs", "lsh_dup_pairs",
+    "lang_id", "token_counts", "quality", "cosine_top5", "col_float64",
+    "string_funcs", "base_conv", "time_rule", "set_intersect_users",
+    "rollup_pricing", "azimuth_mid", "dist_compare", "minus_arrays",
+    "knn_category_pivot", "embedding_near_dup", "baidu_mercator",
+    "time_split_hourly", "union_names", "uniq_first_event",
+    "day_last_range", "time_trunc_units", "salted_tile_join",
+    "point_at_dest",
+    # --- flagship (r03-green, untouched; keeps one headline fresh) ---
+    "knn_k3",
 ]
 assert len(_DRIVER_WINDOW) == 50 and len(set(_DRIVER_WINDOW)) == 50
 QUERIES = {

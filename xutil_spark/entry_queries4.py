@@ -373,6 +373,56 @@ FROM documents WHERE doc_id % 5 = 0
 """
 
 
+def q_des_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crypto DES + stream modes (crypto.go:95-160) through the
+    NIST-pinned python kernel (kernels/blockciphers): DES/CBC/PKCS5
+    and DES/CTR round-trips with the reference's IV=key semantics,
+    plus a per-row known-answer column — the first ciphertext block of
+    DES-ECB(key 133457799BBCDFF1, pt 0123456789ABCDEF), which the
+    oracle pins to the published FIPS-81-lineage value 85E813540F0AB405
+    (a round-trip alone would pass for any self-inverse bug)."""
+    _utc(spark)
+    from xutil_spark.entry_queries import _read
+    from xutil_spark.functions import crypto
+
+    key = "deskey12"  # 8-byte DES key (IV = key, crypto.go:77)
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 3)
+    cbc = crypto.decrypt(
+        crypto.encrypt(F.col("text"), key, algorithm="DES", mode="CBC"),
+        key, algorithm="DES", mode="CBC",
+    ).cast("string")
+    ctr = crypto.decrypt(
+        crypto.encrypt(F.col("text"), key, algorithm="DES", mode="CTR"),
+        key, algorithm="DES", mode="CTR",
+    ).cast("string")
+    # KAT through the full column path: ZERO-padding an exactly-8-byte
+    # literal appends one all-zero block, so ct[0:8] is the raw block
+    # encryption of the published test vector
+    kat = F.substring(
+        F.hex(crypto.encrypt(
+            F.lit(bytes.fromhex("0123456789ABCDEF")),
+            bytes.fromhex("133457799BBCDFF1"),
+            algorithm="DES", mode="ECB", padding="ZERO",
+        )), 1, 16,
+    )
+    return docs.select(
+        "doc_id",
+        cbc.alias("pt_cbc"),
+        ctr.alias("pt_ctr"),
+        (cbc == F.col("text")).alias("ok_cbc"),
+        (ctr == F.col("text")).alias("ok_ctr"),
+        kat.alias("des_kat"),
+    )
+
+
+def o_des_roundtrip() -> str:
+    return """
+SELECT doc_id, text AS pt_cbc, text AS pt_ctr, TRUE AS ok_cbc,
+       TRUE AS ok_ctr, '85E813540F0AB405' AS des_kat
+FROM documents WHERE doc_id % 5 = 3
+"""
+
+
 def q_bmap_mocator(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BmapMocator (map.go:265-293): Baidu encoded polyline → Mercator
     parse → MercatorToBd09 per vertex → LINESTRING WKT with Go-%g
@@ -899,6 +949,7 @@ QUERIES4 = {
     "strings_index": q_strings_index,
     "time_extend": q_time_extend,
     "aes_roundtrip": q_aes_roundtrip,
+    "des_roundtrip": q_des_roundtrip,
     "bmap_mocator": q_bmap_mocator,
     "parse_zip_xml": q_parse_zip_xml,
     "file_lines_count": q_file_lines_count,
@@ -924,6 +975,7 @@ ORACLES4 = {
     "strings_index": o_strings_index(),
     "time_extend": o_time_extend(),
     "aes_roundtrip": o_aes_roundtrip(),
+    "des_roundtrip": o_des_roundtrip(),
     "bmap_mocator": o_bmap_mocator(),
     "parse_zip_xml": o_parse_zip_xml(),
     "file_lines_count": o_file_lines_count(),
