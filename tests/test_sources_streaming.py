@@ -237,6 +237,52 @@ def test_geocode_enrich_distinct_resolution(spark):
     assert ((out["geo_lng"] >= 73.5) & (out["geo_lng"] <= 134.5)).all()
 
 
+def test_geocode_live_resolver_retries_and_failure(spark, tmp_path):
+    """live_resolver_udf (map.go:74-133 retry/cache idiom) with an
+    injected flaky fetcher: an address that succeeds on attempt 3
+    resolves (within the ≤5-retry budget); one that always errors and
+    one that always returns status=0 yield status=0 rows carrying the
+    last error — never a stage-killing exception.  Attempt counts are
+    spied through a scratch file (UDFs run in worker processes)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from xutil_spark.operators.geocode import geocode_distinct, live_resolver_udf
+
+    spy = str(tmp_path / "calls.jsonl")
+
+    def fetch(addr):
+        with open(spy, "a") as fh:
+            fh.write(json.dumps(addr) + "\n")
+        n = sum(1 for line in open(spy) if json.loads(line) == addr)
+        if addr == "flaky" and n < 3:
+            raise IOError(f"boom {n}")
+        if addr == "dead":
+            raise IOError("always down")
+        if addr == "rejected":
+            return {"status": 0, "message": "quota"}
+        return {"status": 1, "message": "ok", "lng": 116.4, "lat": 39.9,
+                "province": "P", "city": "C", "district": "D",
+                "city_code": "0001", "level": "street"}
+
+    df = spark.createDataFrame(pd.DataFrame(
+        {"addr": ["flaky", "dead", "rejected", "good", "flaky"]}
+    )).coalesce(1)
+    dim = geocode_distinct(df, "addr", resolver=live_resolver_udf(fetch))
+    got = {r["_addr"]: r["poi"].asDict()
+           for r in dim.select("_addr", "poi").collect()}
+    assert got["flaky"]["status"] == 1 and got["flaky"]["lng"] == 116.4
+    assert got["good"]["status"] == 1
+    assert got["dead"]["status"] == 0 and "always down" in got["dead"]["message"]
+    assert got["rejected"]["status"] == 0 and got["rejected"]["message"] == "quota"
+    calls = [json.loads(line) for line in open(spy)]
+    assert calls.count("flaky") == 3     # retried to success, then cached
+    assert calls.count("good") == 1      # distinct-dedupe: one call
+    assert calls.count("dead") == 5      # full retry budget
+    assert calls.count("rejected") == 5  # bad status retries too
+
+
 def test_streaming_first_seen_dedup(spark, tmp_path):
     """Stateful streaming dedup: duplicates across TWO micro-batches
     collapse to the first arrival (applyInPandasWithState).  Parquet

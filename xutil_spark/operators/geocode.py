@@ -63,6 +63,64 @@ def geocode_distinct(
     return addrs.select("_addr", resolver(F.col("_addr")).alias("poi"))
 
 
+def live_resolver_udf(fetch, max_retries: int = 5, schema: str = POI_DDL):
+    """The UNAVOIDABLE-live-call variant (SURVEY §3.3) of the resolver:
+    an Arrow-batched pandas UDF that calls a user-supplied
+    ``fetch(addr) -> dict`` (the HTTP geocoder, map.go:44-127) with the
+    reference's retry-and-cache idiom (map.go:74-133, 135-155):
+
+    * ≤ ``max_retries`` attempts per address (the reference's ``for i
+      < 5`` loop, map.go:117-123), retrying on raised exceptions and
+      on ``status != 1`` responses;
+    * a per-worker in-process cache keyed by address — combined with
+      ``geocode_distinct``'s upstream dedupe this is the sync.Map
+      semantics: one resolution per distinct address per executor;
+    * persistent failure → a ``status=0`` row carrying the last error
+      in ``message`` (the caller filters or dead-letters), never an
+      exception that kills the stage.
+
+    Use through ``geocode_distinct(df, col, resolver=live_resolver_udf
+    (my_fetch))``; concurrency is bounded by partition count × worker
+    pool, the Spark-native replacement for the reference's
+    ``GeoCodePOOL`` channel (map.go:129-133).  Tested with injected
+    flaky fetchers (tests/test_spatial_joins.py) — no network in this
+    environment."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cache: dict = {}
+    fields = ["status", "message", "lng", "lat", "addr", "province",
+              "city", "district", "city_code", "level"]
+
+    def resolve_one(addr):
+        if addr in cache:
+            return cache[addr]
+        last_err = "no attempt"
+        row = None
+        for _ in range(max_retries):
+            try:
+                poi = fetch(addr)
+            except Exception as ex:  # noqa: BLE001 — any fetch error retries
+                last_err = str(ex)
+                continue
+            if poi and poi.get("status") == 1:
+                row = {f: poi.get(f) for f in fields}
+                row["addr"] = addr
+                break
+            last_err = (poi or {}).get("message", "bad status")
+        if row is None:
+            row = dict.fromkeys(fields)
+            row.update(status=0, message=last_err, addr=addr)
+        cache[addr] = row
+        return row
+
+    def run(addrs: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame([resolve_one(a) for a in addrs])
+
+    run.__annotations__ = {"addrs": pd.Series, "return": pd.DataFrame}
+    return pandas_udf(run, schema)
+
+
 def geocode_enrich(
     df: DataFrame, addr_col: str, resolver=fake_geocoder,
     poi_dim: DataFrame | None = None,
