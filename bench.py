@@ -303,7 +303,13 @@ def write_bench_md(timings, p2, p8, p32, eff, pooled_eff, pooled_n, pooled):
         "The verdict uses ONLY the pooled estimator (no best-of-two",
         "estimator shopping); the pooled minimum per level converges on",
         "true capacity and every underlying wall is published in",
-        "BENCH_HISTORY.jsonl.",
+        "BENCH_HISTORY.jsonl.  Readings ABOVE 1.0 are a measurement",
+        "artifact in the conservative-for-the-engine direction: at 2",
+        "pinned cores the JVM (parquet scan, GC, scheduler) time-slices",
+        "against the Python workers and deflates thr2 — the same effect",
+        "that rules out a 1-core level entirely — and a thin just-reset",
+        "pool under-samples the host's speed epochs; both deflate the",
+        "DENOMINATOR, never the engine's wide-level number.",
         "",
         "**Claims audit — the exact pooling predicate** (bench.py, main):",
         "a BENCH_HISTORY row pools iff",
