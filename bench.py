@@ -81,7 +81,15 @@ IMAGES_PATH = f"/tmp/xutil_bench/images_{BENCH_IMAGES}.parquet"
 #      scales with node count, so equal-storage-state trials are the
 #      honest basis for the N-vs-4N ratio; the touch is logged and
 #      untimed.  v3 pool retired (its walls mix cold and warm IO).
-PIPELINE_VERSION = 4
+# v5 = round 4: kNN searcher re-indexed — bbox-fitted nx×ny grid (cell
+#      density targeted at ~2k refs/cell exactly) replaces power-of-2
+#      slippy tiles whose density rule overshot 4×, and per-pair trig
+#      is precomputed per endpoint.  ~2-9× fewer haversine pairs per
+#      point at the bench shape; pinned local[32] pipeline 17.9s →
+#      9.9s on the same 800k input.  Output exactness is grid-
+#      independent (ring guarantee + straggler brute, property-pinned
+#      vs plain brute on adversarial shapes).  v4 pool retired.
+PIPELINE_VERSION = 5
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 

@@ -171,6 +171,13 @@ def _explode_neighbors(df: DataFrame, cell_col: Column, zoom: int, ring: int,
 
 _M_PER_DEG_HAV = 111194.9  # π/180 × 6,371,000 — meters/deg under our haversine
 
+# fitted-grid density target: ~this×k refs per cell (3×3 block ≈ 9×
+# this×k candidates per point).  Lower = fewer haversine pairs but more
+# ring-guarantee stragglers falling to m×R brute force; 2.0 measured
+# best on 2k-ref/800k-point shapes (sweep in round-4 notes), exactness
+# is grid-independent (guarantee + straggler pass).
+_KNN_CELL_TARGET_K = 2.0
+
 
 def _refs_with_cell(refs: DataFrame, zoom: int, ref_id: str, ref_lon: str,
                     ref_lat: str) -> tuple[DataFrame, list[str]]:
@@ -314,7 +321,8 @@ def knn_join_np(
     The refs collect to numpy arrays captured in the task closure
     (broadcast semantics — a few MB shipped once per worker).  Inside
     each Arrow batch the search is a **numpy grid index**, not brute
-    force: refs are pre-sorted by tile cell at an auto-picked zoom, each
+    force: refs are pre-sorted by cell of a bbox-fitted nx×ny grid
+    (density targeted at ~2k refs/cell — see ``knn_searcher``), each
     point gathers the candidates of its 3×3 neighbor block via
     ``searchsorted`` range expansion (no Python loops), distances run
     over the flat candidate pair list, and a per-point guarantee — k-th
@@ -408,68 +416,83 @@ def knn_searcher(rlon, rlat, k: int):
 
     Returns ``search(plon, plat) -> (pt_rows, ref_idx, dist_m, rank)``
     with flat int/float arrays — reusable both by ``knn_join_np`` and
-    by fused whole-pipeline operators (operators/fused.py)."""
-    import numpy as np
+    by fused whole-pipeline operators (operators/fused.py).
 
-    from xutil_spark.kernels.tiles import wgs2tile
+    Round-4 index: a bbox-FITTED nx×ny grid replaces power-of-2 slippy
+    tiles.  The tile version could only step candidate density in 4×
+    jumps, so the "≥ 3k refs per cell" rule routinely landed ~4× over
+    target (measured 264 candidates/point at the 2k-ref bench shape
+    where ~30 satisfies the ring guarantee); fitting nx·ny to
+    n_refs / max(3k, 8) over the refs' own bounding box hits the
+    target density exactly — ~3× fewer haversine pairs, same exact
+    output (the ring-1 guarantee + straggler brute force make the
+    result independent of the grid).  Ref-side trig is precomputed
+    once per searcher, point-side cos once per chunk (they were being
+    recomputed per PAIR).  Refs spanning >180° of longitude fall back
+    to brute force (the fitted grid does not wrap the antimeridian)."""
+    import numpy as np
 
     n_refs = len(rlon)
     kk = min(k, n_refs)
     rad = math.pi / 180.0
     two_r = 2.0 * 6371000.0
+    rlat_rad = np.asarray(rlat, dtype=np.float64) * rad
+    rcos = np.cos(rlat_rad)
 
-    # zoom pick (pure numpy on the collected dim — no Spark job): the
-    # finest zoom keeping ≥ max(3k, 8) refs per tile on average, so the
-    # k-th neighbor usually sits inside the ring-1 guarantee radius.
-    zoom = 0
-    if n_refs >= 16 * kk:
-        dlon_span = max(float(rlon.max() - rlon.min()), 1e-9)
-        dlat_span = max(float(rlat.max() - rlat.min()), 1e-9)
-        # z stops at 2: at zoom=1 (n_axis=2) the 3×3 x-wrap makes dx=-1
-        # and dx=+1 the same column → duplicate candidate pairs; zoom=0
-        # brute force covers that regime exactly instead.
-        for z in range(14, 1, -1):
-            span = 360.0 / (1 << z)
-            tiles = max(dlon_span / span, 1.0) * max(dlat_span / span, 1.0)
-            if n_refs / tiles >= max(3.0 * kk, 8.0):
-                zoom = z
-                break
-    n_axis = 1 << zoom
-    rx, ry = wgs2tile(rlon, rlat, zoom)
-    rcell = rx * n_axis + ry
-    rorder = np.argsort(rcell, kind="stable")  # id order within a cell
-    rcell_s = rcell[rorder]
-    span_deg = 360.0 / n_axis
-    guarantee_scale = span_deg * _M_PER_DEG_HAV  # × cos(φ_far), ring=1
+    # grid fit (pure numpy on the collected dim — no Spark job)
+    use_grid = n_refs >= 16 * kk
+    if use_grid:
+        lon0, lat0 = float(rlon.min()), float(rlat.min())
+        dlon_span = max(float(rlon.max()) - lon0, 1e-9)
+        dlat_span = max(float(rlat.max()) - lat0, 1e-9)
+        if dlon_span > 180.0:
+            use_grid = False  # antimeridian-spanning refs: brute force
+    if use_grid:
+        target_cells = n_refs / max(_KNN_CELL_TARGET_K * kk, 8.0)
+        nx = max(1, int(round(math.sqrt(target_cells * dlon_span / dlat_span))))
+        ny = max(1, int(round(target_cells / nx)))
+        span_x = dlon_span / nx
+        span_y = dlat_span / ny
+        rcx = np.clip(((rlon - lon0) / span_x).astype(np.int64), 0, nx - 1)
+        rcy = np.clip(((rlat - lat0) / span_y).astype(np.int64), 0, ny - 1)
+        rcell = rcx * ny + rcy
+        rorder = np.argsort(rcell, kind="stable")  # id order within a cell
+        rcell_s = rcell[rorder]
 
-    def hav(plon_a, plat_a, rlon_a, rlat_a):
-        dlat = (rlat_a - plat_a) * rad
-        dlon = (rlon_a - plon_a) * rad
+    def hav_pairs(pi, ri, plon, plat, pcos):
+        """Haversine over (point-idx, ref-idx) pair arrays; trig for
+        both endpoints pre-computed (same float64 expression order as
+        the original per-pair form — cos values are identical doubles,
+        so distances are bit-identical)."""
+        dlat = (rlat[ri] - plat[pi]) * rad
+        dlon = (rlon[ri] - plon[pi]) * rad
         a = (
             np.sin(dlat / 2) * np.sin(dlat / 2)
-            + np.sin(dlon / 2) * np.sin(dlon / 2)
-            * np.cos(plat_a * rad) * np.cos(rlat_a * rad)
+            + np.sin(dlon / 2) * np.sin(dlon / 2) * pcos[pi] * rcos[ri]
         )
         return two_r * np.arctan2(np.sqrt(a), np.sqrt(1.0 - a))
 
-    def topk_grid(plon, plat):
+    def topk_grid(plon, plat, pcos):
         """Returns (resolved_out, straggler_mask)."""
         b = len(plon)
-        px, py = wgs2tile(plon, plat, zoom)
-        pcell = px * n_axis + py
+        px = np.clip(((plon - lon0) / span_x).astype(np.int64), 0, nx - 1)
+        py = np.clip(((plat - lat0) / span_y).astype(np.int64), 0, ny - 1)
+        pcell = px * ny + py
         ucell, uinv = np.unique(pcell, return_inverse=True)
         un = len(ucell)
-        ux, uy = ucell // n_axis, ucell % n_axis
-        # 3×3 block ranges into the cell-sorted refs (x wraps, y clips)
+        ux, uy = ucell // ny, ucell % ny
+        # 3×3 block ranges into the cell-sorted refs (both axes clip —
+        # the fitted grid has no wrap, so no duplicate candidates)
         los = np.empty((un, 9), dtype=np.int64)
         his = np.empty((un, 9), dtype=np.int64)
         col = 0
         for dx in (-1, 0, 1):
-            nx = (ux + dx) % n_axis
+            mx = ux + dx
+            okx = (mx >= 0) & (mx < nx)
             for dy in (-1, 0, 1):
-                ny = uy + dy
-                ok = (ny >= 0) & (ny < n_axis)
-                ncell = np.where(ok, nx * n_axis + ny, -1)
+                my = uy + dy
+                ok = okx & (my >= 0) & (my < ny)
+                ncell = np.where(ok, mx * ny + my, -1)
                 los[:, col] = np.searchsorted(rcell_s, ncell, side="left")
                 his[:, col] = np.searchsorted(rcell_s, ncell, side="right")
                 col += 1
@@ -491,7 +514,7 @@ def knn_searcher(rlon, rlat, k: int):
         pcum = np.concatenate(([0], np.cumsum(b_per_pt)))[:-1]
         pair_off = np.arange(n_pairs) - np.repeat(pcum, b_per_pt)
         pair_ref = rorder[rflat[np.repeat(ucum[uinv[porder]], b_per_pt) + pair_off]]
-        d = hav(plon[pair_pt], plat[pair_pt], rlon[pair_ref], rlat[pair_ref])
+        d = hav_pairs(pair_pt, pair_ref, plon, plat, pcos)
         key = np.rint(np.round(d, 3) * 1000.0).astype(np.int64) * n_refs + pair_ref
         o = np.lexsort((key, pair_pt))
         spt, sref, sd = pair_pt[o], pair_ref[o], d[o]
@@ -507,15 +530,27 @@ def knn_searcher(rlon, rlat, k: int):
         kth_d = np.full(b, np.inf)
         at_k = pos == (kk - 1)
         kth_d[spt[at_k]] = sd[at_k]
-        phi_far = np.minimum(np.abs(plat) + 2.0 * span_deg, 85.0)
-        guarantee = guarantee_scale * np.cos(phi_far * rad)
+        # ring-1 guarantee: the unsearched region is ≥ one cell span
+        # away in x (scaled by cos at the farthest block latitude) and
+        # ≥ one span in y — the binding direction is the minimum
+        phi_far = np.minimum(np.abs(plat) + 2.0 * span_y, 85.0)
+        guarantee = _M_PER_DEG_HAV * np.minimum(
+            span_x * np.cos(phi_far * rad), span_y
+        )
         resolved = (cnt >= kk) & (kth_d <= guarantee)
         take = (pos < kk) & resolved[spt]
         return (spt[take], sref[take], sd[take]), ~resolved
 
-    def brute(plon, plat):
+    def brute(plon, plat, pcos):
         """Vectorized brute-force top-k for m stragglers (m×R)."""
-        d = hav(plon[:, None], plat[:, None], rlon[None, :], rlat[None, :])
+        dlat = (rlat[None, :] - plat[:, None]) * rad
+        dlon = (rlon[None, :] - plon[:, None]) * rad
+        a = (
+            np.sin(dlat / 2) * np.sin(dlat / 2)
+            + np.sin(dlon / 2) * np.sin(dlon / 2)
+            * pcos[:, None] * rcos[None, :]
+        )
+        d = two_r * np.arctan2(np.sqrt(a), np.sqrt(1.0 - a))
         key = (
             np.rint(np.round(d, 3) * 1000.0).astype(np.int64) * n_refs
             + np.arange(n_refs, dtype=np.int64)[None, :]
@@ -531,11 +566,12 @@ def knn_searcher(rlon, rlat, k: int):
         if len(plon) == 0 or n_refs == 0:
             z = np.empty(0, dtype=np.int64)
             return z, z, np.empty(0), z
-        if zoom == 0:
-            rows, ridx, d = brute(plon, plat)
+        pcos = np.cos(plat * rad)
+        if not use_grid:
+            rows, ridx, d = brute(plon, plat, pcos)
             return rows, ridx, d, np.tile(np.arange(1, kk + 1), len(plon))
         parts = []
-        grid_out, straggler = topk_grid(plon, plat)
+        grid_out, straggler = topk_grid(plon, plat, pcos)
         if grid_out is not None and len(grid_out[0]):
             gp, gr, gd = grid_out
             # pos within segment restarts at each point → rank
@@ -548,7 +584,7 @@ def knn_searcher(rlon, rlat, k: int):
             parts.append((gp, gr, gd, rank))
         sidx = np.flatnonzero(straggler)
         if len(sidx):
-            rows, ridx, d = brute(plon[sidx], plat[sidx])
+            rows, ridx, d = brute(plon[sidx], plat[sidx], pcos[sidx])
             parts.append(
                 (sidx[rows], ridx, d, np.tile(np.arange(1, kk + 1), len(sidx)))
             )
