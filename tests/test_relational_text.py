@@ -771,3 +771,65 @@ def test_pii_scrub_matches_oracle(spark):
     assert len(s) == len(o)
     for c in ("n_email", "n_phone", "n_ipv4", "scrubbed"):
         assert list(s[c]) == list(o[c]), c
+
+
+# ------------------------------------------------------------- sampling
+
+
+def test_sampling_deterministic_and_mass(spark):
+    """operators/sampling: identical calls return identical rows
+    (hash-rank determinism), fractions land near their expected mass,
+    stratified-n is exact per stratum, and mixture copies realize
+    floor(w)/ceil(w) with a 1-based copy_id."""
+    import numpy as np
+    from xutil_spark.operators import sampling as S
+
+    n = 4000
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "lang": np.where(np.arange(n) % 3 == 0, "en",
+                         np.where(np.arange(n) % 3 == 1, "zh", "de")),
+    })
+    df = spark.createDataFrame(pdf)
+
+    a = sorted(r["doc_id"] for r in
+               S.sample_fraction(df, 0.3, "doc_id").collect())
+    b = sorted(r["doc_id"] for r in
+               S.sample_fraction(df, 0.3, "doc_id").collect())
+    assert a == b                       # deterministic
+    assert abs(len(a) / n - 0.3) < 0.03  # mass
+    # different salt = different (but still deterministic) pick
+    c = sorted(r["doc_id"] for r in
+               S.sample_fraction(df, 0.3, "doc_id", salt=9).collect())
+    assert c != a and abs(len(c) / n - 0.3) < 0.03
+    assert S.sample_fraction(df, 1.0, "doc_id").count() == n
+    assert S.sample_fraction(df, 0.0, "doc_id").count() == 0
+
+    topn = S.sample_stratified_n(df, "lang", 25, "doc_id").toPandas()
+    assert topn.groupby("lang").size().to_dict() == {"en": 25, "zh": 25, "de": 25}
+
+    sizes = pdf.groupby("lang").size()
+    frac = S.sample_stratified_fraction(
+        df, "lang", {"en": 0.5, "zh": 0.1}, "doc_id", default=0.25
+    ).toPandas()
+    got = frac.groupby("lang").size()
+    assert abs(got["en"] / sizes["en"] - 0.5) < 0.06
+    assert abs(got["zh"] / sizes["zh"] - 0.1) < 0.04
+    assert abs(got["de"] / sizes["de"] - 0.25) < 0.05
+
+    mix = S.mixture_resample(
+        df, "lang", {"en": 2.5, "zh": 0.25}, "doc_id"
+    ).toPandas()
+    per = mix.groupby("lang")
+    # en: every row 2 or 3 copies, mean ≈ 2.5
+    en_copies = per.get_group("en").groupby("doc_id").size()
+    assert set(en_copies.unique()) <= {2, 3}
+    assert abs(en_copies.mean() - 2.5) < 0.1
+    # zh: surviving rows exactly once, ~25% survive
+    zh = per.get_group("zh")
+    assert zh.groupby("doc_id").size().max() == 1
+    assert abs(len(zh) / sizes["zh"] - 0.25) < 0.05
+    # unlisted stratum: weight 1 → every row exactly once
+    de = per.get_group("de")
+    assert len(de) == sizes["de"] and set(de["copy_id"]) == {1}
+    assert mix["copy_id"].min() == 1

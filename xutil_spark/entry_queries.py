@@ -968,6 +968,7 @@ from xutil_spark.entry_queries4 import ORACLES4, QUERIES4  # noqa: E402
 from xutil_spark.entry_queries5 import ORACLES5, QUERIES5  # noqa: E402
 from xutil_spark.entry_queries6 import ORACLES6, QUERIES6  # noqa: E402
 from xutil_spark.entry_queries7 import ORACLES7, QUERIES7  # noqa: E402
+from xutil_spark.entry_queries8 import ORACLES8, QUERIES8  # noqa: E402
 
 QUERIES.update(QUERIES2)
 QUERIES.update(QUERIES3)
@@ -975,6 +976,7 @@ QUERIES.update(QUERIES4)
 QUERIES.update(QUERIES5)
 QUERIES.update(QUERIES6)
 QUERIES.update(QUERIES7)
+QUERIES.update(QUERIES8)
 
 ORACLES = {
     "tile_assign_z15": o_tile_assign_z15(),
@@ -1006,6 +1008,7 @@ ORACLES.update(ORACLES4)
 ORACLES.update(ORACLES5)
 ORACLES.update(ORACLES6)
 ORACLES.update(ORACLES7)
+ORACLES.update(ORACLES8)
 
 # ------------------------------------------------------------ registry order
 #
@@ -1042,8 +1045,12 @@ _DRIVER_WINDOW = [
     #     await guard: 4 streaming queries; full-cardinality region
     #     dim through load_region_dim: idcard_pipeline) ---
     "dup_clusters", "image_dedup", "grid_clusters", "heavy_hitters_users",
-    "aes_roundtrip", "streaming_dedup", "streaming_sessions",
-    "streaming_cell_counts", "streaming_geofence", "idcard_pipeline",
+    "aes_roundtrip", "streaming_geofence", "idcard_pipeline",
+    # --- new round-4 sampling/mixture operators ---
+    "sample_stratified", "sample_mixture", "sample_fraction",
+    # (streaming_dedup/_sessions/_cell_counts rotate out r03-green:
+    #  their only round-4 change is the error-path timeout guard; the
+    #  staleness rule pulls them back next round)
     # --- evidence refresh: every query whose last green row is r02
     #     (the staleness rule in tests/test_registry.py enforces this
     #     rotation automatically from the CORRECTNESS_r*.json ledger) ---
