@@ -25,6 +25,8 @@ AUDITED = [
     "s2_cells", "rep_filter", "pii_scrub", "image_dhash_pairs",
     "geohash_cells", "traj_polyline", "traj_simplify", "image_dedup",
     "heavy_hitters_users", "grid_clusters", "image_phash",
+    "sample_stratified", "sample_mixture", "sample_fraction",
+    "des_roundtrip",
 ]
 
 
