@@ -20,7 +20,8 @@ Default run (what the driver invokes):
      walls + per-trial stolen-cpu% are reported.  Why 2 and
      8: a raw-CPU probe (concurrent zlib round-trips, no Spark) shows
      this host scales ~0.98 up to 8 processes but only ~0.69 from 8→32
-     (16 physical cores + SMT), so wider levels measure the hardware,
+     (a host property — lscpu reports 32 single-thread vCPUs; SMT,
+     hypervisor overcommit or memory bandwidth), so wider levels measure the hardware,
      not the engine — local[32] is still reported as headline
      throughput; and a LONE pinned core time-slices the JVM (GC,
      scheduler) against the Python workers, deflating thr1 into fake
@@ -102,6 +103,8 @@ HEADLINE = [
     "baidu_mercator", "simhash_docs", "s2_cells", "rep_filter",
     "pii_scrub", "image_dhash_pairs", "geohash_cells", "traj_polyline",
     "traj_simplify", "image_dedup", "image_phash",
+    "sample_stratified", "sample_mixture", "sample_fraction",
+    "des_roundtrip",
 ]
 
 
@@ -328,10 +331,12 @@ def write_bench_md(timings, p2, p8, p32, eff, pooled_eff, pooled_n, pooled):
         "chain, its Spark config, or the benchmark input changes, so the",
         "pool only ever mixes walls of one engine+input state; the commit",
         "stamp is recorded per row for audit.  Pools v1 (400k images),",
-        "v2 (800k, pre-kNN-chunking) and v3 (800k, no storage-state",
-        f"control) are retired — v{PIPELINE_VERSION} pools only rounds where",
-        "every trial pre-touched the input parquet into the page cache",
-        "before the timer (identical storage state at every level).",
+        "v2 (800k, pre-kNN-chunking), v3 (800k, no storage-state",
+        "control) and v4 (pre-touch, slippy-tile kNN index) are",
+        f"retired — v{PIPELINE_VERSION} pools only rounds measured on the",
+        "current engine (bbox-fitted kNN grid) with every trial",
+        "pre-touching the input parquet into the page cache before the",
+        "timer (identical storage state at every level).",
         "",
         "## Root cause of the r03 local[32]-slower-than-local[8] anomaly",
         "",
@@ -343,8 +348,9 @@ def write_bench_md(timings, p2, p8, p32, eff, pooled_eff, pooled_n, pooled):
         "~20% steal, and with a warm cache local[32] = 33.5k img/s beats",
         "local[8] = 25.5k img/s — no engine inversion exists.  Which",
         "level paid the cold read in r03 was an accident of sandbox",
-        "restarts and trial order.  v4 trials pre-touch all input bytes",
-        "(logged, untimed) so every level sees identical storage state;",
+        "restarts and trial order.  Since v4 every trial pre-touches all",
+        "input bytes (logged, untimed) so every level sees identical",
+        "storage state;",
         "on a real cluster the storage layer's aggregate bandwidth scales",
         "with node count, so equal-state trials are the honest basis for",
         "the N-vs-4N ratio.",
