@@ -833,3 +833,51 @@ def test_sampling_deterministic_and_mass(spark):
     de = per.get_group("de")
     assert len(de) == sizes["de"] and set(de["copy_id"]) == {1}
     assert mix["copy_id"].min() == 1
+
+
+def test_blockcipher_roundtrip_hypothesis():
+    """Property: crypt(crypt(m)) == m for arbitrary byte strings across
+    the mode × padding matrix (PKCS5 exact; ZERO modulo its documented
+    both-ends NUL-stripping quirk)."""
+    from hypothesis import given, settings, strategies as st
+
+    from xutil_spark.kernels.blockciphers import crypt
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.binary(min_size=0, max_size=200),
+        st.sampled_from(["ECB", "CBC", "CTR", "OFB", "CFB"]),
+        st.sampled_from([("DES", b"deskey12"), ("AES", b"0123456789abcdef")]),
+    )
+    def check(msg, mode, algo_key):
+        algo, key = algo_key
+        ct = crypt(msg, key, algo, mode, "PKCS5")
+        assert crypt(ct, key, algo, mode, "PKCS5", decrypt=True) == msg
+        ct0 = crypt(msg, key, algo, mode, "ZERO")
+        assert crypt(ct0, key, algo, mode, "ZERO", decrypt=True) \
+            == msg.strip(b"\x00")
+
+    check()
+
+
+def test_sampling_rank_properties(spark):
+    """Properties of the md5 hash rank: fraction-monotone (a smaller
+    fraction's sample is a subset of a larger one at the same salt) and
+    stratified-n is rank-consistent (the n=5 pick is a prefix of the
+    n=10 pick per stratum)."""
+    from xutil_spark.operators import sampling as S
+
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(1000, dtype=np.int64),
+        "lang": ["en" if i % 2 else "zh" for i in range(1000)],
+    })
+    df = spark.createDataFrame(pdf)
+    small = {r["doc_id"] for r in S.sample_fraction(df, 0.1, "doc_id").collect()}
+    big = {r["doc_id"] for r in S.sample_fraction(df, 0.4, "doc_id").collect()}
+    assert small <= big  # threshold monotonicity
+
+    n5 = {(r["lang"], r["doc_id"])
+          for r in S.sample_stratified_n(df, "lang", 5, "doc_id").collect()}
+    n10 = {(r["lang"], r["doc_id"])
+           for r in S.sample_stratified_n(df, "lang", 10, "doc_id").collect()}
+    assert n5 <= n10  # prefix property
