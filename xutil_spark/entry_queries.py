@@ -969,6 +969,7 @@ from xutil_spark.entry_queries5 import ORACLES5, QUERIES5  # noqa: E402
 from xutil_spark.entry_queries6 import ORACLES6, QUERIES6  # noqa: E402
 from xutil_spark.entry_queries7 import ORACLES7, QUERIES7  # noqa: E402
 from xutil_spark.entry_queries8 import ORACLES8, QUERIES8  # noqa: E402
+from xutil_spark.entry_queries9 import ORACLES9, QUERIES9  # noqa: E402
 
 QUERIES.update(QUERIES2)
 QUERIES.update(QUERIES3)
@@ -977,6 +978,7 @@ QUERIES.update(QUERIES5)
 QUERIES.update(QUERIES6)
 QUERIES.update(QUERIES7)
 QUERIES.update(QUERIES8)
+QUERIES.update(QUERIES9)
 
 ORACLES = {
     "tile_assign_z15": o_tile_assign_z15(),
@@ -1009,6 +1011,7 @@ ORACLES.update(ORACLES5)
 ORACLES.update(ORACLES6)
 ORACLES.update(ORACLES7)
 ORACLES.update(ORACLES8)
+ORACLES.update(ORACLES9)
 
 # ------------------------------------------------------------ registry order
 #

@@ -1,0 +1,115 @@
+"""Contract queries, round-4 second batch: benchmark decontamination
+(13-gram overlap) and BM25 scoring (operators/textops.py) — the
+contamination-control and relevance-scoring stages of a training-data
+pipeline.
+
+Same conventions as entry_queries*.py: every q_* takes (spark, sf_dir)
+and returns a DataFrame; every o_* returns ANSI SQL DuckDB runs on the
+same inputs.  Both queries are registered BEHIND the 50-row driver
+window this round (every slot is taken by the staleness ledger + the
+code-touched set — see _DRIVER_WINDOW in entry_queries.py); the
+registration-round ledger in tests/test_registry.py forces them into
+the round-5 window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# DuckDB mirror of operators.textops.tokens(): split lower(trim(text))
+# on runs of whitespace, drop empties (same pattern as o_minus_arrays)
+_TOKS_SQL = (
+    "list_filter(string_split(regexp_replace(lower(trim(text)),"
+    " '\\s+', ' ', 'g'), ' '), x -> x <> '')"
+)
+
+
+def q_decontaminate_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing any word 13-gram with
+    the deterministic 'benchmark' slice (doc_id % 41 == 0) are flagged.
+    Engine joins on xxhash64 of the n-gram (8-byte keys, broadcast
+    benchmark dim); the oracle joins on the n-gram strings — identical
+    output absent 64-bit collisions."""
+    from xutil_spark.entry_queries import _read, _utc
+    from xutil_spark.operators.textops import decontaminate
+
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 41 == 0)
+    return decontaminate(docs, bench, n=13)
+
+
+def o_decontaminate_13gram() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(list_slice(t, r.i, r.i + 12), ' ') AS g
+  FROM toks, LATERAL unnest(generate_series(1, len(t) - 12)) AS r(i)
+  WHERE len(t) >= 13
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 41 = 0),
+hits AS (
+  SELECT g.doc_id, COUNT(DISTINCT g.g) AS n_hits
+  FROM grams g JOIN bench b ON g.g = b.g GROUP BY g.doc_id
+)
+SELECT d.doc_id, h.n_hits IS NOT NULL AS contaminated,
+       COALESCE(h.n_hits, 0) AS n_hits
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
+_BM25_TERMS = ["spark", "window", "vector", "customer"]
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 of every document against a fixed 4-term query
+    (k1=1.2, b=0.75, +1-smoothed idf); docs scoring > 0 after 4-dp
+    rounding.  Formula text mirrors the oracle token-for-token so the
+    float64 op order is identical on both sides."""
+    from xutil_spark.entry_queries import _read, _utc
+    from xutil_spark.operators.textops import bm25_scores
+
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents")
+    return bm25_scores(docs, _BM25_TERMS)
+
+
+def o_bm25_search() -> str:
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(t, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    # same op order as bm25_scores(): 0.0 + Σ idf_i * ((tf·2.2) / (tf +
+    # 1.2·(0.25 + 0.75·(dl/avgdl)))) with idf = ln(1.0 + (n−df+0.5)/(df+0.5))
+    terms = " + ".join(
+        f"ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * ((tf{i} * 2.2) / (tf{i} + 1.2 * (0.25 + 0.75 * (dl / avgdl))))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, len(t) AS dl,
+         {tf_cols}
+  FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+),
+stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl, {df_cols} FROM base)
+SELECT doc_id, bm25 FROM (
+  SELECT doc_id, ROUND(0.0 + {terms}, 4) AS bm25 FROM base, stats
+) WHERE bm25 > 0
+"""
+
+
+QUERIES9 = {
+    "decontaminate_13gram": q_decontaminate_13gram,
+    "bm25_search": q_bm25_search,
+}
+
+ORACLES9 = {
+    "decontaminate_13gram": o_decontaminate_13gram(),
+    "bm25_search": o_bm25_search(),
+}

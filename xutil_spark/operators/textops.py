@@ -310,3 +310,148 @@ def pii_scrub(
     return out.select(
         F.col(id_col), *counts, scrubbed.alias("scrubbed")
     )
+
+
+def word_ngrams(col, n: int = 13) -> Column:
+    """Word-level n-grams (space-joined) over ``tokens()``; documents
+    with fewer than ``n`` tokens yield an empty array.  One projection,
+    no shuffle (higher-order transform + slice — interpreted eval, but
+    the per-row cost is a handful of array slices)."""
+    t = tokens(col)
+    return F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(t, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag every training document sharing
+    at least one word-level ``n``-gram with a benchmark/eval corpus
+    (the standard 13-gram overlap rule used by public LM training
+    pipelines; see the GPT-3 paper's appendix-C dedup procedure).
+
+    Output: one row per input doc — (id, contaminated: boolean,
+    n_hits: count of DISTINCT overlapping n-grams).
+
+    Scale shape (10^12-doc training fact vs ~1e3-1e6-doc benchmark):
+    the benchmark side reduces to a DISTINCT n-gram-hash dim —
+    dim-sized next to the fact — and is broadcast, so the fact side
+    never shuffles for the probe; n-grams are carried as xxhash64
+    values (8 bytes vs ~100-char strings) and the per-doc hit count is
+    one map-side-combined aggregation on ``id``.  For benchmark dims
+    past broadcast range, set ``broadcast_benchmark=False`` for a
+    shuffle (sort-merge) join on the hash."""
+    bench = (
+        benchmark.select(F.explode(word_ngrams(text_col, n)).alias("_g"))
+        .select(F.xxhash64("_g").alias("_h"))
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    # the n-gram build is ~dl array slices + hashes per row — a small-
+    # file scan (one split) would serialize it; at scale the scan
+    # already has enough splits and this is a no-op
+    src = docs
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    grams = src.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("_g")
+    ).select(F.col(id_col), F.xxhash64("_g").alias("_h"))
+    hits = (
+        grams.join(bench, on="_h", how="inner")
+        .groupBy(id_col)
+        .agg(F.count_distinct("_h").alias("n_hits"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.col("n_hits").isNotNull().alias("contaminated"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed term set
+    (Robertson/Spärck Jones, the public BM25 formula with the standard
+    k1=1.2, b=0.75 defaults and the +1-smoothed idf
+    ``ln(1 + (N − df + 0.5)/(df + 0.5))``).
+
+    Output: (id, bm25 rounded to 4 dp) for docs with bm25 > 0.
+
+    Plan shape: pass 1 computes the corpus stats (N, avgdl, per-term
+    df) as ONE map-side-combined aggregation; the 1-row stats frame is
+    cross-joined back (broadcast of one row — Spark plans it as a
+    BroadcastNestedLoopJoin over a single-row side) so the scoring
+    pass is a stateless codegen'd projection.  Two scans of the fact
+    total, zero wide shuffles — the classic two-pass scoring shape
+    that survives 10^12 docs."""
+    toks = tokens(text_col)
+
+    def _eq(term: str):
+        # a 2-arg lambda would be called as (element, index) by
+        # F.filter — bind the term via a real closure instead
+        return lambda x: x == F.lit(term)
+
+    # tokenization + per-term filters are interpreted higher-order
+    # exprs — spread a small-file scan (one split would serialize it;
+    # no-op at scale where the scan has enough splits)
+    src = docs
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    per_doc = src.select(
+        F.col(id_col),
+        F.size(toks).alias("_dl"),
+        *[
+            F.size(F.filter(toks, _eq(t))).alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg("_dl").alias("_avgdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    # formula text mirrors the DuckDB oracle token-for-token so the
+    # float64 operation order is identical on both sides
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        tf = F.col(f"_tf{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("_n") - F.col(f"_df{i}") + F.lit(0.5))
+            / (F.col(f"_df{i}") + F.lit(0.5))
+        )
+        score = score + idf * (
+            (tf * F.lit(k1 + 1.0))
+            / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("_dl") / F.col("_avgdl"))))
+        )
+    return (
+        scored.select(F.col(id_col), F.round(score, 4).alias("bm25"))
+        .filter(F.col("bm25") > 0)
+    )
