@@ -60,6 +60,8 @@ def test_driver_window_is_first_50_and_oracle_paired():
 REGISTERED_ROUND = {
     "decontaminate_13gram": 4,
     "bm25_search": 4,
+    "bigram_pmi": 4,
+    "pricing_percentiles": 4,
 }
 
 

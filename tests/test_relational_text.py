@@ -950,3 +950,70 @@ def test_bm25_scores_match_pure_python(spark):
             assert got[i] == pytest.approx(expect, abs=1e-9)
         else:
             assert i not in got
+
+
+def test_bigram_pmi_match_pure_python(spark):
+    """PMI output equals an independent pure-Python count of unigram /
+    adjacent-bigram frequencies plugged into ln((c_xy/M)/((c_x/N)(c_y/N)))."""
+    import math
+    from collections import Counter
+
+    texts = [
+        "new york new york city",
+        "new york is a city",
+        "york new haven",
+        "a b a b a b",
+        "solo",
+        "",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {(r["w1"], r["w2"]): (r["n_pair"], r["pmi"])
+           for r in T.bigram_pmi(docs, min_count=2).collect()}
+
+    toks = [t.split() for t in texts]
+    uni = Counter(w for t in toks for w in t)
+    big = Counter((t[i], t[i + 1]) for t in toks for i in range(len(t) - 1))
+    n = sum(uni.values())
+    m = sum(big.values())
+    expect = {
+        pair: (c, round(math.log((c / m) / ((uni[pair[0]] / n)
+                                            * (uni[pair[1]] / n))), 4))
+        for pair, c in big.items() if c >= 2
+    }
+    assert set(got) == set(expect)
+    for pair, (c, pmi) in expect.items():
+        assert got[pair][0] == c
+        assert got[pair][1] == pytest.approx(pmi, abs=1e-9)
+
+
+def test_group_percentiles_exact_matches_numpy(spark):
+    """Exact grouped percentiles equal numpy's type-7 linear
+    interpolation (the same (n-1)·p rank formula Spark implements)."""
+    rng = np.random.RandomState(7)
+    rows = [("a" if i % 3 else "b", float(v))
+            for i, v in enumerate(rng.uniform(0, 1000, 101))]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    ps = [0.25, 0.5, 0.75, 0.95]
+    out = {r["k"]: r for r in
+           R.group_percentiles(df, ["k"], "v", ps).collect()}
+    for k in ("a", "b"):
+        vals = np.array([v for kk, v in rows if kk == k])
+        assert out[k]["n_items"] == len(vals)
+        for p in ps:
+            expect = round(float(np.percentile(vals, p * 100,
+                                               method="linear")), 4)
+            assert out[k][f"p{int(p * 100)}"] == pytest.approx(expect, abs=1e-9)
+
+
+def test_group_percentiles_approx_bounded_error(spark):
+    """The approx (Greenwald-Khanna) scale path lands within rank error
+    1/accuracy of the exact order statistics."""
+    vals = [float(i) for i in range(2000)]
+    df = spark.createDataFrame([("g", v) for v in vals], ["k", "v"])
+    out = R.group_percentiles(df, ["k"], "v", [0.5, 0.9],
+                              exact=False, accuracy=1000).collect()[0]
+    # rank error <= n/accuracy = 2 -> value error <= 2 on this grid
+    assert abs(out["p50"] - 999.5) <= 2.5
+    assert abs(out["p90"] - 1799.1) <= 2.5

@@ -26,7 +26,8 @@ AUDITED = [
     "geohash_cells", "traj_polyline", "traj_simplify", "image_dedup",
     "heavy_hitters_users", "grid_clusters", "image_phash",
     "sample_stratified", "sample_mixture", "sample_fraction",
-    "des_roundtrip",
+    "des_roundtrip", "decontaminate_13gram", "bm25_search",
+    "bigram_pmi", "pricing_percentiles",
 ]
 
 

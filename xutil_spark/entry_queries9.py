@@ -104,12 +104,99 @@ SELECT doc_id, bm25 FROM (
 """
 
 
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide adjacent-bigram PMI (Church & Hanks collocation
+    statistic), pairs seen ≥ 5×.  Two dim-cardinality counts + a
+    broadcast unigram join — no fact-sized shuffle."""
+    from xutil_spark.entry_queries import _read, _utc
+    from xutil_spark.operators.textops import bigram_pmi
+
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents")
+    return bigram_pmi(docs, min_count=5)
+
+
+def o_bigram_pmi() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+uni AS (
+  SELECT u.w, COUNT(*) AS c_w
+  FROM toks, LATERAL unnest(t) AS u(w) GROUP BY u.w
+),
+big AS (
+  SELECT t[r.i] AS w1, t[r.i + 1] AS w2, COUNT(*) AS n_pair
+  FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS r(i)
+  WHERE len(t) >= 2 GROUP BY 1, 2
+),
+n AS (SELECT SUM(c_w) AS n FROM uni),
+m AS (SELECT SUM(n_pair) AS m FROM big)
+SELECT w1, w2, n_pair,
+       ROUND(ln((n_pair / m) / ((u1.c_w / n) * (u2.c_w / n))), 4) + 0.0e0 AS pmi
+FROM big
+JOIN uni u1 ON u1.w = big.w1
+JOIN uni u2 ON u2.w = big.w2, n, m
+WHERE n_pair >= 5
+"""
+
+
+_PCT_PS = [0.25, 0.5, 0.75, 0.95]
+
+
+def q_pricing_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles of l_extendedprice per (returnflag,
+    linestatus) — 6 dim-cardinality groups, so the exact aggregate's
+    per-group value map is safe; group_percentiles(exact=False) is the
+    documented 10^12-row path (Greenwald-Khanna sketch)."""
+    from xutil_spark.entry_queries import _read, _utc
+    from xutil_spark.operators.relational import group_percentiles
+
+    _utc(spark)
+    li = _read(spark, sf_dir, "lineitem")
+    return group_percentiles(
+        li, ["l_returnflag", "l_linestatus"], "l_extendedprice", _PCT_PS
+    )
+
+
+def o_pricing_percentiles() -> str:
+    # mirror Spark's Percentile.getPercentile token-for-token:
+    # pos = (n-1)·p; exact-rank short-circuit; else
+    # (ceil−pos)·lower + (pos−floor)·higher.  `0.25e0` parses as
+    # DOUBLE in DuckDB (a bare 0.25 would be DECIMAL and change the
+    # arithmetic).
+    cols = []
+    for p in _PCT_PS:
+        pos = f"(n - 1) * {p!r}e0"
+        lo = f"arr[CAST(FLOOR({pos}) AS BIGINT) + 1]"
+        hi = f"arr[CAST(CEIL({pos}) AS BIGINT) + 1]"
+        expr = (
+            f"CASE WHEN CEIL({pos}) = FLOOR({pos}) THEN {lo}"
+            f" ELSE (CEIL({pos}) - ({pos})) * {lo}"
+            f" + (({pos}) - FLOOR({pos})) * {hi} END"
+        )
+        cols.append(f"ROUND({expr}, 4) AS p{int(round(p * 100))}")
+    col_sql = ",\n       ".join(cols)
+    return f"""
+WITH g AS (
+  SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         list(CAST(l_extendedprice AS DOUBLE) ORDER BY l_extendedprice) AS arr
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l_returnflag, l_linestatus, n AS n_items,
+       {col_sql}
+FROM g
+"""
+
+
 QUERIES9 = {
     "decontaminate_13gram": q_decontaminate_13gram,
     "bm25_search": q_bm25_search,
+    "bigram_pmi": q_bigram_pmi,
+    "pricing_percentiles": q_pricing_percentiles,
 }
 
 ORACLES9 = {
     "decontaminate_13gram": o_decontaminate_13gram(),
     "bm25_search": o_bm25_search(),
+    "bigram_pmi": o_bigram_pmi(),
+    "pricing_percentiles": o_pricing_percentiles(),
 }

@@ -448,3 +448,49 @@ def id_card_pipeline(
               F.col("_c2") == dim["code"], "left").drop("code")
         .drop("_c6", "_c4", "_c2")
     )
+
+
+# --------------------------------------------------------------- percentiles
+
+
+def group_percentiles(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    ps: list[float],
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Grouped percentiles of ``value_col`` at each probability in
+    ``ps`` — the distribution-summary stage of a pricing/quality audit
+    (an engine addition; the reference stops at min/max/avg/stddev,
+    math.go:67-119).
+
+    ``exact=True`` uses Spark's exact ``percentile`` aggregate: linear
+    interpolation at rank ``(n-1)·p`` between the two nearest order
+    statistics (lowerValue·(ceil−pos) + higherValue·(pos−floor)).
+    Exact percentiles hold a per-group map of distinct values on one
+    reducer — fine for dim-cardinality groups (here: 6 returnflag ×
+    linestatus cells), NOT for 10^12-row single-group sweeps.  For the
+    100-TB path pass ``exact=False``: ``approx_percentile`` (the
+    Greenwald-Khanna sketch) folds map-side into bounded state and
+    merges, one narrow shuffle at group cardinality, error ≤ 1/accuracy.
+
+    Output: keys + n_items + one ``p<int(100p)>`` double per p, rounded
+    to 4 dp.
+    """
+    v = F.col(value_col).cast("double")
+    parr = F.array(*[F.lit(float(p)) for p in ps])
+    agg = (
+        F.percentile(v, parr) if exact
+        else F.percentile_approx(v, parr, F.lit(accuracy))
+    )
+    out = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_items"), agg.alias("_pct"))
+    )
+    cols = [F.col(k) for k in keys] + [F.col("n_items")] + [
+        F.round(F.element_at("_pct", i + 1), 4).alias(f"p{int(round(p * 100))}")
+        for i, p in enumerate(ps)
+    ]
+    return out.select(*cols)

@@ -384,6 +384,77 @@ def decontaminate(
     )
 
 
+def bigram_pmi(
+    docs: DataFrame,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pointwise mutual information of adjacent token pairs across the
+    corpus (Church & Hanks 1990): PMI(x,y) = ln((c_xy/M) / ((c_x/N)·
+    (c_y/N))) with N = total token instances, M = total bigram
+    instances — the standard collocation / tokenizer-vocab statistic.
+
+    Output: (w1, w2, n_pair, pmi rounded to 4 dp) for pairs seen at
+    least ``min_count`` times.
+
+    Scale shape: two map-side-combined counts (unigrams, bigrams) —
+    each one shuffle at vocab/bigram-vocab cardinality, dim-sized next
+    to a 10^12-doc fact; the unigram dim joins back broadcast, and the
+    two corpus totals ride along as 1-row broadcast frames.  No
+    fact-sized shuffle anywhere."""
+    src = docs
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    toks = src.select(tokens(text_col).alias("_t"))
+    uni = (
+        toks.select(F.explode("_t").alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    big = (
+        toks.select(
+            F.explode(
+                F.when(
+                    F.size("_t") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("_t") - F.lit(1)),
+                        lambda i: F.struct(
+                            F.element_at("_t", i).alias("w1"),
+                            F.element_at("_t", i + F.lit(1)).alias("w2"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+            ).alias("_b")
+        )
+        .select("_b.w1", "_b.w2")
+        .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    n_tok = uni.agg(F.sum("c_w").alias("_n"))
+    # M = ALL bigram instances (standard PMI denominator), summed
+    # before the min_count output filter
+    m_big = big.agg(F.sum("n_pair").alias("_m"))
+    big = big.filter(F.col("n_pair") >= min_count)
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c_w").alias("_c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c_w").alias("_c2"))
+    # mirror the oracle token-for-token: ln((n_pair / m) / ((c1 / n) * (c2 / n)))
+    pmi = F.log(
+        (F.col("n_pair") / F.col("_m"))
+        / ((F.col("_c1") / F.col("_n")) * (F.col("_c2") / F.col("_n")))
+    )
+    return (
+        big.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(m_big))
+        # + 0.0 normalizes IEEE -0.0 to +0.0 (mirrored in the oracle:
+        # DuckDB ROUND keeps the sign of a tiny negative, F.round's
+        # BigDecimal path never emits -0.0)
+        .select("w1", "w2", "n_pair",
+                (F.round(pmi, 4) + F.lit(0.0)).alias("pmi"))
+    )
+
+
 def bm25_scores(
     docs: DataFrame,
     terms: list[str],
