@@ -105,7 +105,7 @@ HEADLINE = [
     "traj_simplify", "image_dedup", "image_phash",
     "sample_stratified", "sample_mixture", "sample_fraction",
     "des_roundtrip", "decontaminate_13gram", "bm25_search",
-    "bigram_pmi", "pricing_percentiles",
+    "bigram_pmi", "pricing_percentiles", "token_kl_drift",
 ]
 
 

@@ -62,6 +62,7 @@ REGISTERED_ROUND = {
     "bm25_search": 4,
     "bigram_pmi": 4,
     "pricing_percentiles": 4,
+    "token_kl_drift": 4,
 }
 
 

@@ -1017,3 +1017,33 @@ def test_group_percentiles_approx_bounded_error(spark):
     # rank error <= n/accuracy = 2 -> value error <= 2 on this grid
     assert abs(out["p50"] - 999.5) <= 2.5
     assert abs(out["p90"] - 1799.1) <= 2.5
+
+
+def test_token_kl_drift_match_pure_python(spark):
+    """Per-slice KL(P_slice || P_corpus) equals an independent
+    pure-Python histogram computation; a slice identical in
+    distribution to the corpus scores ~0 and KL is always >= 0."""
+    import math
+    from collections import Counter
+
+    rows = [
+        ("web", "the cat sat on the mat"),
+        ("web", "the dog ate the food"),
+        ("code", "def foo def bar return return return"),
+        ("code", "class foo class bar"),
+        ("tiny", "the the the"),
+    ]
+    docs = spark.createDataFrame(rows, ["source", "text"])
+    got = {r["source"]: r for r in
+           T.token_kl_drift(docs, slice_col="source").collect()}
+
+    corpus = Counter(w for _, t in rows for w in t.split())
+    n = sum(corpus.values())
+    for src in ("web", "code", "tiny"):
+        cnt = Counter(w for s, t in rows if s == src for w in t.split())
+        n_s = sum(cnt.values())
+        kl = sum((c / n_s) * math.log((c / n_s) / (corpus[w] / n))
+                 for w, c in cnt.items())
+        assert got[src]["n_tokens"] == n_s
+        assert got[src]["kl"] == pytest.approx(round(kl, 4), abs=1e-9)
+        assert got[src]["kl"] >= 0.0

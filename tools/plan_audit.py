@@ -27,7 +27,7 @@ AUDITED = [
     "heavy_hitters_users", "grid_clusters", "image_phash",
     "sample_stratified", "sample_mixture", "sample_fraction",
     "des_roundtrip", "decontaminate_13gram", "bm25_search",
-    "bigram_pmi", "pricing_percentiles",
+    "bigram_pmi", "pricing_percentiles", "token_kl_drift",
 ]
 
 

@@ -187,11 +187,40 @@ FROM g
 """
 
 
+def q_token_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution KL divergence vs the corpus — the
+    data-mixing drift diagnostic.  One row per source."""
+    from xutil_spark.entry_queries import _read, _utc
+    from xutil_spark.operators.textops import token_kl_drift
+
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents")
+    return token_kl_drift(docs, slice_col="source")
+
+
+def o_token_kl_drift() -> str:
+    return f"""
+WITH toks AS (SELECT source, {_TOKS_SQL} AS t FROM documents),
+cw AS (
+  SELECT source, u.w, COUNT(*) AS c_sw
+  FROM toks, LATERAL unnest(t) AS u(w) GROUP BY 1, 2
+),
+corpus AS (SELECT w, SUM(c_sw) AS c_w FROM cw GROUP BY w),
+ns AS (SELECT source, SUM(c_sw) AS n_s FROM cw GROUP BY source),
+n AS (SELECT SUM(c_w) AS n FROM corpus)
+SELECT cw.source, CAST(ns.n_s AS BIGINT) AS n_tokens,
+       ROUND(SUM((c_sw / n_s) * ln((c_sw / n_s) / (c_w / n))), 4) + 0.0e0 AS kl
+FROM cw JOIN corpus USING (w) JOIN ns USING (source), n
+GROUP BY cw.source, ns.n_s
+"""
+
+
 QUERIES9 = {
     "decontaminate_13gram": q_decontaminate_13gram,
     "bm25_search": q_bm25_search,
     "bigram_pmi": q_bigram_pmi,
     "pricing_percentiles": q_pricing_percentiles,
+    "token_kl_drift": q_token_kl_drift,
 }
 
 ORACLES9 = {
@@ -199,4 +228,5 @@ ORACLES9 = {
     "bm25_search": o_bm25_search(),
     "bigram_pmi": o_bigram_pmi(),
     "pricing_percentiles": o_pricing_percentiles(),
+    "token_kl_drift": o_token_kl_drift(),
 }

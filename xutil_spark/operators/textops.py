@@ -455,6 +455,48 @@ def bigram_pmi(
     )
 
 
+def token_kl_drift(
+    docs: DataFrame,
+    slice_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-slice token-distribution drift: KL(P_slice ‖ P_corpus) =
+    Σ_w (c_sw/n_s)·ln((c_sw/n_s)/(c_w/n)) over the slice's vocabulary —
+    the divergence statistic behind data-mixing / domain-reweighting
+    decisions (a slice's support is a subset of the corpus's, so every
+    q_w > 0 and the sum is the standard ≥ 0 KL).
+
+    Output: (slice_col, n_tokens, kl rounded to 4 dp), one row per
+    slice.
+
+    Scale shape: the only fact-sized stage is the explode feeding the
+    (slice, word) count, and partial (map-side) aggregation collapses
+    it to |slices|×vocab partial rows before the one shuffle; corpus
+    and per-slice totals reduce from that dim table, join back
+    broadcast, and the grand total rides as a 1-row broadcast frame."""
+    toks = docs.select(
+        F.col(slice_col), F.explode(tokens(text_col)).alias("w")
+    )
+    cw = toks.groupBy(slice_col, "w").agg(F.count(F.lit(1)).alias("c_sw"))
+    corpus = cw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
+    ns = cw.groupBy(slice_col).agg(F.sum("c_sw").alias("n_s"))
+    n_tot = corpus.agg(F.sum("c_w").alias("_n"))
+    # mirror the oracle token-for-token:
+    # (c_sw / n_s) * ln((c_sw / n_s) / (c_w / n))
+    term = (F.col("c_sw") / F.col("n_s")) * F.log(
+        (F.col("c_sw") / F.col("n_s")) / (F.col("c_w") / F.col("_n"))
+    )
+    return (
+        cw.join(F.broadcast(corpus), "w")
+        .join(F.broadcast(ns), slice_col)
+        .crossJoin(F.broadcast(n_tot))
+        .groupBy(slice_col, "n_s")
+        # + 0.0 normalizes IEEE -0.0 (same convention as bigram_pmi)
+        .agg((F.round(F.sum(term), 4) + F.lit(0.0)).alias("kl"))
+        .select(F.col(slice_col), F.col("n_s").alias("n_tokens"), "kl")
+    )
+
+
 def bm25_scores(
     docs: DataFrame,
     terms: list[str],
