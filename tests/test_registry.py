@@ -63,6 +63,7 @@ REGISTERED_ROUND = {
     "bigram_pmi": 4,
     "pricing_percentiles": 4,
     "token_kl_drift": 4,
+    "tile_hull_z8": 4,
 }
 
 

@@ -215,12 +215,109 @@ GROUP BY cw.source, ns.n_s
 """
 
 
+def q_tile_hull_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-z8-cell convex hull + shoelace area + polygon centroid of
+    the derived point cloud (operators/hulls.py) — the vector-summary
+    tile rollup.  Oracle = computed-VALUES golden from an independent
+    pure-Python re-derivation (points from the integer-hash formula,
+    slippy tile transcription, monotone chain with identical float op
+    order — same convention as the simhash / s2_cells goldens)."""
+    from xutil_spark.entry_queries import _points, _utc
+    from xutil_spark.operators.hulls import tile_hull_stats
+
+    _utc(spark)
+    pts = _points(spark, sf_dir).select("lon", "lat")
+    return tile_hull_stats(pts, zoom=8)
+
+
+def _hull_stats_py(points):
+    """Independent golden: monotone chain + shoelace + polygon
+    centroid, written against the published algorithm (Andrew 1979 /
+    standard shoelace) with sequential float sums so the doubles match
+    the operator bit-for-bit; 8-dp Python round."""
+    pts = sorted(set(points))
+    hull = pts
+    if len(pts) > 2:
+        lo: list = []
+        for p in pts:
+            while len(lo) >= 2 and (
+                (lo[-1][0] - lo[-2][0]) * (p[1] - lo[-2][1])
+                - (lo[-1][1] - lo[-2][1]) * (p[0] - lo[-2][0])
+            ) <= 0.0:
+                lo.pop()
+            lo.append(p)
+        hi: list = []
+        for p in reversed(pts):
+            while len(hi) >= 2 and (
+                (hi[-1][0] - hi[-2][0]) * (p[1] - hi[-2][1])
+                - (hi[-1][1] - hi[-2][1]) * (p[0] - hi[-2][0])
+            ) <= 0.0:
+                hi.pop()
+            hi.append(p)
+        hull = lo[:-1] + hi[:-1]
+    s = cx = cy = 0.0
+    for i in range(len(hull)):
+        x1, y1 = hull[i]
+        x2, y2 = hull[(i + 1) % len(hull)]
+        cr = x1 * y2 - x2 * y1
+        s += cr
+        cx += (x1 + x2) * cr
+        cy += (y1 + y2) * cr
+    if len(hull) < 3 or s == 0.0:
+        mx = my = 0.0
+        for x, y in pts:
+            mx += x
+            my += y
+        return len(pts), len(hull), 0.0, round(mx / len(pts), 8), round(my / len(pts), 8)
+    return (len(pts), len(hull), round(s / 2.0, 8),
+            round(cx / (3.0 * s), 8), round(cy / (3.0 * s), 8))
+
+
+def o_tile_hull_z8() -> str:
+    import math
+
+    import duckdb as _dd
+
+    from xutil_spark.entry_queries import (
+        _H1_LIN, _H1_MUL, _H2_LIN, _H2_MUL, _MASK20,
+    )
+
+    rows = _dd.sql(
+        "SELECT l_orderkey, l_linenumber FROM "
+        "read_parquet('/root/testdata/sf0.01/lineitem.parquet')"
+    ).fetchall()
+    n = float(1 << 8)
+    cells: dict = {}
+    for okey, ln in rows:
+        lon = 73.5 + ((okey * _H1_MUL + ln * _H1_LIN) % _MASK20) / 1048576.0 * 61.0
+        lat = 18.2 + ((okey * _H2_MUL + ln * _H2_LIN) % _MASK20) / 1048576.0 * 35.3
+        x = math.floor((lon + 180.0) / 360.0 * n)
+        lat_rad = lat * math.pi / 180.0
+        y = math.floor(
+            (1.0 - math.log(math.tan(lat_rad) + 1.0 / math.cos(lat_rad))
+             / math.pi) / 2.0 * n
+        )
+        cell = (8 << 58) | (x << 29) | y
+        cells.setdefault(cell, []).append((lon, lat))
+    vals = ",".join(
+        "({},{},{},{!r},{!r},{!r})".format(c, *_hull_stats_py(p))
+        for c, p in sorted(cells.items())
+    )
+    return f"""
+SELECT CAST(cell AS BIGINT) AS cell, CAST(n_pts AS BIGINT) AS n_pts,
+       CAST(hull_n AS BIGINT) AS hull_n, CAST(area AS DOUBLE) AS area,
+       CAST(cx AS DOUBLE) AS cx, CAST(cy AS DOUBLE) AS cy
+FROM (VALUES {vals}) AS v(cell, n_pts, hull_n, area, cx, cy)
+"""
+
+
 QUERIES9 = {
     "decontaminate_13gram": q_decontaminate_13gram,
     "bm25_search": q_bm25_search,
     "bigram_pmi": q_bigram_pmi,
     "pricing_percentiles": q_pricing_percentiles,
     "token_kl_drift": q_token_kl_drift,
+    "tile_hull_z8": q_tile_hull_z8,
 }
 
 ORACLES9 = {
@@ -229,4 +326,5 @@ ORACLES9 = {
     "bigram_pmi": o_bigram_pmi(),
     "pricing_percentiles": o_pricing_percentiles(),
     "token_kl_drift": o_token_kl_drift(),
+    "tile_hull_z8": o_tile_hull_z8(),
 }
