@@ -1047,3 +1047,25 @@ def test_token_kl_drift_match_pure_python(spark):
         assert got[src]["n_tokens"] == n_s
         assert got[src]["kl"] == pytest.approx(round(kl, 4), abs=1e-9)
         assert got[src]["kl"] >= 0.0
+
+
+def test_vocab_broadcast_fallback_paths_identical(spark):
+    """bigram_pmi / token_kl_drift with broadcast_vocab=False (the
+    web-scale-vocabulary shuffle-join path) return exactly the
+    broadcast path's rows."""
+    rows = [
+        ("web", "the cat sat on the mat the cat"),
+        ("web", "the dog ate the food the dog ate"),
+        ("code", "def foo def bar return return def foo"),
+    ]
+    docs = spark.createDataFrame(rows, ["source", "text"])
+
+    a = sorted(map(tuple, T.bigram_pmi(docs, min_count=2).collect()))
+    b = sorted(map(tuple, T.bigram_pmi(
+        docs, min_count=2, broadcast_vocab=False).collect()))
+    assert a == b and len(a) > 0
+
+    c = sorted(map(tuple, T.token_kl_drift(docs).collect()))
+    d = sorted(map(tuple, T.token_kl_drift(
+        docs, broadcast_vocab=False).collect()))
+    assert c == d and len(c) == 2

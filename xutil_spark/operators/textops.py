@@ -389,6 +389,7 @@ def bigram_pmi(
     min_count: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """Pointwise mutual information of adjacent token pairs across the
     corpus (Church & Hanks 1990): PMI(x,y) = ln((c_xy/M) / ((c_x/N)·
@@ -402,7 +403,11 @@ def bigram_pmi(
     each one shuffle at vocab/bigram-vocab cardinality, dim-sized next
     to a 10^12-doc fact; the unigram dim joins back broadcast, and the
     two corpus totals ride along as 1-row broadcast frames.  No
-    fact-sized shuffle anywhere."""
+    fact-sized shuffle anywhere.  ``broadcast_vocab=False`` drops the
+    broadcast hints for web-crawl vocabularies too large to ship to
+    every executor: the two unigram joins become shuffles at
+    bigram-table cardinality and AQE still promotes them back to
+    broadcast when the measured dim is small."""
     src = docs
     par = docs.sparkSession.sparkContext.defaultParallelism
     if src.rdd.getNumPartitions() < par:
@@ -442,9 +447,11 @@ def bigram_pmi(
         (F.col("n_pair") / F.col("_m"))
         / ((F.col("_c1") / F.col("_n")) * (F.col("_c2") / F.col("_n")))
     )
+    if broadcast_vocab:
+        u1, u2 = F.broadcast(u1), F.broadcast(u2)
     return (
-        big.join(F.broadcast(u1), "w1")
-        .join(F.broadcast(u2), "w2")
+        big.join(u1, "w1")
+        .join(u2, "w2")
         .crossJoin(F.broadcast(n_tok))
         .crossJoin(F.broadcast(m_big))
         # + 0.0 normalizes IEEE -0.0 to +0.0 (mirrored in the oracle:
@@ -459,6 +466,7 @@ def token_kl_drift(
     docs: DataFrame,
     slice_col: str = "source",
     text_col: str = "text",
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """Per-slice token-distribution drift: KL(P_slice ‖ P_corpus) =
     Σ_w (c_sw/n_s)·ln((c_sw/n_s)/(c_w/n)) over the slice's vocabulary —
@@ -473,7 +481,11 @@ def token_kl_drift(
     (slice, word) count, and partial (map-side) aggregation collapses
     it to |slices|×vocab partial rows before the one shuffle; corpus
     and per-slice totals reduce from that dim table, join back
-    broadcast, and the grand total rides as a 1-row broadcast frame."""
+    broadcast, and the grand total rides as a 1-row broadcast frame.
+    ``broadcast_vocab=False`` unhints the corpus-histogram join for
+    vocabularies too large to broadcast (web-crawl scale): it becomes
+    a shuffle at |slices|×vocab cardinality, with AQE free to promote
+    it back when the measured dim is small."""
     toks = docs.select(
         F.col(slice_col), F.explode(tokens(text_col)).alias("w")
     )
@@ -486,8 +498,10 @@ def token_kl_drift(
     term = (F.col("c_sw") / F.col("n_s")) * F.log(
         (F.col("c_sw") / F.col("n_s")) / (F.col("c_w") / F.col("_n"))
     )
+    if broadcast_vocab:
+        corpus = F.broadcast(corpus)
     return (
-        cw.join(F.broadcast(corpus), "w")
+        cw.join(corpus, "w")
         .join(F.broadcast(ns), slice_col)
         .crossJoin(F.broadcast(n_tot))
         .groupBy(slice_col, "n_s")
