@@ -64,3 +64,20 @@ def test_tile_hull_stats_matches_local(spark):
         r = got[c]
         assert (r["n_pts"], r["hull_n"]) == (n, hn)
         assert r["area"] == area and r["cx"] == cx and r["cy"] == cy
+
+
+def test_tile_hull_stats_salted_equals_unsalted(spark):
+    """The hot-cell salted path (partial hulls -> hull-of-hulls merge)
+    returns the unsalted result bit-for-bit: hull(hull(A) u hull(B)) ==
+    hull(A u B), distinct counts additive across value-partitioned
+    buckets."""
+    rng = np.random.RandomState(9)
+    rows = [(float(x), float(y)) for x, y in
+            np.column_stack([rng.uniform(100, 118, 800),
+                             rng.uniform(22, 42, 800)])]
+    rows += rows[:40]  # duplicates must not double-count
+    df = spark.createDataFrame(rows, ["lon", "lat"])
+    plain = {r["cell"]: tuple(r) for r in tile_hull_stats(df, zoom=4).collect()}
+    salted = {r["cell"]: tuple(r)
+              for r in tile_hull_stats(df, zoom=4, salt=7).collect()}
+    assert plain == salted and len(plain) > 3

@@ -84,13 +84,25 @@ def hull_stats(points) -> tuple[int, int, float, float, float]:
 def tile_hull_stats(
     pts: DataFrame, zoom: int = 8,
     lon_col: str = "lon", lat_col: str = "lat",
+    salt: int = 0,
 ) -> DataFrame:
     """Group points by packed tile cell at ``zoom`` (JVM-native encode,
     functions/native.py) and reduce each cell to hull statistics.
 
     Output: (cell, n_pts, hull_n, area, cx, cy) — n_pts counts DISTINCT
     coordinates (the derived point tables carry exact duplicate rows),
-    area in deg² on the lon/lat plane."""
+    area in deg² on the lon/lat plane.
+
+    ``salt > 1`` is the hot-cell path for skewed clouds (one urban cell
+    holding 10^9 points would otherwise land on a single task): points
+    first reduce per (cell, hash(point) % salt) — each partial keeps
+    only its DISTINCT-point count and hull vertices — then the final
+    per-cell reduce runs the hull over the ≤ salt·|partial hull| merged
+    vertices.  Exact, not approximate: hull(hull(A) ∪ hull(B)) =
+    hull(A ∪ B), partitioning by the point value keeps the distinct
+    counts additive, and the final vertex set is identical to the
+    unsalted hull's input extremes, so area/centroid doubles match
+    bit-for-bit."""
     import pandas as pd
 
     src = pts.select(
@@ -109,4 +121,40 @@ def tile_hull_stats(
 
     schema = ("cell long, n_pts long, hull_n long, "
               "area double, cx double, cy double")
-    return src.groupBy("cell").applyInPandas(stats, schema=schema)
+    if salt <= 1:
+        return src.groupBy("cell").applyInPandas(stats, schema=schema)
+
+    # ---- salted two-level reduce: partial hulls, then hull-of-hulls.
+    # Each bucket emits ONE row (distinct count + hull vertex arrays),
+    # so the merge sums counts directly and re-hulls ≤ salt·|hull|
+    # vertices — dim-scale however many points the hot cell held.
+    def partial(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        uniq = sorted(set(zip(pdf["_x"].tolist(), pdf["_y"].tolist())))
+        hull = monotone_chain(uniq)
+        return pd.DataFrame(
+            {"cell": [key[0]], "n_part": [len(uniq)],
+             "xs": [[p[0] for p in hull]], "ys": [[p[1] for p in hull]]}
+        )
+
+    parts = (
+        src.withColumn("_salt", F.pmod(F.xxhash64("_x", "_y"), F.lit(salt)))
+        .groupBy("cell", "_salt")
+        .applyInPandas(
+            partial,
+            schema="cell long, n_part long, xs array<double>, ys array<double>",
+        )
+    )
+
+    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        verts = [
+            (float(x), float(y))
+            for xs, ys in zip(pdf["xs"], pdf["ys"])
+            for x, y in zip(xs, ys)
+        ]
+        _, hn, area, cx, cy = hull_stats(verts)
+        return pd.DataFrame(
+            {"cell": [key[0]], "n_pts": [int(pdf["n_part"].sum())],
+             "hull_n": [hn], "area": [area], "cx": [cx], "cy": [cy]}
+        )
+
+    return parts.groupBy("cell").applyInPandas(merge, schema=schema)
