@@ -64,6 +64,7 @@ REGISTERED_ROUND = {
     "pricing_percentiles": 4,
     "token_kl_drift": 4,
     "tile_hull_z8": 4,
+    "zonal_stats": 4,
 }
 
 

@@ -311,6 +311,114 @@ FROM (VALUES {vals}) AS v(cell, n_pts, hull_n, area, cx, cy)
 """
 
 
+# Zone polygons for the zonal-stats query: deliberately NON-rectangular
+# (a triangle, a concave chevron, a pentagon, a rotated diamond) so the
+# exact even-odd ray-cast refine is load-bearing, with vertex decimals
+# off the derived points' 20-bit grid so no point can sit on an edge.
+_ZONES = [
+    ("east_tri", [(115.0137, 25.0721), (130.7213, 33.4177),
+                  (117.3391, 44.9143)]),
+    ("chevron", [(98.1371, 20.2177), (112.9433, 20.2177),
+                 (112.9433, 33.8891), (105.5402, 27.4133),
+                 (98.1371, 33.8891)]),
+    ("north_penta", [(100.3313, 40.1277), (110.8891, 38.2173),
+                     (114.0471, 46.3337), (105.5533, 51.2171),
+                     (96.8807, 47.0233)]),
+    ("west_diamond", [(76.2217, 30.0133), (82.9911, 24.8821),
+                      (89.1133, 31.0277), (82.3399, 36.1193)]),
+]
+
+
+def _zone_wkt(verts) -> str:
+    ring = ", ".join(f"{x} {y}" for x, y in verts + verts[:1])
+    return f"POLYGON(({ring}))"
+
+
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster↔vector zonal statistics (raster/zonal.py): decode the
+    synthetic images (input_hint schema), assign each phash-derived
+    capture point to polygon zones via the filter-refine PiP join, and
+    reduce to per-zone exact channel sums + 6-dp means.  Oracle =
+    independent scalar re-derivation (pure-Python splitmix64 + scalar
+    even-odd ray-cast + closed-form channel sums) feeding a DuckDB
+    GROUP BY over per-image VALUES — the aggregation itself runs in
+    SQL."""
+    import pandas as pd
+
+    from xutil_spark.data.synth import images_table, with_location
+    from xutil_spark.entry_queries import _utc
+    from xutil_spark.raster.zonal import zonal_pixel_stats
+
+    _utc(spark)
+    zones = spark.createDataFrame(pd.DataFrame({
+        "zone_id": [z for z, _ in _ZONES],
+        "wkt": [_zone_wkt(v) for _, v in _ZONES],
+    }))
+    img = with_location(images_table(spark, 2000))
+    return zonal_pixel_stats(img, zones, zoom=5)
+
+
+def _pip_scalar(x: float, y: float, verts) -> bool:
+    """Scalar even-odd crossing test (standard algorithm), the
+    independent mirror of kernels/geometry.ray_cast's convention:
+    edge straddles the horizontal at y, intersection strictly east."""
+    inside = False
+    n = len(verts)
+    for k in range(n):
+        x1, y1 = verts[k]
+        x2, y2 = verts[(k + 1) % n]
+        if (y1 > y) != (y2 > y):
+            if x < x1 + (y - y1) / (y2 - y1) * (x2 - x1):
+                inside = not inside
+    return inside
+
+
+def o_zonal_stats() -> str:
+    from xutil_spark.entry_queries6 import _H_CYC, _W_CYC, _sm64
+
+    sum_rg: dict = {}
+    sum_b: dict = {}
+    rows = []
+    for i in range(2000):
+        ph = _sm64(i)
+        lon = 73.5 + (ph & 0xFFFFF) / 1048576.0 * 61.0
+        lat = 18.2 + ((ph >> 20) & 0xFFFFF) / 1048576.0 * 35.3
+        zs = [zid for zid, verts in _ZONES if _pip_scalar(lon, lat, verts)]
+        if not zs:
+            continue
+        c = i % 3
+        w, h = _W_CYC[c], _H_CYC[c]
+        if c not in sum_rg:
+            sum_rg[c] = (
+                h * sum(x * 255 // (w - 1) for x in range(w)),
+                w * sum(y * 255 // (h - 1) for y in range(h)),
+            )
+        kb = (c, i % 256)
+        if kb not in sum_b:
+            sum_b[kb] = sum(
+                (x * 31 + y * 17 + i) % 256
+                for y in range(h) for x in range(w)
+            )
+        sr, sg = sum_rg[c]
+        sb = sum_b[kb]
+        for zid in zs:
+            rows.append(f"('{zid}',{sr},{sg},{sb},{w * h})")
+    vals = ",".join(rows)
+    return f"""
+SELECT zone_id,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(n_px) AS BIGINT) AS total_px,
+       CAST(SUM(sum_r) AS BIGINT) AS sum_r,
+       CAST(SUM(sum_g) AS BIGINT) AS sum_g,
+       CAST(SUM(sum_b) AS BIGINT) AS sum_b,
+       ROUND(CAST(SUM(sum_r) AS DOUBLE) / CAST(SUM(n_px) AS DOUBLE), 6) AS mean_r,
+       ROUND(CAST(SUM(sum_g) AS DOUBLE) / CAST(SUM(n_px) AS DOUBLE), 6) AS mean_g,
+       ROUND(CAST(SUM(sum_b) AS DOUBLE) / CAST(SUM(n_px) AS DOUBLE), 6) AS mean_b
+FROM (VALUES {vals}) AS v(zone_id, sum_r, sum_g, sum_b, n_px)
+GROUP BY zone_id
+"""
+
+
 QUERIES9 = {
     "decontaminate_13gram": q_decontaminate_13gram,
     "bm25_search": q_bm25_search,
@@ -318,6 +426,7 @@ QUERIES9 = {
     "pricing_percentiles": q_pricing_percentiles,
     "token_kl_drift": q_token_kl_drift,
     "tile_hull_z8": q_tile_hull_z8,
+    "zonal_stats": q_zonal_stats,
 }
 
 ORACLES9 = {
@@ -327,4 +436,5 @@ ORACLES9 = {
     "pricing_percentiles": o_pricing_percentiles(),
     "token_kl_drift": o_token_kl_drift(),
     "tile_hull_z8": o_tile_hull_z8(),
+    "zonal_stats": o_zonal_stats(),
 }
