@@ -122,3 +122,37 @@ def test_png_decoder_handles_average_and_paeth_filters():
     )
     back = codec.decode_png(png)
     np.testing.assert_array_equal(back, img)
+
+
+@pytest.mark.parametrize("w,h", [(16, 16), (32, 24), (64, 48), (1, 1), (7, 3)])
+def test_q6_lossy_roundtrip_psnr_gate(w, h):
+    """The lossy format satisfies the input_hint acceptance gate on any
+    image: allclose within the quantizer's error bound and PSNR >= 40
+    (>= 42.1 by construction: max per-sample error 2)."""
+    img = _pattern(w, h, 13)
+    data = codec.encode_q6(img)
+    assert len(data) == ((w * h * 3 + 3) // 4) * 3  # 25% under raw
+    back = codec.decode_q6(data, w, h)
+    assert back.shape == img.shape and back.dtype == np.uint8
+    err = back.astype(np.int32) - img.astype(np.int32)
+    assert np.abs(err).max() <= 2  # allclose, atol = quantizer bound
+    assert codec.psnr(img, back) >= 40.0
+
+
+def test_q6_worst_case_image_still_clears_gate():
+    # every value hits the max quantization error simultaneously
+    img = np.zeros((8, 8, 3), dtype=np.uint8)  # 0 -> rec 2, err 2
+    back = codec.decode_q6(codec.encode_q6(img), 8, 8)
+    assert np.all(back == 2)
+    p = codec.psnr(img, back)
+    assert 42.0 <= p <= 42.2  # 20*log10(255/2)
+
+
+def test_q6_via_dispatch_and_spark_reencode():
+    img = _pattern(32, 24, 99)
+    data = codec.encode_image(img, "q6")
+    back = codec.decode_image(data, 32, 24, "q6")
+    assert codec.psnr(img, back) >= 40.0
+    # re-quantizing the reconstruction is a fixed point (codes preserved)
+    again = codec.decode_image(codec.encode_image(back, "q6"), 32, 24, "q6")
+    np.testing.assert_array_equal(again, back)

@@ -253,3 +253,20 @@ def test_iceberg_adapter_gating(spark):
         I.commit(df, "cat.db.t")
     with pytest.raises(I.IcebergUnavailable):
         I.lineage(spark, "cat.db.t")
+
+
+def test_resize_q6_lossy_psnr_gate(spark):
+    """decode -> transform -> LOSSY re-encode through the distributed
+    path: every row's q6 reconstruction clears the input_hint gate
+    (PSNR >= 40 dB, allclose atol=2) against the lossless resize."""
+    img = synth.images_table(spark, 12)
+    lossy = {r["image_id"]: bytes(r["bytes"])
+             for _, r in R.resize(img, 8, 8, out_fmt="q6").toPandas().iterrows()}
+    exact = {r["image_id"]: bytes(r["bytes"])
+             for _, r in R.resize(img, 8, 8, out_fmt="raw").toPandas().iterrows()}
+    assert set(lossy) == set(exact) and len(lossy) == 12
+    for iid, data in lossy.items():
+        a = K_codec.decode_raw(exact[iid], 8, 8)
+        b = K_codec.decode_q6(data, 8, 8)
+        assert np.abs(b.astype(np.int32) - a.astype(np.int32)).max() <= 2
+        assert K_codec.psnr(a, b) >= 40.0

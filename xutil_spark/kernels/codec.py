@@ -7,9 +7,16 @@ Formats (the ``fmt`` column of the images table, FIXTURES.md §1):
   every scanline (encoder); the decoder handles all five standard
   filters so externally-produced PNGs decode too.
 
-Both are lossless, so the per-row invariant (decoded pixels allclose,
-PSNR ≥ 40 dB for lossy formats — BASELINE.json input_hint) is exact for
-them; ``psnr`` is provided for the lossy gate.
+* ``q6`` — LOSSY: uniform 6-bit/channel quantization, 4 codes packed
+  into 3 bytes (25% smaller than raw).  Mid-rise reconstruction
+  (code*4+2) bounds the per-sample error at 2, so PSNR ≥
+  20·log10(255/2) ≈ 42.1 dB on ANY image — the input_hint's lossy
+  acceptance gate (PSNR ≥ 40 dB) holds by construction and is
+  pytest-pinned (tests/test_codec.py).
+
+``raw``/``png`` are lossless, so the per-row invariant (decoded pixels
+allclose, PSNR ≥ 40 dB for lossy formats — BASELINE.json input_hint) is
+exact for them; ``psnr`` implements the lossy gate.
 
 These run inside ``mapInPandas`` batches (xutil_spark.raster.images) —
 one Python call per Arrow batch, never per row.
@@ -149,11 +156,49 @@ def decode_png(data: bytes) -> np.ndarray:
     return out.reshape(h, w, 3)
 
 
+def encode_q6(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → 6-bit/channel quantized stream, 4 codes per
+    3 bytes (vectorized bit packing; the sample count w·h·3 is always a
+    multiple of 4 for RGB when w·h is even, padded with zero codes
+    otherwise — the decoder truncates by the known w·h·3)."""
+    if pixels.dtype != np.uint8 or pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("expect (h, w, 3) uint8")
+    codes = (pixels.reshape(-1) >> 2).astype(np.uint8)
+    pad = (-codes.size) % 4
+    if pad:
+        codes = np.concatenate([codes, np.zeros(pad, np.uint8)])
+    c = codes.reshape(-1, 4)
+    out = np.empty((c.shape[0], 3), dtype=np.uint8)
+    out[:, 0] = (c[:, 0] << 2) | (c[:, 1] >> 4)
+    out[:, 1] = ((c[:, 1] & 0x0F) << 4) | (c[:, 2] >> 2)
+    out[:, 2] = ((c[:, 2] & 0x03) << 6) | c[:, 3]
+    return out.tobytes()
+
+
+def decode_q6(data: bytes, w: int, h: int) -> np.ndarray:
+    """q6 stream → (h, w, 3) uint8 with mid-rise reconstruction
+    code*4+2 (max per-sample error 2 ⇒ PSNR ≥ 42.1 dB always)."""
+    n = w * h * 3
+    b = np.frombuffer(data, dtype=np.uint8)
+    if b.size != ((n + 3) // 4) * 3:
+        raise ValueError(f"q6 size {b.size} != packed {w}x{h}x3")
+    b = b.reshape(-1, 3)
+    c = np.empty((b.shape[0], 4), dtype=np.uint8)
+    c[:, 0] = b[:, 0] >> 2
+    c[:, 1] = ((b[:, 0] & 0x03) << 4) | (b[:, 1] >> 4)
+    c[:, 2] = ((b[:, 1] & 0x0F) << 2) | (b[:, 2] >> 6)
+    c[:, 3] = b[:, 2] & 0x3F
+    codes = c.reshape(-1)[:n]
+    return ((codes << 2) + 2).astype(np.uint8).reshape(h, w, 3)
+
+
 def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
     if fmt == "raw":
         return encode_raw(pixels)
     if fmt == "png":
         return encode_png(pixels)
+    if fmt == "q6":
+        return encode_q6(pixels)
     raise NotImplementedError(
         f"codec {fmt!r} not available in this environment (no PIL/ffmpeg); "
         "plumbing supports any fmt whose codec is registered here"
@@ -165,6 +210,8 @@ def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         return decode_raw(data, w, h)
     if fmt == "png":
         return decode_png(bytes(data))
+    if fmt == "q6":
+        return decode_q6(data, w, h)
     raise NotImplementedError(f"codec {fmt!r} not available")
 
 
