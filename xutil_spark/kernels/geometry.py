@@ -319,3 +319,132 @@ def covering_cells(geo: dict, zoom: int) -> list[int]:
         for y in range(y1, y2 + 1):
             cells.append(int(cell_pack(x, y, zoom)))
     return cells
+
+
+def clip_ring_bbox(ring, w: float, s: float, e: float, n: float) -> np.ndarray:
+    """Sutherland-Hodgman clip of one ring against an axis-aligned box.
+
+    Engine addition (the scale path of the filter-refine PiP join —
+    operators/spatial_join.clipped_pip_join); the clip region is convex
+    (a tile bbox) so plain S-H is exact.  For concave subjects the
+    output may contain zero-area boundary-following bridges — harmless
+    to even-odd interior tests, which is all the fragments feed.
+    Returns an (m, 2) array, m == 0 when nothing survives.
+    """
+    pts = np.asarray(ring, dtype=np.float64)
+    if pts.shape[0] >= 2 and (pts[0] == pts[-1]).all():
+        pts = pts[:-1]  # S-H works on the open ring
+
+    def clip_half(poly, inside, intersect):
+        out: list = []
+        m = len(poly)
+        for i in range(m):
+            cur, prv = poly[i], poly[i - 1]
+            ci, pi = inside(cur), inside(prv)
+            if ci:
+                if not pi:
+                    out.append(intersect(prv, cur))
+                out.append(cur)
+            elif pi:
+                out.append(intersect(prv, cur))
+        return out
+
+    def x_cross(lim):
+        def f(p, q):
+            t = (lim - p[0]) / (q[0] - p[0])
+            return (lim, p[1] + t * (q[1] - p[1]))
+        return f
+
+    def y_cross(lim):
+        def f(p, q):
+            t = (lim - p[1]) / (q[1] - p[1])
+            return (p[0] + t * (q[0] - p[0]), lim)
+        return f
+
+    poly = [tuple(p) for p in pts]
+    for inside, intersect in (
+        (lambda p: p[0] >= w, x_cross(w)),
+        (lambda p: p[0] <= e, x_cross(e)),
+        (lambda p: p[1] >= s, y_cross(s)),
+        (lambda p: p[1] <= n, y_cross(n)),
+    ):
+        poly = clip_half(poly, inside, intersect)
+        if not poly:
+            return np.empty((0, 2), dtype=np.float64)
+    return np.asarray(poly, dtype=np.float64)
+
+
+def clip_geo_bbox(geo: dict, w: float, s: float, e: float, n: float) -> list[np.ndarray]:
+    """Clip every ring of a (Multi)Polygon to the box; drops rings that
+    degenerate below 3 vertices.  Returns a flat ring list — ring
+    identity (outer vs hole) is irrelevant to even-odd parity."""
+    out = []
+    for rings in polygon_rings(geo):
+        for ring in rings:
+            c = clip_ring_bbox(ring, w, s, e, n)
+            if c.shape[0] >= 3:
+                out.append(c)
+    return out
+
+
+def spherical_ring_area_m2(ring, max_step_deg: float = 0.05) -> float:
+    """Signed spherical area of one ring in m² on the R=6371000 sphere
+    (the haversine radius, kernels/distance.py:17) — the metric twin of
+    the planar shoelace (geo.go:324-334 uses deg², meaningless across
+    latitudes).  Discrete spherical shoelace −R²/2 · Σ (λ₂−λ₁)·(2 +
+    sin φ₁ + sin φ₂) (Chamberlain & Duquette 2007, public JPL report),
+    positive for CCW rings; antimeridian-crossing edges wrap.
+
+    Edges follow the plate-carrée path (linear in lon/lat — the WKT
+    segment model the whole engine uses, NOT great circles); each edge
+    is densified to ≤ ``max_step_deg`` before the O(step²) trapezoid
+    sum, so the result is stable under edge subdivision — clipping a
+    polygon to tiles (clip_ring_bbox) partitions its area exactly
+    (pytest-pinned to 1e-6 relative).  Rings with a vertex AT a pole
+    are out of domain.
+    """
+    r = np.asarray(ring, dtype=np.float64)
+    if r.shape[0] >= 2 and (r[0] == r[-1]).all():
+        r = r[:-1]
+    if r.shape[0] < 3:
+        return 0.0
+    lam = np.radians(r[:, 0])
+    phi = np.radians(r[:, 1])
+    dlam = np.roll(lam, -1) - lam
+    # wrap antimeridian-crossing edges into (-pi, pi]
+    dlam = (dlam + np.pi) % (2.0 * np.pi) - np.pi
+    dphi = np.roll(phi, -1) - phi
+    # densify: split each edge into ceil(max(|dlam|,|dphi|)/step) parts,
+    # interpolating linearly in (lon, lat) — fully vectorized
+    step = np.radians(max_step_deg)
+    nseg = np.maximum(
+        1, np.ceil(np.maximum(np.abs(dlam), np.abs(dphi)) / step)
+    ).astype(np.int64)
+    reps = np.repeat(np.arange(len(lam)), nseg)
+    seg0 = np.concatenate(([0], np.cumsum(nseg)))[:-1]
+    t0 = (np.arange(int(nseg.sum())) - np.repeat(seg0, nseg)) / np.repeat(
+        nseg, nseg
+    )
+    t1 = t0 + 1.0 / np.repeat(nseg, nseg)
+    p0 = phi[reps] + t0 * dphi[reps]
+    p1 = phi[reps] + t1 * dphi[reps]
+    s = float(np.sum((dlam[reps] / nseg[reps])
+                     * (2.0 + np.sin(p0) + np.sin(p1))))
+    from xutil_spark.kernels.distance import R_EARTH
+
+    return -s * R_EARTH * R_EARTH / 2.0
+
+
+def geo_area_m2(geo: dict) -> float:
+    """Unsigned geodesic area of a (Multi)Polygon in m²: |outer| minus
+    holes per even-odd ring orientation — robust to ring winding by
+    taking abs of the outer ring and subtracting abs of the rest (the
+    normalized rank-4 geometries keep outer first)."""
+    total = 0.0
+    for rings in polygon_rings(geo):
+        if not rings:
+            continue
+        total += abs(spherical_ring_area_m2(rings[0]))
+        for hole in rings[1:]:
+            total -= abs(spherical_ring_area_m2(hole))
+    return total

@@ -855,3 +855,100 @@ def salt_hot_cells(
         .drop("_hot")
     )
     return pts, dim_salted, hot
+
+
+# ------------------------------------------------- clipped PiP (scale path)
+
+
+def clip_polygons_to_cells(
+    polygons: DataFrame,
+    zoom: int,
+    wkt: str = "wkt",
+    frag: str = "frag_wkt",
+) -> DataFrame:
+    """Clip every polygon to each of its covering cells (Sutherland-
+    Hodgman, kernels/geometry.clip_ring_bbox) → one (cell, fragment)
+    row per non-empty intersection; all non-wkt columns pass through.
+
+    Two properties make this the 100-TB polygon-join path:
+
+    * cells whose bbox intersects but whose polygon doesn't DROP here
+      (the plain cover keeps them and pays refine on their points);
+    * each fragment carries only the edges near its tile, so the
+      downstream ray-cast is O(edges in tile) per candidate instead of
+      O(edges in polygon) — refine cost becomes independent of source
+      polygon complexity (a 100k-vertex coastline refines as cheaply
+      as a triangle).
+
+    Runs as one ``mapInPandas`` over the polygon dim (dim-scale: output
+    rows ≈ Σ polygon-area/tile-area).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from xutil_spark.kernels import geometry as K_geom
+    from xutil_spark.kernels import tiles as K_tiles
+
+    keep = [f for f in polygons.schema.fields if f.name != wkt]
+    keep_names = [f.name for f in keep]
+    schema = T.StructType(keep + [
+        T.StructField("cell", T.LongType(), False),
+        T.StructField(frag, T.StringType(), False),
+    ])
+
+    def run(batches):
+        for b in batches:
+            rows: dict = {k: [] for k in keep_names}
+            cells: list = []
+            frs: list = []
+            for r in b.to_dict("records"):
+                g = K_geom.from_wkt(r[wkt])
+                for cell in K_geom.covering_cells(g, zoom):
+                    w_, s_, e_, n_ = (float(v) for v in K_tiles.cell_bounds(cell))
+                    rings = K_geom.clip_geo_bbox(g, w_, s_, e_, n_)
+                    if not rings:
+                        continue
+                    fw = K_geom.to_wkt({
+                        "type": "Polygon",
+                        "coords": [[rg.tolist() for rg in rings]],
+                    })
+                    for k in keep_names:
+                        rows[k].append(r[k])
+                    cells.append(int(cell))
+                    frs.append(fw)
+            out = pd.DataFrame(rows) if rows else pd.DataFrame(index=range(len(cells)))
+            out["cell"] = pd.Series(cells, dtype="int64")
+            out[frag] = frs
+            yield out[keep_names + ["cell", frag]]
+
+    return polygons.mapInPandas(run, schema=schema)
+
+
+def clipped_pip_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    zoom: int = 12,
+    poly_id: str = "poly_id",
+    wkt: str = "wkt",
+    broadcast_polys: bool = True,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Point-in-polygon join over PRE-CLIPPED per-cell fragments — same
+    result set as ``point_in_polygon_join`` (up to points lying exactly
+    on tile boundaries, a measure-zero set the property tests avoid),
+    with two scale wins: empty-intersection cells never reach the
+    points, and refine is O(fragment edges).  Prefer this over the
+    plain cover when polygons are complex (many vertices) or much
+    larger than a tile; the plain path wins for small simple polygons
+    where clipping overhead dominates.
+    """
+    frags = clip_polygons_to_cells(polygons, zoom, wkt=wkt)
+    pts = with_cell(points, zoom, lon, lat)
+    dim = F.broadcast(frags) if broadcast_polys else frags
+    cand = pts.join(dim, on="cell", how="inner")
+    refine = _pip_refine_udf()
+    return (
+        cand.filter(refine(F.col(lon), F.col(lat), F.col("frag_wkt")))
+        .drop("cell", "frag_wkt")
+    )
