@@ -170,6 +170,12 @@ def _wkt_box(wkt: pd.Series) -> pd.Series:
     return wkt.map(lambda s: K_geom.geo_box(K_geom.from_wkt(s)) if s else None)
 
 
+def _wkt_area_m2(wkt: pd.Series) -> pd.Series:
+    return wkt.map(
+        lambda s: K_geom.geo_area_m2(K_geom.from_wkt(s)) if s else None
+    )
+
+
 def _wkt_covering_cells(wkt: pd.Series, zoom: pd.Series) -> pd.Series:
     zv = zoom.to_numpy(np.int64)
     return pd.Series([
@@ -235,6 +241,7 @@ _SPECS = {
     "wkt_to_geojson": (_wkt_to_geojson, "string"),
     "geojson_to_wkt": (_geojson_to_wkt, "string"),
     "wkt_box": (_wkt_box, "array<double>"),
+    "wkt_area_m2": (_wkt_area_m2, "double"),
     "wkt_covering_cells": (_wkt_covering_cells, "array<long>"),
     "wkt_transform": (_wkt_transform, "string"),
     "ring_is_clockwise": (_ring_is_clockwise, "boolean"),
