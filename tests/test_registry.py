@@ -65,6 +65,7 @@ REGISTERED_ROUND = {
     "token_kl_drift": 4,
     "tile_hull_z8": 4,
     "zonal_stats": 4,
+    "snap_nearest_segment": 4,
 }
 
 

@@ -970,6 +970,7 @@ from xutil_spark.entry_queries6 import ORACLES6, QUERIES6  # noqa: E402
 from xutil_spark.entry_queries7 import ORACLES7, QUERIES7  # noqa: E402
 from xutil_spark.entry_queries8 import ORACLES8, QUERIES8  # noqa: E402
 from xutil_spark.entry_queries9 import ORACLES9, QUERIES9  # noqa: E402
+from xutil_spark.entry_queries10 import ORACLES10, QUERIES10  # noqa: E402
 
 QUERIES.update(QUERIES2)
 QUERIES.update(QUERIES3)
@@ -979,6 +980,7 @@ QUERIES.update(QUERIES6)
 QUERIES.update(QUERIES7)
 QUERIES.update(QUERIES8)
 QUERIES.update(QUERIES9)
+QUERIES.update(QUERIES10)
 
 ORACLES = {
     "tile_assign_z15": o_tile_assign_z15(),
@@ -1012,6 +1014,7 @@ ORACLES.update(ORACLES6)
 ORACLES.update(ORACLES7)
 ORACLES.update(ORACLES8)
 ORACLES.update(ORACLES9)
+ORACLES.update(ORACLES10)
 
 # ------------------------------------------------------------ registry order
 #

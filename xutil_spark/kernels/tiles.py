@@ -124,3 +124,51 @@ def cell_bounds(cell):
     lat_n, lng_w = tile2wgs(x, y, z)  # NW corner (reference order: lat, lng)
     lat_s, lng_e = tile2wgs(x + 1, y + 1, z)
     return lng_w, lat_s, lng_e, lat_n
+
+
+def segment_cells(lng1, lat1, lng2, lat2, z):
+    """Exact supercover of one straight lon/lat segment: every tile the
+    segment touches at zoom ``z`` (scalar endpoints → int64 cell array).
+
+    The segment is straight in (lon, lat) space.  Tile x is LINEAR in
+    lon and tile y is MONOTONE in lat (Mercator), so the segment's
+    image in tile space is monotone along both axes — cutting the
+    parameter t at every integer x- and y-boundary crossing yields
+    exact constant-cell spans, and the cell at each span midpoint
+    enumerates the full supercover (no sampling gaps, unlike fixed-step
+    sampling which can skip corner-clipped tiles).  Boundary crossings
+    in x are solved linearly; in y by inverting the Mercator at each
+    integer tile row (lat = atan(sinh(π(1 − 2·k/n)))·180/π).
+
+    Cost O(cells crossed) per segment ≈ length / tile-size — the right
+    unit for a dim-scale road table (a 10^8-segment network at z12
+    yields ~2-6 cover rows per segment).
+    """
+    n = np.float64(2.0) ** z
+    nmax = (1 << z) - 1
+
+    def _fy(lat):
+        lr = np.radians(np.float64(lat))
+        return (1.0 - np.log(np.tan(lr) + 1.0 / np.cos(lr)) / np.pi) / 2.0 * n
+
+    x1 = (np.float64(lng1) + 180.0) / 360.0 * n
+    x2 = (np.float64(lng2) + 180.0) / 360.0 * n
+    ts = [np.float64(0.0), np.float64(1.0)]
+    if x2 != x1:
+        lo, hi = (x1, x2) if x1 < x2 else (x2, x1)
+        ks = np.arange(np.ceil(lo), np.floor(hi) + 1.0)
+        ts.extend((ks - x1) / (x2 - x1))
+    la1, la2 = np.float64(lat1), np.float64(lat2)
+    if la2 != la1:
+        y1, y2 = _fy(la1), _fy(la2)
+        lo, hi = (y1, y2) if y1 < y2 else (y2, y1)
+        ks = np.arange(np.ceil(lo), np.floor(hi) + 1.0)
+        lat_k = np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * ks / n))))
+        ts.extend((lat_k - la1) / (la2 - la1))
+    ts = np.clip(np.unique(np.asarray(ts, dtype=np.float64)), 0.0, 1.0)
+    mids = (ts[:-1] + ts[1:]) * 0.5 if ts.size > 1 else ts
+    x, y = wgs2tile(np.float64(lng1) + mids * (np.float64(lng2) - np.float64(lng1)),
+                    la1 + mids * (la2 - la1), z)
+    x = np.clip(x, 0, nmax)
+    y = np.clip(y, 0, nmax)
+    return np.unique(cell_pack(x, y, z))
