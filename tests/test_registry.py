@@ -66,6 +66,7 @@ REGISTERED_ROUND = {
     "tile_hull_z8": 4,
     "zonal_stats": 4,
     "snap_nearest_segment": 4,
+    "tile_pyramid_sums": 4,
 }
 
 
