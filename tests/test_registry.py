@@ -67,6 +67,7 @@ REGISTERED_ROUND = {
     "zonal_stats": 4,
     "snap_nearest_segment": 4,
     "tile_pyramid_sums": 4,
+    "kde_heatmap": 4,
 }
 
 

@@ -275,12 +275,63 @@ FROM (VALUES {vals}) AS v(cell, zoom, n_images, sum_r, sum_g, sum_b)
 """
 
 
+# ========================================================= KDE heatmap
+
+_KDE_ZOOM = 10
+_KDE_RADIUS = 2
+_KDE_SIGMA = 1.0
+
+
+def q_kde_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaussian KDE density surface over z10 cell counts
+    (operators/heatmap.py): integer kernel weights -> the smoothed
+    density is an exact integer sum, convolved at CELL cardinality
+    (the fact table is touched by one count shuffle only)."""
+    _utc(spark)
+    from xutil_spark.operators.heatmap import cell_counts, kde_smooth
+
+    pts = _points(spark, sf_dir)
+    counts = cell_counts(pts, _KDE_ZOOM)
+    return kde_smooth(counts, _KDE_ZOOM,
+                      radius=_KDE_RADIUS, sigma=_KDE_SIGMA)
+
+
+def o_kde_heatmap() -> str:
+    from xutil_spark.entry_queries import _PTS_SQL as pts_sql
+    from xutil_spark.entry_queries import _cell_sql
+    from xutil_spark.operators.heatmap import gaussian_kernel_int
+
+    kern = gaussian_kernel_int(_KDE_RADIUS, _KDE_SIGMA)
+    vals = ",".join(f"({dx},{dy},{w})" for dx, dy, w in kern)
+    cell = _cell_sql("lon", "lat", _KDE_ZOOM)
+    n = 2 ** _KDE_ZOOM
+    zb, xb = 288230376151711744, 536870912
+    return f"""
+WITH pts AS ({pts_sql}),
+counts AS (SELECT {cell} AS cell, COUNT(*) AS cnt FROM pts GROUP BY 1),
+kern(dx, dy, w) AS (VALUES {vals}),
+xy AS (
+  SELECT (cell % {zb}) // {xb} AS x, cell % {xb} AS y, cnt FROM counts
+),
+contrib AS (
+  SELECT {_KDE_ZOOM} * {zb}
+         + ((x + dx + {n}) % {n}) * {xb} + (y + dy) AS cell,
+         cnt * w AS m
+  FROM xy CROSS JOIN kern
+  WHERE y + dy >= 0 AND y + dy < {n}
+)
+SELECT cell, CAST(SUM(m) AS BIGINT) AS density FROM contrib GROUP BY 1
+"""
+
+
 QUERIES10 = {
     "snap_nearest_segment": q_snap_nearest_segment,
     "tile_pyramid_sums": q_tile_pyramid,
+    "kde_heatmap": q_kde_heatmap,
 }
 
 ORACLES10 = {
     "snap_nearest_segment": o_snap_nearest_segment(),
     "tile_pyramid_sums": o_tile_pyramid(),
+    "kde_heatmap": o_kde_heatmap(),
 }
