@@ -75,14 +75,28 @@ def test_no_query_evidence_stale_beyond_last_round():
     """Every query not green in the most recent recorded round (stale
     or never-green) must be inside the next driver window — except
     queries first registered after that round's window filled (see
-    REGISTERED_ROUND), which the rule pulls in one round later."""
+    REGISTERED_ROUND), which the rule pulls in one round later.
+
+    Capacity bound: with len(QUERIES) contract queries and a 50-row
+    window, two consecutive windows hold 100 slots, so at most
+    ``len(QUERIES) - 100`` queries can be on a three-round cadence.
+    The assertion allows exactly that bounded overflow — and only for
+    queries that WERE green in the immediately-previous round (their
+    evidence is two rounds old at evaluation time, never more) —
+    instead of silently weakening the two-round rule for everyone."""
     last, latest = _last_green()
     must = {
         q for q in QUERIES
         if last.get(q, 0) < latest and REGISTERED_ROUND.get(q, 0) <= latest
     }
-    out = must - set(_DRIVER_WINDOW)
-    assert not out, f"stale-evidence queries outside the window: {sorted(out)}"
+    out = sorted(must - set(_DRIVER_WINDOW))
+    budget = max(0, len(QUERIES) - 2 * len(_DRIVER_WINDOW))
+    assert len(out) <= budget, (
+        f"{len(out)} stale-evidence queries outside the window "
+        f"(budget {budget}): {out}")
+    too_stale = [q for q in out if last.get(q, 0) < latest - 1]
+    assert not too_stale, (
+        f"overflow queries stale beyond the three-round cap: {too_stale}")
 
 
 def test_every_oracle_has_a_query():
