@@ -73,6 +73,25 @@ def test_pyramid_two_levels_exact(spark):
     assert r["n_images"] == 4
 
 
+def test_pyramid_chunked_matches_single_chunk(spark):
+    """A byte budget that forces one-level chunks (persist-boundary
+    path) must produce byte-identical levels to the single-chunk
+    subtree render."""
+    rng = np.random.default_rng(11)
+    rows = [_mosaic_row(x, y, 6, int(rng.integers(1, 255)))
+            for x in range(4, 8) for y in range(2, 5)]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+
+    one = tile_pyramid(df, from_zoom=6, to_zoom=3, deg=DEG, out_fmt="raw")
+    many = tile_pyramid(df, from_zoom=6, to_zoom=3, deg=DEG, out_fmt="raw",
+                        group_byte_budget=DEG * DEG * 3 * 4)  # step == 1
+    key = lambda r: (r["zoom"], r["cell"])
+    a = {key(r): (r["n_images"], bytes(r["bytes"])) for r in one.collect()}
+    b = {key(r): (r["n_images"], bytes(r["bytes"])) for r in many.collect()}
+    assert len(a) == len(rows) + 4 + 2 + 1  # z6 + z5 + z4 + z3
+    assert a == b
+
+
 def test_pyramid_rejects_bad_zoom_order(spark):
     df = spark.createDataFrame(pd.DataFrame([_mosaic_row(0, 0, 5, 1)]))
     with pytest.raises(ValueError):
