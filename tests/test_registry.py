@@ -68,6 +68,7 @@ REGISTERED_ROUND = {
     "snap_nearest_segment": 4,
     "tile_pyramid_sums": 4,
     "kde_heatmap": 4,
+    "hotspot_gistar": 4,
 }
 
 

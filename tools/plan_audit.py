@@ -29,7 +29,7 @@ AUDITED = [
     "des_roundtrip", "decontaminate_13gram", "bm25_search",
     "bigram_pmi", "pricing_percentiles", "token_kl_drift",
     "tile_hull_z8", "zonal_stats", "snap_nearest_segment",
-    "tile_pyramid_sums", "kde_heatmap",
+    "tile_pyramid_sums", "kde_heatmap", "hotspot_gistar",
 ]
 
 

@@ -971,6 +971,7 @@ from xutil_spark.entry_queries7 import ORACLES7, QUERIES7  # noqa: E402
 from xutil_spark.entry_queries8 import ORACLES8, QUERIES8  # noqa: E402
 from xutil_spark.entry_queries9 import ORACLES9, QUERIES9  # noqa: E402
 from xutil_spark.entry_queries10 import ORACLES10, QUERIES10  # noqa: E402
+from xutil_spark.entry_queries11 import ORACLES11, QUERIES11  # noqa: E402
 
 QUERIES.update(QUERIES2)
 QUERIES.update(QUERIES3)
@@ -981,6 +982,7 @@ QUERIES.update(QUERIES7)
 QUERIES.update(QUERIES8)
 QUERIES.update(QUERIES9)
 QUERIES.update(QUERIES10)
+QUERIES.update(QUERIES11)
 
 ORACLES = {
     "tile_assign_z15": o_tile_assign_z15(),
@@ -1015,6 +1017,7 @@ ORACLES.update(ORACLES7)
 ORACLES.update(ORACLES8)
 ORACLES.update(ORACLES9)
 ORACLES.update(ORACLES10)
+ORACLES.update(ORACLES11)
 
 # ------------------------------------------------------------ registry order
 #
