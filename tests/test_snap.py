@@ -105,6 +105,55 @@ def test_snap_matches_brute_force(spark, zoom, radius):
     assert len(got) == matched
 
 
+def test_snap_escalation_agrees_with_single_pass(spark):
+    """Forced fine pass (z13 — guarantee ~2.4 km·cosφ, so plenty of
+    points straggle to the coarse branch) must emit exactly the
+    single-pass (fine_zoom=None) rows: the escalation is a pure
+    execution strategy, invisible in the results."""
+    from xutil_spark.operators.spatial_join import snap_to_segments
+
+    rng = np.random.default_rng(404)
+    n_pts, n_segs = 500, 30
+    plon = rng.uniform(60, 120, n_pts)
+    plat = rng.uniform(5, 55, n_pts)
+    sa = rng.uniform([60, 5], [120, 55], (n_segs, 2))
+    sb = np.clip(sa + rng.uniform(-8, 8, (n_segs, 2)), [60, 5], [120, 55])
+    pts = spark.createDataFrame(pd.DataFrame(
+        {"pid": np.arange(n_pts), "lon": plon, "lat": plat}))
+    segs = spark.createDataFrame(pd.DataFrame(
+        {"seg_id": np.arange(n_segs), "ax": sa[:, 0], "ay": sa[:, 1],
+         "bx": sb[:, 0], "by": sb[:, 1]}))
+
+    kw = dict(radius_m=65000.0, zoom=9)
+    single = {r["pid"]: r for r in snap_to_segments(
+        pts, segs, fine_zoom=None, **kw).collect()}
+    esc = {r["pid"]: r for r in snap_to_segments(
+        pts, segs, fine_zoom=13, **kw).collect()}
+    assert set(esc) == set(single)
+    for pid, r in esc.items():
+        s = single[pid]
+        assert (r["seg_id"], r["dist_m"], r["t"]) == \
+            (s["seg_id"], s["dist_m"], s["t"]), pid
+    # sparse roads at z13: the coarse straggler branch must be live
+    dist, _ = _snap_np(plon, plat, sa[:, 0], sa[:, 1], sb[:, 0], sb[:, 1])
+    assert (dist.min(axis=1) > 2400.0).sum() > 50
+
+
+def test_pick_snap_fine_zoom_budget(spark):
+    from xutil_spark.operators.spatial_join import pick_snap_fine_zoom
+
+    segs = spark.createDataFrame(pd.DataFrame({
+        "seg_id": [0, 1], "ax": [0.0, 10.0], "ay": [0.0, 10.0],
+        "bx": [9.0, 19.0], "by": [0.0, 10.0],
+    }))
+    # Σ(|Δlon|+|Δlat|) = 18 + 2 segments → rows(z) ≈ 18·2^z/360 + 2
+    assert pick_snap_fine_zoom(segs, 8, budget_rows=10 ** 9) == 14
+    # budget 100 → need 18·2^z/360 + 2 ≤ 100 → 2^z ≤ 1960 → z = 10
+    assert pick_snap_fine_zoom(segs, 8, budget_rows=100) == 10
+    # nothing finer than coarse fits → coarse (caller disables escalation)
+    assert pick_snap_fine_zoom(segs, 8, budget_rows=1) == 8
+
+
 def test_snap_tie_break_is_deterministic(spark):
     """Two segments at the exact same rounded distance → smaller seg_id
     wins (mirrors the oracle's ORDER BY dist, seg_id)."""

@@ -1026,6 +1026,11 @@ def _segments_with_cells(segments: DataFrame, zoom: int, seg_id: str,
         F.col(bx).cast("double").alias("_sbx"),
         F.col(by).cast("double").alias("_sby"),
     )
+    # road tables often arrive in 1-2 partitions; the per-segment python
+    # cover loop is the cost, so spread it before exploding
+    par = segments.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
 
     def run(batches):
         for b in batches:
@@ -1047,70 +1052,15 @@ def _segments_with_cells(segments: DataFrame, zoom: int, seg_id: str,
     return src.mapInPandas(run, out_schema)
 
 
-def snap_to_segments(
-    points: DataFrame,
-    segments: DataFrame,
-    radius_m: float,
-    zoom: int = 8,
-    point_id: str = "pid",
-    seg_id: str = "seg_id",
-    lon: str = "lon",
-    lat: str = "lat",
-    ax: str = "ax",
-    ay: str = "ay",
-    bx: str = "bx",
-    by: str = "by",
-    broadcast_segs: bool = True,
-    max_abs_lat: float = 60.0,
-) -> DataFrame:
-    """Snap each point to its nearest segment within ``radius_m`` — the
-    map-matching primitive (point → road).  Inner semantics: points
-    with no segment inside the radius are absent from the output.
-
-    Candidate generation mirrors ``distance_join``: segments explode to
-    their exact supercover cells, points explode to a neighbor ring
-    sized so the ring guarantee ≥ 1.05 × radius (the 5% margin covers
-    the equirectangular-vs-haversine divergence of the snap metric for
-    radii ≤ ~200 km), then ONE cell equi-join.  The static guarantee is
-    an envelope bound: callers whose data reaches beyond
-    ``max_abs_lat`` must raise it (rings grow as 1/cos).  If the
-    nearest in-radius segment point q exists, haversine(p, q) ≤
-    1.05·radius keeps q's cell inside the searched block, and the
-    supercover contains q's cell — so the true minimum is always among
-    the candidates (exactness is grid-independent).
-
-    The snap itself is pure column arithmetic (closed-form clamped
-    projection, codegen'd — no Python in the per-pair hot path); the
-    winner per point is one ``min(struct(...))`` aggregation keyed by
-    (dist rounded to mm, seg_id) for a deterministic tie-break.
-
-    Returns: point_id, lon, lat, seg_id, dist_m (3 dp), t (position
-    along the segment in [0,1]), snap_lon, snap_lat.
-
-    100-TB shape: fact side = 1 cell encode + ring explode + 1 shuffle
-    (the equi-join) + 1 shuffle (the per-point min); segment dim
-    broadcasts (or shuffles on cell when huge).  Skew: hot cells fall
-    under AQE skew-join; ``salt_hot_cells`` composes if needed.
-    """
-    ring = 1
-    while _ring_guarantee_m(zoom, ring, max_abs_lat=max_abs_lat) < radius_m * 1.05:
-        ring += 1
-        if ring > 64:
-            raise ValueError("radius too large for this zoom; lower the zoom")
-
-    segs = _segments_with_cells(segments, zoom, seg_id, ax, ay, bx, by)
-    dim = F.broadcast(segs) if broadcast_segs else segs
-
-    src = points
-    par = points.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < par:
-        src = src.repartition(par)
-    pts = with_cell(src, zoom, lon, lat, out="_pcell")
-    cand = (
-        _explode_neighbors(pts, F.col("_pcell"), zoom, ring)
-        .join(dim, F.col("_ncell") == F.col("_scell"), "inner")
-    )
-
+def _snap_best(cand: DataFrame, point_id: str, seg_id: str,
+               lon: str, lat: str) -> DataFrame:
+    """Score candidate (point, segment) pairs with the closed-form
+    clamped equirectangular projection and keep each point's winner via
+    ONE ``min(struct(...))`` aggregation keyed by (dist rounded to mm,
+    seg_id) for a deterministic tie-break.  Pure column arithmetic —
+    codegen'd, no Python in the per-pair hot path.  No radius filter
+    here: callers need the unconditioned minimum for the per-point
+    guarantee test."""
     k = F.lit(_M_PER_DEG)
     kx = k * F.cos(F.radians(F.col(lat)))
     axm = (F.col("_sax") - F.col(lon)) * kx
@@ -1126,15 +1076,13 @@ def snap_to_segments(
     qx = axm + t * ux
     qy = aym + t * uy
     dist = F.sqrt(qx * qx + qy * qy)
-
     scored = (
         cand.withColumn("_t", t)
         .withColumn("_dist", dist)
-        .filter(F.col("_dist") <= F.lit(float(radius_m)))
         .withColumn("_snap_lon", F.col(lon) + (qx / kx))
         .withColumn("_snap_lat", F.col(lat) + (qy / k))
     )
-    best = (
+    return (
         scored.groupBy(point_id)
         .agg(F.min(F.struct(
             F.round(F.col("_dist"), 3).alias("dist_m"),
@@ -1146,7 +1094,14 @@ def snap_to_segments(
             F.round(F.col("_snap_lat"), 6).alias("snap_lat"),
         )).alias("_w"))
     )
-    return best.select(
+
+
+def _snap_emit(best: DataFrame, point_id: str, seg_id: str,
+               lon: str, lat: str, radius_m: float) -> DataFrame:
+    """Unpack a ``_snap_best`` winner struct, applying the inner-join
+    radius semantics (points whose nearest segment is beyond the radius
+    drop out)."""
+    return best.filter(F.col("_w.dist_m") <= F.lit(float(radius_m))).select(
         point_id,
         F.col(f"_w.{seg_id}").alias(seg_id),
         F.col("_w.lon").alias(lon),
@@ -1156,3 +1111,137 @@ def snap_to_segments(
         F.col("_w.snap_lon").alias("snap_lon"),
         F.col("_w.snap_lat").alias("snap_lat"),
     )
+
+
+def pick_snap_fine_zoom(segments: DataFrame, coarse_zoom: int,
+                        ax: str = "ax", ay: str = "ay",
+                        bx: str = "bx", by: str = "by",
+                        budget_rows: int = 1_500_000,
+                        max_fine_zoom: int = 14) -> int:
+    """Choose the fine-pass zoom for the escalated snap join: the
+    FINEST zoom whose estimated supercover row count stays within
+    ``budget_rows`` (the fine dim is broadcast, so it must stay
+    dim-scale).  Supercover size per segment ≈ |Δx_tiles| + |Δy_tiles|
+    + 1, so the total is (Σ(|Δlon|+|Δlat|)) / tile_span + n — ONE tiny
+    aggregation over the (dim-scale) segment table.  Returns
+    ``coarse_zoom`` when even one level finer would blow the budget
+    (caller then skips escalation)."""
+    row = segments.agg(
+        F.sum(F.abs(F.col(ax) - F.col(bx)) + F.abs(F.col(ay) - F.col(by))).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    s = float(row["s"] or 0.0)
+    n = int(row["n"] or 0)
+    for z in range(max_fine_zoom, coarse_zoom, -1):
+        if s / (360.0 / 2 ** z) + n <= budget_rows:
+            return z
+    return coarse_zoom
+
+
+def snap_to_segments(
+    points: DataFrame,
+    segments: DataFrame,
+    radius_m: float,
+    zoom: int = 8,
+    point_id: str = "pid",
+    seg_id: str = "seg_id",
+    lon: str = "lon",
+    lat: str = "lat",
+    ax: str = "ax",
+    ay: str = "ay",
+    bx: str = "bx",
+    by: str = "by",
+    broadcast_segs: bool = True,
+    max_abs_lat: float = 60.0,
+    fine_zoom: int | str | None = "auto",
+) -> DataFrame:
+    """Snap each point to its nearest segment within ``radius_m`` — the
+    map-matching primitive (point → road).  Inner semantics: points
+    with no segment inside the radius are absent from the output.
+
+    Escalating zoom cascade in ONE fused DAG (the ``knn_join_fused``
+    pattern — one localCheckpoint, no per-round driver actions):
+
+    1. **Fine levels** (``fine_zoom`` down to ``zoom``, step −3, the
+       top auto-picked by ``pick_snap_fine_zoom`` so the finest
+       supercover dim stays broadcast-sized): at each level, segments
+       explode to their exact supercover cells and the still-unresolved
+       points search only their ring-1 block (9 cells).  A point's
+       winner is FINAL when its distance ≤ per-point ring guarantee
+       / 1.05: any segment not touching the block has every point in
+       unsearched cells, i.e. haversine ≥ guarantee, hence equirect ≥
+       guarantee/1.05 ≥ the found minimum (the 5% margin covers the
+       equirectangular-vs-haversine divergence for scales ≤ ~200 km).
+       A resolved point whose minimum exceeds the radius is proven
+       matchless and drops.  Each −3 step multiplies the guarantee
+       radius ×8, so the unresolved tail shrinks geometrically while
+       candidate fan-in stays ~constant (coarser cells hold more
+       segments but far fewer points reach them).
+    2. **Coarse pass** — the original full-radius join (ring sized so
+       the static guarantee ≥ 1.05 × radius; exactness is
+       grid-independent) — runs only on the final stragglers.
+
+    The static coarse guarantee is an envelope bound: callers whose
+    data reaches beyond ``max_abs_lat`` must raise it (rings grow as
+    1/cos).  ``fine_zoom=None`` (or ``"auto"`` finding no finer zoom
+    within budget) degrades to the single coarse pass.
+
+    Returns: point_id, lon, lat, seg_id, dist_m (3 dp), t (position
+    along the segment in [0,1]), snap_lon, snap_lat.
+
+    100-TB shape: fact side = 1 cell encode + ring-1 explode + 1
+    broadcast join + 1 shuffle (per-point min); only stragglers (points
+    far from every road) pay the radius-sized ring explode.  Segment
+    dim broadcasts (or shuffles on cell when huge).  Skew: hot cells
+    fall under AQE skew-join; ``salt_hot_cells`` composes if needed.
+    """
+    ring = 1
+    while _ring_guarantee_m(zoom, ring, max_abs_lat=max_abs_lat) < radius_m * 1.05:
+        ring += 1
+        if ring > 64:
+            raise ValueError("radius too large for this zoom; lower the zoom")
+
+    if fine_zoom == "auto":
+        fine_zoom = pick_snap_fine_zoom(segments, zoom, ax, ay, bx, by)
+        if fine_zoom <= zoom:
+            fine_zoom = None
+
+    src = points
+    par = points.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+
+    def coarse(pts_df: DataFrame) -> DataFrame:
+        segs = _segments_with_cells(segments, zoom, seg_id, ax, ay, bx, by)
+        dim = F.broadcast(segs) if broadcast_segs else segs
+        pc = with_cell(pts_df, zoom, lon, lat, out="_ccell")
+        cand = (
+            _explode_neighbors(pc, F.col("_ccell"), zoom, ring, out="_cncell")
+            .join(dim, F.col("_cncell") == F.col("_scell"), "inner")
+        )
+        return _snap_emit(_snap_best(cand, point_id, seg_id, lon, lat),
+                          point_id, seg_id, lon, lat, radius_m)
+
+    if fine_zoom is None:
+        return coarse(src)
+
+    remaining = src.localCheckpoint()
+    out = None
+    for fz in range(int(fine_zoom), zoom, -3):
+        segs_z = _segments_with_cells(segments, fz, seg_id, ax, ay, bx, by)
+        cand = (
+            _explode_neighbors(with_cell(remaining, fz, lon, lat, out="_pcell"),
+                               F.col("_pcell"), fz, 1)
+            .join(F.broadcast(segs_z), F.col("_ncell") == F.col("_scell"), "inner")
+        )
+        best = _snap_best(cand, point_id, seg_id, lon, lat)
+        # 1 mm shaved off the margin so a boundary-exact unseen segment
+        # can never beat (or re-tie) an accepted winner
+        guarantee = (_ring_guarantee_expr(F.col("_w.lat"), fz, 1) / 1.05
+                     - F.lit(0.001))
+        done = best.filter(F.col("_w.dist_m") <= guarantee)
+        level_out = _snap_emit(done, point_id, seg_id, lon, lat, radius_m)
+        out = level_out if out is None else out.unionByName(level_out)
+        remaining = remaining.join(done.select(point_id),
+                                   on=point_id, how="left_anti")
+    return out.unionByName(coarse(remaining))
