@@ -1,0 +1,177 @@
+"""od_flows (operators/flows.py) and mann_kendall_cells
+(operators/hotspot.py): hand-built trails and time series, checked
+against independent pure-Python replays."""
+
+import datetime as dt
+import itertools
+import math
+
+from pyspark.sql import functions as F
+
+from xutil_spark.kernels.tiles import wgs2tile
+from xutil_spark.operators.flows import od_flows
+from xutil_spark.operators.hotspot import mann_kendall_cells
+
+# four z5-distinct locations (cell centers far apart)
+_LOCS = {
+    "A": (10.0, 10.0),
+    "B": (40.0, 10.0),
+    "C": (40.0, 40.0),
+    "D": (-100.0, -20.0),
+}
+
+
+def _trail(spark, moves):
+    """moves: list of (user, [loc letters]) → events df with 1-minute
+    spacing per user."""
+    rows = []
+    eid = 0
+    for user, letters in moves:
+        for i, L in enumerate(letters):
+            lon, lat = _LOCS[L]
+            rows.append((eid, user,
+                         dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i),
+                         lon, lat))
+            eid += 1
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, lon double, lat double")
+
+
+def _cell(letter, z=5):
+    lon, lat = _LOCS[letter]
+    x, y = wgs2tile(lon, lat, z)
+    return z * (1 << 58) + x * (1 << 29) + y
+
+
+def test_od_flows_counts_and_self_loop_drop(spark):
+    ev = _trail(spark, [
+        (1, ["A", "B", "B", "C"]),   # A→B, B→B (dropped), B→C
+        (2, ["A", "B"]),             # A→B
+        (3, ["C", "A"]),             # C→A
+    ])
+    out = {(r.from_cell, r.to_cell): (r.n_moves, r.n_entities)
+           for r in od_flows(ev, 5, tiebreak="event_id").collect()}
+    assert out == {
+        (_cell("A"), _cell("B")): (2, 2),
+        (_cell("B"), _cell("C")): (1, 1),
+        (_cell("C"), _cell("A")): (1, 1),
+    }
+
+
+def test_od_flows_self_loops_and_min_count(spark):
+    ev = _trail(spark, [(1, ["A", "A", "B"]), (2, ["A", "B"])])
+    with_loops = {(r.from_cell, r.to_cell): r.n_moves
+                  for r in od_flows(ev, 5, self_loops=True,
+                                    tiebreak="event_id").collect()}
+    assert with_loops[(_cell("A"), _cell("A"))] == 1
+    pruned = od_flows(ev, 5, tiebreak="event_id", min_count=2).collect()
+    assert {(r.from_cell, r.to_cell) for r in pruned} == {
+        (_cell("A"), _cell("B"))}
+
+
+def test_od_flows_tiebreak_orders_equal_timestamps(spark):
+    # two events at the SAME ts: event_id must decide the order
+    t = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(2, 1, t, *_LOCS["B"]), (1, 1, t, *_LOCS["A"]),
+         (3, 1, t + dt.timedelta(minutes=1), *_LOCS["C"])],
+        "event_id long, user_id long, ts timestamp, lon double, lat double")
+    out = {(r.from_cell, r.to_cell) for r in
+           od_flows(ev, 5, tiebreak="event_id").collect()}
+    assert out == {(_cell("A"), _cell("B")), (_cell("B"), _cell("C"))}
+
+
+# ------------------------------------------------------- Mann-Kendall
+
+def _mk_expected(counts):
+    """Pure-Python MK replay over one cell's dense bin counts."""
+    n = len(counts)
+    s = sum(
+        (cj > ci) - (cj < ci)
+        for (ci, cj) in itertools.combinations(counts, 2)
+    )
+    ties = {}
+    for c in counts:
+        ties[c] = ties.get(c, 0) + 1
+    tsum = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+    var18 = n * (n - 1) * (2 * n + 5) - tsum
+    if var18 <= 0:
+        z = None
+    elif s == 0:
+        z = 0.0
+    else:
+        z = round((s - (1 if s > 0 else -1)) / math.sqrt(var18 / 18.0), 6)
+    return s, var18, z
+
+
+def _mk_events(spark, per_bin, lon=10.0, lat=10.0, eid0=0):
+    """One event row per count unit; bin i occupies second i of a
+    len(per_bin)-second frame (n_bins == len(per_bin) ⇒ bin i == i)."""
+    rows = []
+    eid = eid0
+    for i, c in enumerate(per_bin):
+        for _ in range(c):
+            rows.append((eid, dt.datetime(2024, 1, 1, 0, 0, i), lon, lat))
+            eid += 1
+    return rows
+
+
+def test_mann_kendall_monotone_and_tied(spark):
+    inc = [1, 2, 3, 4, 5]          # strictly increasing: S = C(5,2) = 10
+    flat = [3, 3, 3, 3, 3]         # all tied: var18 = 0 → z NULL
+    rows = _mk_events(spark, inc, lon=10.0) + \
+        _mk_events(spark, flat, lon=40.0, eid0=1000)
+    # pad both frames' ends so the global frame is exactly 5 seconds
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, lon double, lat double")
+    out = {r.cell: (r.cnt, r.s, r.var18, r.z)
+           for r in mann_kendall_cells(ev, 5, n_bins=5).collect()}
+    assert len(out) == 2
+    (ci, ei), (cf, ef) = (( _cellf(10.0), _mk_expected(inc)),
+                          (_cellf(40.0), _mk_expected(flat)))
+    assert out[ci] == (sum(inc), ei[0], ei[1], ei[2])
+    assert out[cf][1:] == (ef[0], ef[1], None)
+
+
+def _cellf(lon, lat=10.0, z=5):
+    x, y = wgs2tile(lon, lat, z)
+    return z * (1 << 58) + x * (1 << 29) + y
+
+
+def test_mann_kendall_zero_fill_and_sign(spark):
+    # occupied only in late bins: zeros in early bins are SIGNAL
+    late = [0, 0, 0, 2, 5]
+    rows = _mk_events(spark, late, lon=10.0)
+    # anchor the frame ends with a second cell active in bins 0 and 4
+    rows += _mk_events(spark, [1, 0, 0, 0, 1], lon=40.0, eid0=500)
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, lon double, lat double")
+    out = {r.cell: (r.cnt, r.s, r.var18, r.z)
+           for r in mann_kendall_cells(ev, 5, n_bins=5).collect()}
+    e = _mk_expected(late)
+    assert out[_cellf(10.0)] == (sum(late), e[0], e[1], e[2])
+    assert out[_cellf(10.0)][1] > 0  # rising trend
+    e2 = _mk_expected([1, 0, 0, 0, 1])
+    assert out[_cellf(40.0)] == (2, e2[0], e2[1], e2[2])
+
+
+def test_mann_kendall_decreasing_matches_replay(spark):
+    dec = [7, 5, 5, 2, 1, 0, 0, 1, 0, 0]
+    rows = _mk_events(spark, dec, lon=10.0)
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, lon double, lat double")
+    # frame: ts spans seconds 0..9 because dec has events at 0 and 7;
+    # bins 8, 9 are empty ONLY if the frame reaches them — it doesn't
+    # (max ts is second 7), so replay over the REALIZED frame instead
+    span = max(i for i, c in enumerate(dec) if c) + 1
+    width = span  # seconds 0..span-1, width = span
+    # recompute the realized bin of each original second under
+    # bin = (sec * 10) div width
+    realized = [0] * 10
+    for i, c in enumerate(dec):
+        if c:
+            realized[(i * 10) // width] += c
+    e = _mk_expected(realized)
+    out = {r.cell: (r.cnt, r.s, r.var18, r.z)
+           for r in mann_kendall_cells(ev, 5, n_bins=10).collect()}
+    assert out[_cellf(10.0)] == (sum(dec), e[0], e[1], e[2])

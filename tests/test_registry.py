@@ -69,6 +69,8 @@ REGISTERED_ROUND = {
     "tile_pyramid_sums": 4,
     "kde_heatmap": 4,
     "hotspot_gistar": 4,
+    "od_flows_z5": 4,
+    "emerging_cells_mk": 4,
 }
 
 

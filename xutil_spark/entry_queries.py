@@ -972,6 +972,7 @@ from xutil_spark.entry_queries8 import ORACLES8, QUERIES8  # noqa: E402
 from xutil_spark.entry_queries9 import ORACLES9, QUERIES9  # noqa: E402
 from xutil_spark.entry_queries10 import ORACLES10, QUERIES10  # noqa: E402
 from xutil_spark.entry_queries11 import ORACLES11, QUERIES11  # noqa: E402
+from xutil_spark.entry_queries12 import ORACLES12, QUERIES12  # noqa: E402
 
 QUERIES.update(QUERIES2)
 QUERIES.update(QUERIES3)
@@ -983,6 +984,7 @@ QUERIES.update(QUERIES8)
 QUERIES.update(QUERIES9)
 QUERIES.update(QUERIES10)
 QUERIES.update(QUERIES11)
+QUERIES.update(QUERIES12)
 
 ORACLES = {
     "tile_assign_z15": o_tile_assign_z15(),
@@ -1018,6 +1020,7 @@ ORACLES.update(ORACLES8)
 ORACLES.update(ORACLES9)
 ORACLES.update(ORACLES10)
 ORACLES.update(ORACLES11)
+ORACLES.update(ORACLES12)
 
 # ------------------------------------------------------------ registry order
 #

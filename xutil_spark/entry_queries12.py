@@ -1,0 +1,169 @@
+"""Contract queries, round-4 fifth batch: mobility analytics — the
+origin-destination flow matrix (operators/flows.py) and Mann-Kendall
+emerging-hotspot trend scores (operators/hotspot.py) over the events
+table's deterministic locations.
+
+Same conventions as entry_queries*.py: q_* takes (spark, sf_dir) and
+returns a DataFrame; o_* returns ANSI SQL DuckDB runs on the same
+inputs.  Registered BEHIND the 50-row driver window (r04's slots are
+taken by the staleness ledger); tests/test_registry.py's
+registration-round ledger forces both into the round-5 window.
+
+Oracle parity notes:
+- OD flows are pure integer aggregates over a lag window — the oracle
+  transcribes the identical window (PARTITION BY user ORDER BY ts,
+  event_id) and cell encode.
+- Mann-Kendall: bin index, counts, S and 18·VarS are exact integers on
+  both sides (integer floor-div binning over floor(epoch) seconds);
+  the z-score is one fixed float64 expression tree mirrored verbatim,
+  ROUND(…,6)+0.0 normalizing −0.0.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xutil_spark.entry_queries import _cell_sql, _read, _utc
+from xutil_spark.entry_queries3 import _EV_LAT, _EV_LON
+
+_OD_ZOOM = 5
+_MK_ZOOM = 6
+_MK_BINS = 10
+
+
+def _located_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events + the deterministic event_id-derived location (the same
+    derivation as the streaming contract queries / _EV_LON/_EV_LAT)."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        (F.lit(73.5) + (F.col("event_id") * 2654435761 % 1048576).cast("double")
+         / 1048576.0 * 61.0).alias("lon"),
+        (F.lit(18.2) + (F.col("event_id") * 1597334677 % 1048576).cast("double")
+         / 1048576.0 * 35.3).alias("lat"),
+    )
+
+
+def q_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OD flow matrix at z5 (operators/flows.py): each user's events in
+    (ts, event_id) order, every consecutive cell transition counted per
+    directed (from_cell, to_cell) pair with distinct-mover counts;
+    stationary (same-cell) pairs drop.  One window shuffle on user, one
+    map-side-combined count shuffle at pair cardinality."""
+    _utc(spark)
+    from xutil_spark.operators.flows import od_flows
+
+    ev = _located_events(spark, sf_dir)
+    out = od_flows(ev, _OD_ZOOM, entity="user_id", ts="ts",
+                   tiebreak="event_id", self_loops=False, min_count=1)
+    return out.select("from_cell", "to_cell", "n_moves", "n_entities")
+
+
+def o_od_flows() -> str:
+    # lon/lat materialize in their own CTE: _EV_LON/_EV_LAT are additive
+    # expressions — inlining them into the tile formula unparenthesized
+    # would change operator precedence
+    cell = _cell_sql("lon", "lat", _OD_ZOOM)
+    return f"""
+WITH ev AS (
+  SELECT event_id, user_id, ts, {_EV_LON} AS lon, {_EV_LAT} AS lat
+  FROM events
+),
+located AS (
+  SELECT event_id, user_id, ts, {cell} AS cell FROM ev
+),
+moved AS (
+  SELECT user_id, cell AS to_cell,
+         lag(cell) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS from_cell
+  FROM located
+)
+SELECT from_cell, to_cell, COUNT(*) AS n_moves,
+       COUNT(DISTINCT user_id) AS n_entities
+FROM moved
+WHERE from_cell IS NOT NULL AND from_cell <> to_cell
+GROUP BY 1, 2
+"""
+
+
+def q_emerging_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall emerging-hotspot trend per z6 cell
+    (operators/hotspot.py mann_kendall_cells): events binned into 10
+    equal epoch-second bins over the global time frame, per-cell MK S
+    with the Kendall tie correction, z = (S∓1)/√VarS.  One fact-side
+    (cell, bin) count shuffle; everything after at occupied-cell
+    cardinality."""
+    _utc(spark)
+    from xutil_spark.operators.hotspot import mann_kendall_cells
+
+    ev = _located_events(spark, sf_dir)
+    return mann_kendall_cells(ev, _MK_ZOOM, n_bins=_MK_BINS)
+
+
+def o_emerging_cells() -> str:
+    cell = _cell_sql("lon", "lat", _MK_ZOOM)
+    n = _MK_BINS
+    bins = ",".join(f"({i})" for i in range(n))
+    return f"""
+WITH ev AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS e,
+         {_EV_LON} AS lon, {_EV_LAT} AS lat
+  FROM events
+),
+frame AS (SELECT MIN(e) AS tmin, MAX(e) - MIN(e) + 1 AS width FROM ev),
+binned AS (
+  SELECT {cell} AS cell,
+         CAST(((e - tmin) * {n}) // width AS INTEGER) AS bin
+  FROM ev CROSS JOIN frame
+),
+bincnt AS (SELECT cell, bin, COUNT(*) AS c FROM binned GROUP BY 1, 2),
+cells AS (SELECT DISTINCT cell FROM bincnt),
+bins(bin) AS (VALUES {bins}),
+dense AS (
+  SELECT cells.cell, bins.bin, COALESCE(bincnt.c, 0) AS c
+  FROM cells CROSS JOIN bins
+  LEFT JOIN bincnt ON bincnt.cell = cells.cell AND bincnt.bin = bins.bin
+),
+s AS (
+  SELECT a.cell,
+         CAST(SUM(CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1
+                       ELSE 0 END) AS BIGINT) AS s
+  FROM dense a JOIN dense b ON a.cell = b.cell AND b.bin > a.bin
+  GROUP BY 1
+),
+ties AS (
+  SELECT cell,
+         CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsum,
+         CAST(SUM(c * t) AS BIGINT) AS cnt
+  FROM (SELECT cell, c, COUNT(*) AS t FROM dense GROUP BY 1, 2)
+  GROUP BY 1
+),
+j AS (
+  SELECT s.cell, ties.cnt, s.s,
+         {n * (n - 1) * (2 * n + 5)} - ties.tsum AS var18
+  FROM s JOIN ties ON s.cell = ties.cell
+)
+SELECT cell, cnt, s, var18,
+       CASE
+         WHEN var18 <= 0 THEN NULL
+         WHEN s > 0 THEN
+           ROUND((s - 1) / sqrt(CAST(var18 AS DOUBLE) / 18.0), 6) + 0.0
+         WHEN s < 0 THEN
+           ROUND((s + 1) / sqrt(CAST(var18 AS DOUBLE) / 18.0), 6) + 0.0
+         ELSE 0.0
+       END AS z
+FROM j
+"""
+
+
+QUERIES12 = {
+    "od_flows_z5": q_od_flows,
+    "emerging_cells_mk": q_emerging_cells,
+}
+
+ORACLES12 = {
+    "od_flows_z5": o_od_flows(),
+    "emerging_cells_mk": o_emerging_cells(),
+}

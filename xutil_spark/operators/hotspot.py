@@ -83,3 +83,99 @@ def gi_star(counts: DataFrame, zoom: int, radius: int = 1) -> DataFrame:
     num = F.col("gsum").cast("double") - (xbar * F.col("wn").cast("double"))
     z = F.when(denom > 0.0, F.round(num / denom, 6) + F.lit(0.0))
     return j.select("cell", "cnt", "gsum", "wn", z.alias("z"))
+
+
+def mann_kendall_cells(
+    points: DataFrame,
+    zoom: int,
+    n_bins: int = 10,
+    ts: str = "ts",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Emerging-hotspot trend: the Mann-Kendall monotonic-trend test on
+    each occupied cell's time-binned counts — the temporal companion of
+    :func:`gi_star` (ESRI's "emerging hot spot analysis" runs exactly
+    this statistic over a space-time cube).
+
+    Per cell, over ``n_bins`` equal-width bins spanning the GLOBAL
+    [min ts, max ts] (bins with no points count 0 — absence is signal):
+
+        S    = Σ_{i<j} sign(c_j − c_i)
+        VarS = (n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)) / 18
+        z    = (S−1)/√VarS  if S>0,  (S+1)/√VarS  if S<0,  0 if S=0
+
+    with the standard tie correction over groups of equal counts
+    (Kendall 1975); z is NULL when VarS = 0 (all bins tied).  z ≳ 1.96:
+    intensifying cell; z ≲ −1.96: cooling.
+
+    Exactness: bin index, every count, S, and 18·VarS are exact
+    integers (the float work is one fixed √/division tree, mirrored
+    verbatim in the SQL oracle).  Binning uses integer epoch-seconds
+    arithmetic: bin = (e − tmin)·n_bins div (tmax − tmin + 1).
+
+    Scale shape (10^12 points): ONE fact-side shuffle (the (cell, bin)
+    count); everything after runs at occupied-cell cardinality — the
+    dense fill is cells × n_bins rows, the pair join n_bins²/2 per
+    cell, ties n_bins per cell — with the global time frame a 1-row
+    broadcast.  Returns (cell, cnt, s, var18, z): total count, MK S,
+    18·VarS (exact integer), trend z-score.
+    """
+    n = int(n_bins)
+    if n < 2:
+        raise ValueError("n_bins must be ≥ 2")
+    epoch = F.unix_timestamp(F.col(ts))
+    frame = points.agg(
+        F.min(epoch).alias("_tmin"),
+        (F.max(epoch) - F.min(epoch) + F.lit(1)).alias("_width"),
+    )
+    binned = (
+        points.join(F.broadcast(frame))
+        .withColumn("_num", ((epoch - F.col("_tmin")) * F.lit(n)).cast("long"))
+        # integer floor-div (all operands ≥ 0) — exact on both engines
+        .withColumn("_bin", F.expr("_num div _width").cast("int"))
+    )
+    cell = native.cell(lon, lat, zoom)
+    bincnt = (
+        binned.select(cell.alias("cell"), "_bin")
+        .groupBy("cell", "_bin")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    dense = (
+        bincnt.select("cell").distinct()
+        .withColumn("_bin", F.explode(F.sequence(F.lit(0), F.lit(n - 1))))
+        .join(bincnt, ["cell", "_bin"], "left")
+        .withColumn("_c", F.coalesce(F.col("_c"), F.lit(0)))
+    )
+    a = dense.select("cell", F.col("_bin").alias("_i"), F.col("_c").alias("_ci"))
+    b = dense.select("cell", F.col("_bin").alias("_j"), F.col("_c").alias("_cj"))
+    sgn = (
+        F.when(F.col("_cj") > F.col("_ci"), F.lit(1))
+        .when(F.col("_cj") < F.col("_ci"), F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    s_df = (
+        a.join(b, "cell").filter(F.col("_j") > F.col("_i"))
+        .groupBy("cell")
+        .agg(F.sum(sgn).alias("s"))
+    )
+    ties = (
+        dense.groupBy("cell", "_c").agg(F.count(F.lit(1)).alias("_t"))
+        .groupBy("cell")
+        .agg(
+            F.sum(
+                F.col("_t") * (F.col("_t") - 1) * (2 * F.col("_t") + 5)
+            ).alias("_tsum"),
+            F.sum(F.col("_c") * F.col("_t")).alias("cnt"),
+        )
+    )
+    var18 = (F.lit(n * (n - 1) * (2 * n + 5)) - F.col("_tsum")).alias("var18")
+    j = s_df.join(ties, "cell").select("cell", "cnt", "s", var18)
+    sd = F.sqrt(F.col("var18").cast("double") / F.lit(18.0))
+    z = (
+        F.when(F.col("var18") <= 0, F.lit(None).cast("double"))
+        .when(F.col("s") > 0, F.round((F.col("s") - 1) / sd, 6) + F.lit(0.0))
+        .when(F.col("s") < 0, F.round((F.col("s") + 1) / sd, 6) + F.lit(0.0))
+        .otherwise(F.lit(0.0))
+    )
+    return j.select("cell", "cnt", "s", "var18", z.alias("z"))

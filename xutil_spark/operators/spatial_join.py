@@ -29,6 +29,7 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 from xutil_spark.functions import native
 
@@ -1239,7 +1240,13 @@ def snap_to_segments(
         # can never beat (or re-tie) an accepted winner
         guarantee = (_ring_guarantee_expr(F.col("_w.lat"), fz, 1) / 1.05
                      - F.lit(0.001))
-        done = best.filter(F.col("_w.dist_m") <= guarantee)
+        # persisted (lazily): each level's winner set feeds BOTH the
+        # result union and the next level's anti-join — without it,
+        # branch k re-evaluates every finer level's candidate join
+        # (the expensive explode × broadcast probe) once per consumer,
+        # i.e. O(levels²) passes over the fact table in one action
+        done = (best.filter(F.col("_w.dist_m") <= guarantee)
+                .persist(StorageLevel.MEMORY_AND_DISK))
         level_out = _snap_emit(done, point_id, seg_id, lon, lat, radius_m)
         out = level_out if out is None else out.unionByName(level_out)
         remaining = remaining.join(done.select(point_id),
