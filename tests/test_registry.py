@@ -71,6 +71,7 @@ REGISTERED_ROUND = {
     "hotspot_gistar": 4,
     "od_flows_z5": 4,
     "emerging_cells_mk": 4,
+    "contour_segments_z7": 4,
 }
 
 

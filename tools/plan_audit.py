@@ -30,6 +30,7 @@ AUDITED = [
     "bigram_pmi", "pricing_percentiles", "token_kl_drift",
     "tile_hull_z8", "zonal_stats", "snap_nearest_segment",
     "tile_pyramid_sums", "kde_heatmap", "hotspot_gistar",
+    "od_flows_z5", "emerging_cells_mk", "contour_segments_z7",
 ]
 
 
