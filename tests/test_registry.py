@@ -72,6 +72,7 @@ REGISTERED_ROUND = {
     "od_flows_z5": 4,
     "emerging_cells_mk": 4,
     "contour_segments_z7": 4,
+    "idw_surface_z6": 4,
 }
 
 

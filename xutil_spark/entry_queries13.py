@@ -127,10 +127,101 @@ FROM pts2
 """
 
 
+# ===================================================== IDW interpolation
+
+_IDW_ZOOM = 6
+_IDW_RADIUS = 1
+_IDW_SCALE = 10 ** 12
+
+
+def q_idw_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point Shepard IDW (operators/interpolate.py): event values
+    gridded onto z6 cell centers with integer weights
+    floor(1e12/(1+d²)) and decimal(38,0) sums — bit-reproducible under
+    any aggregation order; one ring explode + one map-side-combined
+    shuffle, no joins, no Python."""
+    _utc(spark)
+    from pyspark.sql import functions as F
+
+    from xutil_spark.entry_queries import _read
+    from xutil_spark.operators.interpolate import idw_surface
+
+    ev = _read(spark, sf_dir, "events").select(
+        (F.lit(73.5) + (F.col("event_id") * 2654435761 % 1048576)
+         .cast("double") / 1048576.0 * 61.0).alias("lon"),
+        (F.lit(18.2) + (F.col("event_id") * 1597334677 % 1048576)
+         .cast("double") / 1048576.0 * 35.3).alias("lat"),
+        "value",
+    )
+    return idw_surface(ev, _IDW_ZOOM, radius=_IDW_RADIUS,
+                       power=2, scale=_IDW_SCALE)
+
+
+def o_idw_surface() -> str:
+    from xutil_spark.entry_queries import _tile_sql
+    from xutil_spark.entry_queries3 import _EV_LAT, _EV_LON
+
+    z, n = _IDW_ZOOM, 2 ** _IDW_ZOOM
+    zb, xb = 288230376151711744, 536870912
+    r = _IDW_RADIUS
+    ring = ",".join(f"({dx},{dy})"
+                    for dy in range(-r, r + 1) for dx in range(-r, r + 1))
+    tx, ty = _tile_sql("lon", "lat", z)
+    rad = repr(math.pi / 180.0)
+    pi = repr(math.pi)
+    two_pi = repr(2.0 * math.pi)
+    deg = repr(180.0 / math.pi)
+    # cell-center projection + haversine — the engine's exact trees
+    clon = f"(CAST(tx AS DOUBLE) + 0.5) / {n} * 360.0 - 180.0"
+    nv = f"{pi} - {two_pi} * (CAST(ty AS DOUBLE) + 0.5) / {n}"
+    clat = f"{deg} * atan(0.5 * (exp({nv}) - exp(-({nv}))))"
+    dlat = f"(clat - lat) * {rad}"
+    dlon = f"(clon - lon) * {rad}"
+    a = (f"sin({dlat} / 2.0) * sin({dlat} / 2.0)"
+         f" + sin({dlon} / 2.0) * sin({dlon} / 2.0)"
+         f" * cos(lat * {rad}) * cos(clat * {rad})")
+    d = f"12742000.0 * atan2(sqrt(av), sqrt(1.0 - av))"
+    return f"""
+WITH ev AS (
+  SELECT {_EV_LON} AS lon, {_EV_LAT} AS lat,
+         CAST(ROUND(value * 100.0, 0) AS BIGINT) AS v
+  FROM events
+),
+cells AS (SELECT lon, lat, v, {tx} AS x, {ty} AS y FROM ev),
+ring(dx, dy) AS (VALUES {ring}),
+fan AS (
+  SELECT lon, lat, v, (x + dx + {n}) % {n} AS tx, y + dy AS ty
+  FROM cells CROSS JOIN ring
+  WHERE y + dy >= 0 AND y + dy < {n}
+),
+proj AS (SELECT *, {clon} AS clon, {clat} AS clat FROM fan),
+hav AS (SELECT *, {a} AS av FROM proj),
+wt AS (
+  SELECT tx, ty, v,
+         CAST(floor({float(_IDW_SCALE)} / (1.0 + ({d}) * ({d})))
+              AS BIGINT) AS w
+  FROM hav
+),
+agg AS (
+  SELECT {z} * {zb} + tx * {xb} + ty AS cell,
+         COUNT(*) AS n_obs,
+         SUM(w) AS sw, SUM(w * v) AS swv
+  FROM wt GROUP BY 1
+)
+SELECT cell, n_obs,
+       CASE WHEN sw > 0 THEN
+         ROUND(CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE) / 100.0, 6) + 0.0
+       END AS est
+FROM agg
+"""
+
+
 QUERIES13 = {
     "contour_segments_z7": q_contour_segments,
+    "idw_surface_z6": q_idw_surface,
 }
 
 ORACLES13 = {
     "contour_segments_z7": o_contour_segments(),
+    "idw_surface_z6": o_idw_surface(),
 }
