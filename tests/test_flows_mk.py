@@ -175,3 +175,62 @@ def test_mann_kendall_decreasing_matches_replay(spark):
     out = {r.cell: (r.cnt, r.s, r.var18, r.z)
            for r in mann_kendall_cells(ev, 5, n_bins=10).collect()}
     assert out[_cellf(10.0)] == (sum(dec), e[0], e[1], e[2])
+
+
+# ------------------------------------------------------ track resample
+
+def _rs_replay(fixes, dt):
+    """fixes: [(e, lon, lat)] sorted. Pure-Python resample replay."""
+    t0 = min(e for e, _, _ in fixes)
+    out = {}
+    for i, (e, lo, la) in enumerate(fixes):
+        nxt = fixes[i + 1] if i + 1 < len(fixes) else None
+        klo = -((-(e - t0)) // dt)  # ceil for non-negatives
+        if nxt is not None:
+            khi = (nxt[0] - t0 - 1) // dt
+        else:
+            khi = klo if (e - t0) % dt == 0 else klo - 1
+        for k in range(klo, khi + 1):
+            tk = t0 + k * dt
+            if nxt is not None and nxt[0] > e:
+                fr = (tk - e) / (nxt[0] - e)
+            else:
+                fr = 0.0
+            l2, a2 = (nxt[1], nxt[2]) if nxt else (lo, la)
+            out[k] = (tk, round(lo + (l2 - lo) * fr, 6),
+                      round(la + (a2 - la) * fr, 6))
+    return out
+
+
+def test_resample_matches_replay_and_grid_rules(spark):
+    from xutil_spark.operators.trajectory import resample_tracks
+
+    fixes = [(0, 10.0, 20.0), (100, 11.0, 21.0), (250, 11.0, 25.0),
+             (600, 15.0, 25.0)]
+    rows = [(1, dt.datetime.fromtimestamp(e, dt.timezone.utc)
+             .replace(tzinfo=None), lo, la) for e, lo, la in fixes]
+    df = spark.createDataFrame(
+        rows, "traj_id long, ts timestamp, lon double, lat double")
+    got = {r.k: (r.t_epoch % 10**9, r.lon, r.lat)
+           for r in resample_tracks(df, 100, traj_col="traj_id").collect()}
+    exp = _rs_replay([(e, lo, la) for e, lo, la in fixes], 100)
+    # replay uses raw epochs; engine got absolute epochs — compare mod
+    exp = {k: (t % 10**9, lo, la) for k, (t, lo, la) in exp.items()}
+    assert got == exp
+    # the final fix at 600 is on the 100s grid → k=6 sampled exactly
+    assert got[6][1:] == (15.0, 25.0)
+
+
+def test_resample_off_grid_tail_dropped(spark):
+    from xutil_spark.operators.trajectory import resample_tracks
+
+    fixes = [(0, 0.0, 0.0), (150, 3.0, 3.0)]
+    rows = [(1, dt.datetime.fromtimestamp(e, dt.timezone.utc)
+             .replace(tzinfo=None), lo, la) for e, lo, la in fixes]
+    df = spark.createDataFrame(
+        rows, "traj_id long, ts timestamp, lon double, lat double")
+    ks = sorted(r.k for r in
+                resample_tracks(df, 100, traj_col="traj_id").collect())
+    # samples at k=0 (t=0) and k=1 (t=100, interpolated); t=200 would
+    # extrapolate past the last fix at 150 → absent
+    assert ks == [0, 1]

@@ -73,6 +73,7 @@ REGISTERED_ROUND = {
     "emerging_cells_mk": 4,
     "contour_segments_z7": 4,
     "idw_surface_z6": 4,
+    "track_resample_4h": 4,
 }
 
 

@@ -158,12 +158,80 @@ FROM j
 """
 
 
+# ===================================================== track resampling
+
+_RS_DT = 14400  # 4-hour grid
+
+
+def q_track_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-regular track resampling (operators/trajectory.py
+    resample_tracks): each user's event trail interpolated onto a
+    4-hour grid anchored at the track's first fix — lag/lead window +
+    sequence explode + one mirrored interpolation tree, zero Python.
+    Timestamps truncate to epoch seconds up front so the window order
+    (ts, event_id) is identical on both sides."""
+    _utc(spark)
+    from xutil_spark.operators.trajectory import resample_tracks
+
+    ev = _located_events(spark, sf_dir).withColumn(
+        "ts", F.timestamp_seconds(F.unix_timestamp(F.col("ts"))))
+    out = resample_tracks(ev, _RS_DT, traj_col="user_id",
+                          tiebreak="event_id")
+    return out.select("user_id", "k", "t_epoch", "lon", "lat")
+
+
+def o_track_resample() -> str:
+    dt = _RS_DT
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS e,
+         {_EV_LON} AS lon, {_EV_LAT} AS lat
+  FROM events
+),
+w AS (
+  SELECT user_id, e, lon, lat,
+         MIN(e) OVER (PARTITION BY user_id) AS t0,
+         LEAD(e) OVER (PARTITION BY user_id ORDER BY e, event_id) AS e2,
+         LEAD(lon) OVER (PARTITION BY user_id ORDER BY e, event_id) AS lon2,
+         LEAD(lat) OVER (PARTITION BY user_id ORDER BY e, event_id) AS lat2
+  FROM ev
+),
+b AS (
+  SELECT *, (e - t0 + {dt} - 1) // {dt} AS klo,
+         CASE WHEN e2 IS NOT NULL THEN (e2 - t0 - 1) // {dt}
+              WHEN (e - t0) % {dt} = 0 THEN (e - t0 + {dt} - 1) // {dt}
+              ELSE (e - t0 + {dt} - 1) // {dt} - 1 END AS khi
+  FROM w
+),
+f AS (
+  SELECT *, UNNEST(generate_series(klo, khi)) AS k
+  FROM b WHERE khi >= klo
+),
+calc AS (
+  SELECT user_id, k, t0 + k * {dt} AS t_epoch,
+         CASE WHEN e2 IS NOT NULL AND e2 > e
+              THEN CAST(t0 + k * {dt} - e AS DOUBLE)
+                   / CAST(e2 - e AS DOUBLE)
+              ELSE 0.0 END AS frac,
+         lon, lat,
+         COALESCE(lon2, lon) AS l2, COALESCE(lat2, lat) AS a2
+  FROM f
+)
+SELECT user_id, k, t_epoch,
+       ROUND(lon + (l2 - lon) * frac, 6) + 0.0 AS lon,
+       ROUND(lat + (a2 - lat) * frac, 6) + 0.0 AS lat
+FROM calc
+"""
+
+
 QUERIES12 = {
     "od_flows_z5": q_od_flows,
     "emerging_cells_mk": q_emerging_cells,
+    "track_resample_4h": q_track_resample,
 }
 
 ORACLES12 = {
     "od_flows_z5": o_od_flows(),
     "emerging_cells_mk": o_emerging_cells(),
+    "track_resample_4h": o_track_resample(),
 }

@@ -143,3 +143,84 @@ def douglas_peucker(
         })
 
     return df.groupBy(traj_col).applyInPandas(run, schema=schema)
+
+
+def resample_tracks(
+    df: DataFrame,
+    interval_s: int,
+    traj_col: str = "traj_id",
+    ts: str = "ts",
+    lon: str = "lon",
+    lat: str = "lat",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Time-regular resampling: one interpolated position per track per
+    ``interval_s`` seconds — the uniform-Δt track any speed-profile /
+    stay-detection / tensorized-trajectory stage wants downstream.
+
+    Sample times are t₀ + k·Δt anchored at each track's own first
+    fix; the position at each sample time interpolates linearly
+    between the bracketing fixes (piecewise-linear trajectory model).
+    Each consecutive fix pair emits the samples in [tᵢ, tᵢ₊₁); the
+    final fix emits its own sample iff it lands exactly on the grid —
+    so samples never extrapolate beyond the observed track.
+
+    ZERO Python: a lag/lead window on the track key, integer floor-div
+    bracket arithmetic on epoch seconds, one ``sequence`` explode, and
+    a single linear-interpolation float tree (mirrored verbatim in the
+    SQL oracle; rounded to 6 dp).
+
+    100-TB shape: ONE shuffle (the window partition on traj_id — the
+    same layout every per-track stage reuses); the explode is output-
+    proportional, everything codegen'd.  A hot track (bot with
+    millions of fixes) concentrates one partition — pre-split by
+    (traj, day) upstream if needed.
+
+    Returns (traj_col, k, t_epoch, lon, lat).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    dt = int(interval_s)
+    if dt <= 0:
+        raise ValueError("interval_s must be positive")
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(traj_col).orderBy(*order)
+    wall = Window.partitionBy(traj_col)
+    e = F.unix_timestamp(F.col(ts))
+    src = (
+        df.withColumn("_e", e)
+        .withColumn("_t0", F.min("_e").over(wall))
+        .withColumn("_e2", F.lead("_e").over(w))
+        .withColumn("_lon2", F.lead(lon).over(w))
+        .withColumn("_lat2", F.lead(lat).over(w))
+    )
+    # samples in [tᵢ, tᵢ₊₁): k_lo = ⌈(tᵢ−t₀)/Δt⌉, k_hi = ⌈(tᵢ₊₁−t₀)/Δt⌉−1
+    klo = F.expr(f"(_e - _t0 + {dt} - 1) div {dt}")
+    khi_pair = F.expr(f"(_e2 - _t0 - 1) div {dt}")
+    # the final fix samples itself iff exactly on the grid
+    on_grid = (F.col("_e") - F.col("_t0")) % dt == 0
+    khi = F.when(F.col("_e2").isNotNull(), khi_pair).otherwise(
+        F.when(on_grid, klo).otherwise(klo - 1))
+    fanned = (
+        src.withColumn("_klo", klo).withColumn("_khi", khi)
+        .filter(F.col("_khi") >= F.col("_klo"))
+        .withColumn("_k", F.explode(F.sequence(F.col("_klo"), F.col("_khi"))))
+        .withColumn("_tk", F.col("_t0") + F.col("_k") * dt)
+    )
+    frac = F.when(
+        F.col("_e2").isNotNull() & (F.col("_e2") > F.col("_e")),
+        (F.col("_tk") - F.col("_e")).cast("double")
+        / (F.col("_e2") - F.col("_e")).cast("double"),
+    ).otherwise(F.lit(0.0))
+    ilon = F.col(lon) + (F.coalesce(F.col("_lon2"), F.col(lon))
+                         - F.col(lon)) * frac
+    ilat = F.col(lat) + (F.coalesce(F.col("_lat2"), F.col(lat))
+                         - F.col(lat)) * frac
+    return fanned.select(
+        F.col(traj_col),
+        F.col("_k").alias("k"),
+        F.col("_tk").alias("t_epoch"),
+        (F.round(ilon, 6) + F.lit(0.0)).alias(lon),
+        (F.round(ilat, 6) + F.lit(0.0)).alias(lat),
+    )
