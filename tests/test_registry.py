@@ -74,6 +74,7 @@ REGISTERED_ROUND = {
     "contour_segments_z7": 4,
     "idw_surface_z6": 4,
     "track_resample_4h": 4,
+    "image_augment": 4,
 }
 
 

@@ -252,3 +252,82 @@ def tile_mosaic(
         })
 
     return with_cell.groupBy("cell").applyInPandas(render, schema=MOSAIC_SCHEMA)
+
+
+AUGMENT_OPS = ("hflip", "vflip", "rot90", "crop2x")
+
+AUGMENT_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType(), False),
+    T.StructField("op", T.StringType(), False),
+    T.StructField("w", T.IntegerType(), False),
+    T.StructField("h", T.IntegerType(), False),
+    T.StructField("fmt", T.StringType(), False),
+    T.StructField("bytes", T.BinaryType(), False),
+])
+
+
+def augment(images: DataFrame, id_col: str = "image_id",
+            out_fmt: str = "raw") -> DataFrame:
+    """Deterministic per-image augmentation — the training-data
+    version of the decode → transform → encode pipeline (`resize`):
+    each image gets ONE op selected by a hash of its id (xxhash64 —
+    row-content-derived, so retries/speculation replay identically;
+    never partition order):
+
+      hflip   mirror left-right              (dims preserved)
+      vflip   mirror top-bottom              (dims preserved)
+      rot90   90° clockwise                  (dims SWAP: w×h → h×w)
+      crop2x  center-crop half → nearest-resize back (dims preserved)
+
+    All four are numpy view/index operations — no interpolation
+    arithmetic, so augmented pixels are bit-exact permutations /
+    replications of source pixels (crop2x replicates each kept pixel
+    2×2; nearest indexing yi = Y·(h/2)//h = Y//2).
+
+    100-TB shape: ONE mapInPandas over the fact table, no shuffle, no
+    dim; batch cost is O(pixels).  Emits (id, op, w, h, fmt, bytes).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {k: [] for k in ("image_id", "op", "w", "h", "fmt",
+                                    "bytes")}
+            for r in b.itertuples(index=False):
+                px = K_codec.decode_image(bytes(r.bytes), int(r.w),
+                                          int(r.h), r.fmt)
+                h, w = px.shape[0], px.shape[1]
+                # deterministic op from the id bytes (FNV-1a 64, cheap
+                # scalar, mirrors nothing engine-side — any stable hash
+                # works; the oracle replays it independently)
+                op = AUGMENT_OPS[_fnv1a64(str(getattr(r, id_col))) % 4]
+                if op == "hflip":
+                    out = px[:, ::-1]
+                elif op == "vflip":
+                    out = px[::-1, :]
+                elif op == "rot90":
+                    # clockwise: out[y, x] = px[h-1-x, y]; dims swap
+                    out = np.rot90(px, k=-1)
+                else:  # crop2x
+                    y0, x0 = h // 4, w // 4
+                    crop = px[y0:y0 + h // 2, x0:x0 + w // 2]
+                    out = crop[np.arange(h) // 2][:, np.arange(w) // 2]
+                oh, ow = out.shape[0], out.shape[1]
+                rows["image_id"].append(getattr(r, id_col))
+                rows["op"].append(op)
+                rows["w"].append(ow)
+                rows["h"].append(oh)
+                rows["fmt"].append(out_fmt)
+                rows["bytes"].append(
+                    K_codec.encode_image(np.ascontiguousarray(out), out_fmt))
+            yield pd.DataFrame(rows)
+
+    return images.mapInPandas(run, schema=AUGMENT_SCHEMA)
+
+
+def _fnv1a64(s: str) -> int:
+    """FNV-1a 64-bit over the utf-8 bytes (public constants)."""
+    h = 0xCBF29CE484222325
+    for c in s.encode("utf-8"):
+        h ^= c
+        h = (h * 0x100000001B3) & ((1 << 64) - 1)
+    return h
