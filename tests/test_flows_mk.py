@@ -234,3 +234,47 @@ def test_resample_off_grid_tail_dropped(spark):
     # samples at k=0 (t=0) and k=1 (t=100, interpolated); t=200 would
     # extrapolate past the last fix at 150 → absent
     assert ks == [0, 1]
+
+
+def test_track_speed_stats_replay(spark):
+    from xutil_spark.functions.native import haversine_m  # noqa: F401
+    from xutil_spark.operators.trajectory import track_speed_stats
+
+    # fixes: (epoch, lon, lat) — includes a duplicate-timestamp pair
+    fixes = [(0, 10.0, 20.0), (100, 10.1, 20.0), (100, 10.2, 20.0),
+             (400, 10.2, 20.3)]
+    rows = [(1, dt.datetime.fromtimestamp(e, dt.timezone.utc)
+             .replace(tzinfo=None), lo, la) for e, lo, la in fixes]
+    df = spark.createDataFrame(
+        rows, "traj_id long, ts timestamp, lon double, lat double")
+    r = track_speed_stats(df, traj_col="traj_id").collect()[0]
+
+    def hav(lo1, la1, lo2, la2):
+        rad = math.pi / 180.0
+        dla, dlo = (la2 - la1) * rad, (lo2 - lo1) * rad
+        a = (math.sin(dla / 2) ** 2 + math.sin(dlo / 2) ** 2
+             * math.cos(la1 * rad) * math.cos(la2 * rad))
+        return 2.0 * 6371000.0 * math.atan2(math.sqrt(a),
+                                            math.sqrt(1.0 - a))
+
+    mm = [round(hav(*fixes[i][1:], *fixes[i + 1][1:]) * 1000)
+          for i in range(3)]
+    dts = [100, 0, 300]
+    assert (r.n_fixes, r.n_segs) == (4, 3)
+    assert r.dist_m == round(sum(mm) / 1000.0, 3)
+    # the zero-duration segment contributes distance but no speed
+    moving_mm = mm[0] + mm[2]
+    assert r.avg_speed_mps == round((moving_mm / 1000.0) / 400.0, 6)
+    assert r.max_speed_mps == round(
+        max(mm[0] / 1000.0 / 100.0, mm[2] / 1000.0 / 300.0), 6)
+
+
+def test_track_speed_single_fix_nulls(spark):
+    from xutil_spark.operators.trajectory import track_speed_stats
+
+    df = spark.createDataFrame(
+        [(7, dt.datetime(2024, 1, 1), 10.0, 20.0)],
+        "traj_id long, ts timestamp, lon double, lat double")
+    r = track_speed_stats(df, traj_col="traj_id").collect()[0]
+    assert (r.n_fixes, r.n_segs, r.dist_m) == (1, 0, 0.0)
+    assert r.max_speed_mps is None and r.avg_speed_mps is None

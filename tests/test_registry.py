@@ -75,6 +75,7 @@ REGISTERED_ROUND = {
     "idw_surface_z6": 4,
     "track_resample_4h": 4,
     "image_augment": 4,
+    "track_speed_stats": 4,
 }
 
 

@@ -224,14 +224,89 @@ FROM calc
 """
 
 
+# ===================================================== speed profile
+
+
+def q_track_speed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user movement profile (operators/trajectory.py
+    track_speed_stats): segment haversines rounded to integer
+    millimeters + integer-second durations so every per-track sum is
+    exact under any aggregation order; one window shuffle + one
+    map-side-combined groupBy, zero Python."""
+    _utc(spark)
+    from xutil_spark.operators.trajectory import track_speed_stats
+
+    ev = _located_events(spark, sf_dir).withColumn(
+        "ts", F.timestamp_seconds(F.unix_timestamp(F.col("ts"))))
+    return track_speed_stats(ev, traj_col="user_id", tiebreak="event_id")
+
+
+def o_track_speed() -> str:
+    import math
+
+    rad = repr(math.pi / 180.0)
+    # native.haversine_m's exact expression tree (functions/native.py)
+    a = (f"sin((lat - plat) * {rad} / 2.0) * sin((lat - plat) * {rad} / 2.0)"
+         f" + sin((lon - plon) * {rad} / 2.0)"
+         f" * sin((lon - plon) * {rad} / 2.0)"
+         f" * cos(plat * {rad}) * cos(lat * {rad})")
+    hav = f"12742000.0 * atan2(sqrt(av), sqrt(1.0 - av))"
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS e,
+         {_EV_LON} AS lon, {_EV_LAT} AS lat
+  FROM events
+),
+w AS (
+  SELECT user_id, e, lon, lat,
+         LAG(e) OVER (PARTITION BY user_id ORDER BY e, event_id) AS pe,
+         LAG(lon) OVER (PARTITION BY user_id ORDER BY e, event_id) AS plon,
+         LAG(lat) OVER (PARTITION BY user_id ORDER BY e, event_id) AS plat
+  FROM ev
+),
+h AS (SELECT *, {a} AS av FROM w),
+seg AS (
+  SELECT user_id, pe,
+         CASE WHEN pe IS NOT NULL THEN
+           CAST(ROUND(({hav}) * 1000.0, 0) AS BIGINT) END AS dmm,
+         CASE WHEN pe IS NOT NULL THEN e - pe END AS dt
+  FROM h
+),
+sp AS (
+  SELECT *, CASE WHEN pe IS NOT NULL AND dt > 0 THEN
+         (CAST(dmm AS DOUBLE) / 1000.0) / CAST(dt AS DOUBLE) END AS spd
+  FROM seg
+),
+agg AS (
+  SELECT user_id, COUNT(*) AS n_fixes, COUNT(dmm) AS n_segs,
+         CAST(SUM(dmm) AS BIGINT) AS summ,
+         CAST(SUM(CASE WHEN spd IS NOT NULL THEN dmm END) AS BIGINT)
+           AS mvmm,
+         CAST(SUM(CASE WHEN spd IS NOT NULL THEN dt END) AS BIGINT) AS mvs,
+         MAX(spd) AS maxsp
+  FROM sp GROUP BY 1
+)
+SELECT user_id, n_fixes, n_segs,
+       ROUND(CAST(COALESCE(summ, 0) AS DOUBLE) / 1000.0, 3) AS dist_m,
+       ROUND(maxsp, 6) + 0.0 AS max_speed_mps,
+       CASE WHEN mvs > 0 THEN
+         ROUND((CAST(mvmm AS DOUBLE) / 1000.0) / CAST(mvs AS DOUBLE), 6)
+         + 0.0
+       END AS avg_speed_mps
+FROM agg
+"""
+
+
 QUERIES12 = {
     "od_flows_z5": q_od_flows,
     "emerging_cells_mk": q_emerging_cells,
     "track_resample_4h": q_track_resample,
+    "track_speed_stats": q_track_speed,
 }
 
 ORACLES12 = {
     "od_flows_z5": o_od_flows(),
     "emerging_cells_mk": o_emerging_cells(),
     "track_resample_4h": o_track_resample(),
+    "track_speed_stats": o_track_speed(),
 }

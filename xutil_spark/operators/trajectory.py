@@ -224,3 +224,83 @@ def resample_tracks(
         (F.round(ilon, 6) + F.lit(0.0)).alias(lon),
         (F.round(ilat, 6) + F.lit(0.0)).alias(lat),
     )
+
+
+def track_speed_stats(
+    df: DataFrame,
+    traj_col: str = "traj_id",
+    ts: str = "ts",
+    lon: str = "lon",
+    lat: str = "lat",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-track movement profile: total distance, max and mean speed
+    over the consecutive-fix segments — the QA / feature stage between
+    raw trails and any mobility model (implausible-speed filtering,
+    activity features).
+
+    Exactness design: each segment's haversine length rounds to integer
+    MILLIMETERS and durations are integer seconds, so the per-track
+    sums are exact integers under any aggregation order (a raw
+    float-meter sum would hash-diverge across partitionings); max
+    speed is order-independent by construction.  Segments with zero
+    duration (duplicate timestamps) contribute distance but no speed.
+
+    100-TB shape: one lag window shuffle on the track key (the layout
+    every per-track stage shares), then ONE map-side-combined groupBy.
+    All column arithmetic — no Python.
+
+    Returns (traj_col, n_fixes, n_segs, dist_m, max_speed_mps,
+    avg_speed_mps): distance 3 dp, speeds 6 dp; speed fields NULL for
+    single-fix or zero-duration-only tracks.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from xutil_spark.functions import native
+
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(traj_col).orderBy(*order)
+    e = F.unix_timestamp(F.col(ts))
+    src = (
+        df.withColumn("_e", e)
+        .withColumn("_plon", F.lag(lon).over(w))
+        .withColumn("_plat", F.lag(lat).over(w))
+        .withColumn("_pe", F.lag("_e").over(w))
+    )
+    d_mm = F.round(
+        native.haversine_m(F.col("_plon"), F.col("_plat"),
+                           F.col(lon), F.col(lat)) * 1000.0, 0
+    ).cast("long")
+    dt_s = F.col("_e") - F.col("_pe")
+    seg_speed = F.when(
+        F.col("_pe").isNotNull() & (dt_s > 0),
+        (d_mm.cast("double") / 1000.0) / dt_s.cast("double"),
+    )
+    agg = (
+        src.withColumn("_dmm", F.when(F.col("_pe").isNotNull(), d_mm))
+        .withColumn("_dt", F.when(F.col("_pe").isNotNull(), dt_s))
+        .withColumn("_sp", seg_speed)
+        .groupBy(traj_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_fixes"),
+            F.count("_dmm").alias("n_segs"),
+            F.sum("_dmm").alias("_summ"),
+            F.sum(F.when(F.col("_sp").isNotNull(), F.col("_dmm"))).alias("_mvmm"),
+            F.sum(F.when(F.col("_sp").isNotNull(), F.col("_dt"))).alias("_mvs"),
+            F.max("_sp").alias("_maxsp"),
+        )
+    )
+    return agg.select(
+        traj_col,
+        "n_fixes",
+        "n_segs",
+        F.round(F.coalesce(F.col("_summ"), F.lit(0)).cast("double")
+                / 1000.0, 3).alias("dist_m"),
+        (F.round(F.col("_maxsp"), 6) + F.lit(0.0)).alias("max_speed_mps"),
+        F.when(
+            F.col("_mvs") > 0,
+            F.round((F.col("_mvmm").cast("double") / 1000.0)
+                    / F.col("_mvs").cast("double"), 6) + F.lit(0.0),
+        ).alias("avg_speed_mps"),
+    )
