@@ -278,3 +278,72 @@ def test_track_speed_single_fix_nulls(spark):
     r = track_speed_stats(df, traj_col="traj_id").collect()[0]
     assert (r.n_fixes, r.n_segs, r.dist_m) == (1, 0, 0.0)
     assert r.max_speed_mps is None and r.avg_speed_mps is None
+
+
+def _fix_df(spark, fixes):
+    """fixes: (traj, epoch, lon, lat) rows → df."""
+    rows = [(tr, dt.datetime.fromtimestamp(e, dt.timezone.utc)
+             .replace(tzinfo=None), lo, la) for tr, e, lo, la in fixes]
+    return spark.createDataFrame(
+        rows, "traj_id long, ts timestamp, lon double, lat double")
+
+
+def test_segment_trips_gap_split(spark):
+    from xutil_spark.operators.trajectory import segment_trips
+
+    # track 1: 3 fixes, gap of 5000s between fix 2 and 3 → two trips
+    df = _fix_df(spark, [
+        (1, 0, 10.0, 20.0), (1, 100, 10.1, 20.0), (1, 5100, 10.2, 20.0),
+        (2, 0, 50.0, 0.0),
+    ])
+    out = {(r.traj_id, r.trip_id): r
+           for r in segment_trips(df, max_gap_s=1800).collect()}
+    assert set(out) == {(1, 1), (1, 2), (2, 1)}
+    t11, t12, t2 = out[(1, 1)], out[(1, 2)], out[(2, 1)]
+    assert (t11.n_fixes, t11.duration_s) == (2, 100)
+    assert (t12.n_fixes, t12.duration_s) == (1, 0)
+    assert t12.dist_m == 0.0  # boundary gap segment is not counted
+    assert (t2.n_fixes, t2.dist_m) == (1, 0.0)
+
+    def hav(lo1, la1, lo2, la2):
+        rad = math.pi / 180.0
+        a = (math.sin((la2 - la1) * rad / 2) ** 2
+             + math.sin((lo2 - lo1) * rad / 2) ** 2
+             * math.cos(la1 * rad) * math.cos(la2 * rad))
+        return 12742000.0 * math.atan2(math.sqrt(a), math.sqrt(1 - a))
+
+    assert t11.dist_m == round(round(hav(10.0, 20.0, 10.1, 20.0) * 1000)
+                               / 1000.0, 3)
+
+
+def test_detect_stays_runs_and_centroid(spark):
+    from xutil_spark.operators.trajectory import detect_stays
+
+    # 3 fixes ~55m apart (0.0005 deg lon at lat 0) dwelling 2000s, then
+    # a 1-degree jump, then a single far fix (dwell 0 → filtered)
+    df = _fix_df(spark, [
+        (1, 0, 10.0, 0.0), (1, 1000, 10.0005, 0.0), (1, 2000, 10.001, 0.0),
+        (1, 3000, 11.0, 0.0),
+    ])
+    rows = detect_stays(df, stay_jump_m=200.0, min_stay_s=900).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_fixes, r.dwell_s) == (3, 2000)
+    # centroid: integer micro-degree mean with half-away rounding
+    assert r.ctr_lon == ((10000000 + 10000500 + 10001000) * 2 + 3) // 6 / 1e6
+    assert r.ctr_lat == 0.0
+
+
+def test_detect_stays_half_tie_rounding(spark):
+    from xutil_spark.operators.trajectory import detect_stays
+
+    # two fixes whose micro-degree sum is odd → mean sits exactly on
+    # x.5 micro-degrees; integer half-away rounding must go UP
+    df = _fix_df(spark, [(1, 0, 10.000001, 0.0), (1, 1000, 10.000002, 0.0)])
+    r = detect_stays(df, stay_jump_m=200.0, min_stay_s=0).collect()[0]
+    assert r.ctr_lon == 10.000002  # (20000003*2+2)//4 = 10000002
+
+    # negative lon tie rounds away from zero (down)
+    dfn = _fix_df(spark, [(1, 0, -10.000001, 0.0), (1, 1000, -10.000002, 0.0)])
+    rn = detect_stays(dfn, stay_jump_m=200.0, min_stay_s=0).collect()[0]
+    assert rn.ctr_lon == -10.000002

@@ -76,6 +76,8 @@ REGISTERED_ROUND = {
     "track_resample_4h": 4,
     "image_augment": 4,
     "track_speed_stats": 4,
+    "trip_segments": 4,
+    "stay_points": 4,
 }
 
 

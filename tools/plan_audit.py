@@ -32,7 +32,7 @@ AUDITED = [
     "tile_pyramid_sums", "kde_heatmap", "hotspot_gistar",
     "od_flows_z5", "emerging_cells_mk", "contour_segments_z7",
     "idw_surface_z6", "track_resample_4h", "image_augment",
-    "track_speed_stats",
+    "track_speed_stats", "trip_segments", "stay_points",
 ]
 
 

@@ -297,11 +297,193 @@ FROM agg
 """
 
 
+
+
+# ===================================================== trips & stays
+
+_TRIP_GAP_S = 43200
+
+
+def q_trip_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trail -> trip table (operators/trajectory.py segment_trips):
+    each user's events split into trips at time gaps > 12 h; trip ids
+    from a running break-flag sum on the unique (ts, event_id) order,
+    within-trip distances as exact integer-millimeter sums."""
+    _utc(spark)
+    from xutil_spark.operators.trajectory import segment_trips
+
+    ev = _located_events(spark, sf_dir).withColumn(
+        "ts", F.timestamp_seconds(F.unix_timestamp(F.col("ts"))))
+    return segment_trips(ev, traj_col="user_id", max_gap_s=_TRIP_GAP_S,
+                         tiebreak="event_id")
+
+
+def o_trip_segments() -> str:
+    import math
+
+    rad = repr(math.pi / 180.0)
+    a = (f"sin((lat - plat) * {rad} / 2.0) * sin((lat - plat) * {rad} / 2.0)"
+         f" + sin((lon - plon) * {rad} / 2.0)"
+         f" * sin((lon - plon) * {rad} / 2.0)"
+         f" * cos(plat * {rad}) * cos(lat * {rad})")
+    hav = "12742000.0 * atan2(sqrt(av), sqrt(1.0 - av))"
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS e,
+         {_EV_LON} AS lon, {_EV_LAT} AS lat
+  FROM events
+),
+w AS (
+  SELECT user_id, event_id, e, lon, lat,
+         LAG(e) OVER (PARTITION BY user_id ORDER BY e, event_id) AS pe,
+         LAG(lon) OVER (PARTITION BY user_id ORDER BY e, event_id) AS plon,
+         LAG(lat) OVER (PARTITION BY user_id ORDER BY e, event_id) AS plat
+  FROM ev
+),
+f AS (
+  SELECT *, CASE WHEN pe IS NULL OR e - pe > {_TRIP_GAP_S}
+                 THEN 1 ELSE 0 END AS brk
+  FROM w
+),
+r AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY e, event_id
+                           ROWS UNBOUNDED PRECEDING) AS grp
+  FROM f
+),
+h AS (SELECT *, {a} AS av FROM r),
+seg AS (
+  SELECT user_id, CAST(grp AS BIGINT) AS trip_id, e,
+         CASE WHEN brk = 0 THEN
+           CAST(ROUND(({hav}) * 1000.0, 0) AS BIGINT) END AS dmm
+  FROM h
+),
+agg AS (
+  SELECT user_id, trip_id, COUNT(*) AS n_fixes,
+         MIN(e) AS start_epoch, MAX(e) AS end_epoch,
+         CAST(SUM(dmm) AS BIGINT) AS summ
+  FROM seg GROUP BY 1, 2
+)
+SELECT user_id, trip_id, n_fixes, start_epoch, end_epoch,
+       end_epoch - start_epoch AS duration_s,
+       ROUND(CAST(COALESCE(summ, 0) AS DOUBLE) / 1000.0, 3) AS dist_m
+FROM agg
+"""
+
+
+_STAY_JUMP_M = 200.0
+_STAY_MIN_S = 900
+
+# home-anchored location: each user dwells around a hash-derived home
+# point with ~50 m jitter; every 5th event is an excursion up to ~1 deg
+# away, breaking the stay run.  Mirrored verbatim in the oracle.
+_ST_HLON = "73.5 + CAST(user_id * 2654435761 % 1048576 AS DOUBLE) / 1048576.0 * 61.0"
+_ST_HLAT = "18.2 + CAST(user_id * 1597334677 % 1048576 AS DOUBLE) / 1048576.0 * 35.3"
+_ST_JLON = "(CAST(event_id * 2246822519 % 1000 AS DOUBLE) / 1000.0 - 0.5)"
+_ST_JLAT = "(CAST(event_id * 3266489917 % 1000 AS DOUBLE) / 1000.0 - 0.5)"
+
+
+def _home_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    u, eid = F.col("user_id"), F.col("event_id")
+    hlon = (F.lit(73.5) + (u * 2654435761 % 1048576).cast("double")
+            / 1048576.0 * 61.0)
+    hlat = (F.lit(18.2) + (u * 1597334677 % 1048576).cast("double")
+            / 1048576.0 * 35.3)
+    jlon = (eid * 2246822519 % 1000).cast("double") / 1000.0 - 0.5
+    jlat = (eid * 3266489917 % 1000).cast("double") / 1000.0 - 0.5
+    exc = (eid % 5) == 0
+    scale_lon = F.when(exc, F.lit(2.0)).otherwise(F.lit(0.001))
+    scale_lat = F.when(exc, F.lit(2.0)).otherwise(F.lit(0.001))
+    return ev.select(
+        "event_id", "user_id",
+        F.timestamp_seconds(
+            F.unix_timestamp(F.col("ts").cast("timestamp"))).alias("ts"),
+        (hlon + jlon * scale_lon).alias("lon"),
+        (hlat + jlat * scale_lat).alias("lat"),
+    )
+
+
+def q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stay-point extraction (operators/trajectory.py detect_stays):
+    maximal runs of consecutive fixes with step distance <= 200 m and
+    dwell >= 15 min over a home-anchored location derivation (every
+    5th event is an excursion); integer-mm break compare + integer
+    micro-degree centroid sums keep both sides exact."""
+    _utc(spark)
+    from xutil_spark.operators.trajectory import detect_stays
+
+    return detect_stays(_home_events(spark, sf_dir), traj_col="user_id",
+                        stay_jump_m=_STAY_JUMP_M, min_stay_s=_STAY_MIN_S,
+                        tiebreak="event_id")
+
+
+def o_stay_points() -> str:
+    import math
+
+    rad = repr(math.pi / 180.0)
+    a = (f"sin((lat - plat) * {rad} / 2.0) * sin((lat - plat) * {rad} / 2.0)"
+         f" + sin((lon - plon) * {rad} / 2.0)"
+         f" * sin((lon - plon) * {rad} / 2.0)"
+         f" * cos(plat * {rad}) * cos(lat * {rad})")
+    hav = "12742000.0 * atan2(sqrt(av), sqrt(1.0 - av))"
+    jump_mm = int(round(_STAY_JUMP_M * 1000.0))
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS e,
+         ({_ST_HLON}) + {_ST_JLON}
+           * (CASE WHEN event_id % 5 = 0 THEN 2.0 ELSE 0.001 END) AS lon,
+         ({_ST_HLAT}) + {_ST_JLAT}
+           * (CASE WHEN event_id % 5 = 0 THEN 2.0 ELSE 0.001 END) AS lat
+  FROM events
+),
+w AS (
+  SELECT user_id, event_id, e, lon, lat,
+         LAG(e) OVER (PARTITION BY user_id ORDER BY e, event_id) AS pe,
+         LAG(lon) OVER (PARTITION BY user_id ORDER BY e, event_id) AS plon,
+         LAG(lat) OVER (PARTITION BY user_id ORDER BY e, event_id) AS plat
+  FROM ev
+),
+h AS (SELECT *, {a} AS av FROM w),
+f AS (
+  SELECT *, CASE WHEN pe IS NULL OR
+                 CAST(ROUND(({hav}) * 1000.0, 0) AS BIGINT) > {jump_mm}
+                 THEN 1 ELSE 0 END AS brk
+  FROM h
+),
+r AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY e, event_id
+                           ROWS UNBOUNDED PRECEDING) AS grp
+  FROM f
+),
+agg AS (
+  SELECT user_id, CAST(grp AS BIGINT) AS stay_id, COUNT(*) AS n_fixes,
+         MIN(e) AS start_epoch, MAX(e) AS end_epoch,
+         CAST(SUM(CAST(ROUND(lon * 1000000.0, 0) AS BIGINT)) AS BIGINT)
+           AS slon,
+         CAST(SUM(CAST(ROUND(lat * 1000000.0, 0) AS BIGINT)) AS BIGINT)
+           AS slat
+  FROM r GROUP BY 1, 2
+)
+SELECT user_id, stay_id, n_fixes, start_epoch, end_epoch,
+       end_epoch - start_epoch AS dwell_s,
+       CAST(CASE WHEN slon >= 0 THEN (2 * slon + n_fixes) // (2 * n_fixes)
+                 ELSE -((2 * (-slon) + n_fixes) // (2 * n_fixes)) END
+            AS DOUBLE) / 1000000.0 AS ctr_lon,
+       CAST(CASE WHEN slat >= 0 THEN (2 * slat + n_fixes) // (2 * n_fixes)
+                 ELSE -((2 * (-slat) + n_fixes) // (2 * n_fixes)) END
+            AS DOUBLE) / 1000000.0 AS ctr_lat
+FROM agg
+WHERE end_epoch - start_epoch >= {_STAY_MIN_S}
+"""
+
+
 QUERIES12 = {
     "od_flows_z5": q_od_flows,
     "emerging_cells_mk": q_emerging_cells,
     "track_resample_4h": q_track_resample,
     "track_speed_stats": q_track_speed,
+    "trip_segments": q_trip_segments,
+    "stay_points": q_stay_points,
 }
 
 ORACLES12 = {
@@ -309,4 +491,6 @@ ORACLES12 = {
     "emerging_cells_mk": o_emerging_cells(),
     "track_resample_4h": o_track_resample(),
     "track_speed_stats": o_track_speed(),
+    "trip_segments": o_trip_segments(),
+    "stay_points": o_stay_points(),
 }

@@ -304,3 +304,160 @@ def track_speed_stats(
                     / F.col("_mvs").cast("double"), 6) + F.lit(0.0),
         ).alias("avg_speed_mps"),
     )
+
+
+def _seg_groups(df, traj_col, ts, lon, lat, tiebreak, break_expr_fn):
+    """Shared trail-splitting machinery: lag window on the track key,
+    a caller-supplied break predicate over (prev, cur), then the
+    running sum of break flags numbers the groups.  ROWS frame over a
+    UNIQUE ordering (ts, tiebreak) — pass a tiebreak whenever
+    timestamps can repeat, otherwise the running sum is frame-
+    ambiguous on ties."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(traj_col).orderBy(*order)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    src = (
+        df.withColumn("_e", F.unix_timestamp(F.col(ts)))
+        .withColumn("_plon", F.lag(lon).over(w))
+        .withColumn("_plat", F.lag(lat).over(w))
+        .withColumn("_pe", F.lag(F.unix_timestamp(F.col(ts))).over(w))
+    )
+    brk = F.col("_pe").isNull() | break_expr_fn(src)
+    return src.withColumn("_brk", brk.cast("int")).withColumn(
+        "_grp", F.sum("_brk").over(wrun))
+
+
+def segment_trips(
+    df: DataFrame,
+    traj_col: str = "traj_id",
+    ts: str = "ts",
+    lon: str = "lon",
+    lat: str = "lat",
+    max_gap_s: int = 1800,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Split each entity's trail into trips at time gaps > ``max_gap_s``
+    — the canonical trail → trip-table reduction every mobility
+    pipeline starts with (gap splitting per Zheng, "Trajectory Data
+    Mining", §3.1; the reference's surface is point kernels only,
+    gis.go, so this is an engine addition).
+
+    Exactness design: the trip id is a running SUM over an integer
+    break flag on a UNIQUE (ts, tiebreak) ordering, and within-trip
+    distance reuses the integer-millimeter segment sums of
+    ``track_speed_stats`` — every output is either an exact integer or
+    one fixed float expression over exact integers.  The boundary
+    segment (the gap that STARTED a trip) belongs to no trip: its
+    distance is not counted.
+
+    100-TB shape: one lag-window shuffle on the track key (the shared
+    per-track layout), then ONE map-side-combined groupBy at trip
+    cardinality.  Zero Python.
+
+    Returns (traj_col, trip_id, n_fixes, start_epoch, end_epoch,
+    duration_s, dist_m).
+    """
+    from pyspark.sql import functions as F
+
+    from xutil_spark.functions import native
+
+    g = _seg_groups(df, traj_col, ts, lon, lat, tiebreak,
+                    lambda s: (F.col("_e") - F.col("_pe")) > max_gap_s)
+    d_mm = F.round(
+        native.haversine_m(F.col("_plon"), F.col("_plat"),
+                           F.col(lon), F.col(lat)) * 1000.0, 0
+    ).cast("long")
+    within = F.when(F.col("_brk") == 0, d_mm)
+    agg = (
+        g.withColumn("_dmm", within)
+        .groupBy(traj_col, F.col("_grp").alias("trip_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_fixes"),
+            F.min("_e").alias("start_epoch"),
+            F.max("_e").alias("end_epoch"),
+            F.sum("_dmm").alias("_summ"),
+        )
+    )
+    return agg.select(
+        traj_col, "trip_id", "n_fixes", "start_epoch", "end_epoch",
+        (F.col("end_epoch") - F.col("start_epoch")).alias("duration_s"),
+        F.round(F.coalesce(F.col("_summ"), F.lit(0)).cast("double")
+                / 1000.0, 3).alias("dist_m"),
+    )
+
+
+def detect_stays(
+    df: DataFrame,
+    traj_col: str = "traj_id",
+    ts: str = "ts",
+    lon: str = "lon",
+    lat: str = "lat",
+    stay_jump_m: float = 200.0,
+    min_stay_s: int = 900,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Stay-point extraction: maximal runs of consecutive fixes whose
+    step distance stays ≤ ``stay_jump_m`` and whose dwell spans ≥
+    ``min_stay_s`` become stays with an exact centroid.
+
+    This is the step-distance reduction of the classic anchor-based
+    stay-point scan (Li et al. 2008): a run breaks the moment one
+    consecutive step exceeds the jump radius.  Unlike the anchor scan
+    it is a pure window + running-sum plan (no sequential per-track
+    Python), at the cost of splitting slow drifts whose TOTAL
+    displacement exceeds the radius but whose steps don't — the usual
+    trade at fleet scale, and deterministic either way.
+
+    Exactness design: the break compares integer millimeters to an
+    integer threshold; centroids divide integer micro-degree sums by
+    the integer fix count with half-away-from-zero INTEGER rounding
+    ((2·|s| + n) div 2n) — a float ROUND here would sit exactly on
+    …5×10⁻⁶ ties (the jitter grid is micro-degree) and split between
+    engines; the integer quotient cannot.
+
+    Same shape as ``segment_trips``: one window shuffle, one groupBy.
+    Returns (traj_col, stay_id, n_fixes, start_epoch, end_epoch,
+    dwell_s, ctr_lon, ctr_lat) with centroids rounded to 6 dp.
+    """
+    from pyspark.sql import functions as F
+
+    from xutil_spark.functions import native
+
+    jump_mm = int(round(stay_jump_m * 1000.0))
+
+    def _brk(s):
+        d_mm = F.round(
+            native.haversine_m(F.col("_plon"), F.col("_plat"),
+                               F.col(lon), F.col(lat)) * 1000.0, 0
+        ).cast("long")
+        return d_mm > F.lit(jump_mm)
+
+    g = _seg_groups(df, traj_col, ts, lon, lat, tiebreak, _brk)
+    ulon = F.round(F.col(lon) * 1e6, 0).cast("long")
+    ulat = F.round(F.col(lat) * 1e6, 0).cast("long")
+    agg = (
+        g.withColumn("_ulon", ulon).withColumn("_ulat", ulat)
+        .groupBy(traj_col, F.col("_grp").alias("stay_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_fixes"),
+            F.min("_e").alias("start_epoch"),
+            F.max("_e").alias("end_epoch"),
+            F.sum("_ulon").alias("_slon"),
+            F.sum("_ulat").alias("_slat"),
+        )
+        .withColumn("dwell_s", F.col("end_epoch") - F.col("start_epoch"))
+        .filter(F.col("dwell_s") >= min_stay_s)
+    )
+
+    def ctr(s: str):
+        q = F.expr(f"(2 * abs({s}) + n_fixes) div (2 * n_fixes)")
+        u = F.when(F.col(s) < 0, -q).otherwise(q)
+        return u.cast("double") / F.lit(1000000.0)
+
+    return agg.select(
+        traj_col, "stay_id", "n_fixes", "start_epoch", "end_epoch",
+        "dwell_s", ctr("_slon").alias("ctr_lon"), ctr("_slat").alias("ctr_lat"),
+    )
