@@ -78,6 +78,8 @@ REGISTERED_ROUND = {
     "track_speed_stats": 4,
     "trip_segments": 4,
     "stay_points": 4,
+    "terrain_horn_z7": 4,
+    "morans_i_z6": 4,
 }
 
 

@@ -1,0 +1,211 @@
+"""Contract queries, round-4 eighth batch: terrain analytics
+(operators/terrain.py) — Horn slope/aspect/hillshade over the z7
+cell-count surface of the derived lineitem points, and global Moran's
+I / Geary's C spatial autocorrelation over the z6 surface of the
+derived event points.
+
+Same conventions as entry_queries*.py: q_* takes (spark, sf_dir) and
+returns a DataFrame; o_* returns ANSI SQL DuckDB runs on the same
+inputs.  Registered BEHIND the 50-row driver window; the
+registration-round ledger in tests/test_registry.py forces both into
+the round-5 window.
+
+Oracle parity notes:
+- Horn gradients gx/gy are exact integers (weighted neighbor sums with
+  edge replication via the Σw = 0 identity); slope/aspect/hillshade
+  are single float trees over (gx, gy) transcribed verbatim —
+  ROUND(…,6)+0.0 normalizes −0.0, aspect NULL on flats.
+- Autocorrelation: every aggregate (W, T, cross, D, U, Σx, Σx²) is an
+  exact integer on both sides; the I/z/C formulas are fixed float
+  trees.  DuckDB SUM(BIGINT) returns HUGEINT — cast back to BIGINT
+  before the float math so both engines start from int64.
+- The fan's (dx, dy) explode offset is the TARGET-relative-to-SOURCE
+  direction; Horn weights need the source's position relative to the
+  target, so the SQL gather weights by (−dx, −dy) — mirroring the
+  sign flip in operators/terrain.py _neighbor_fan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from xutil_spark.entry_queries import _points, _tile_sql, _utc
+from xutil_spark.entry_queries3 import _EV_LAT, _EV_LON
+from xutil_spark.operators.terrain import _SUN_UP_8
+
+_HORN_ZOOM = 7
+_AC_ZOOM = 6
+_ZB, _XB = 288230376151711744, 536870912
+
+_RING8 = ",".join(f"({dx},{dy})" for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+                  if (dx, dy) != (0, 0))
+
+
+def q_terrain_horn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horn slope/aspect/hillshade at z7 (operators/terrain.py): the
+    cell-count surface treated as elevation; gradients are exact
+    integer neighbor sums (missing neighbors replicate the center),
+    the trig a fixed tree over (gx, gy).  One count shuffle, one
+    8-way explode + groupBy at cell cardinality, one join back."""
+    _utc(spark)
+    from xutil_spark.operators.heatmap import cell_counts
+    from xutil_spark.operators.terrain import horn_surface
+
+    counts = cell_counts(_points(spark, sf_dir), _HORN_ZOOM)
+    return horn_surface(counts, _HORN_ZOOM)
+
+
+def o_terrain_horn() -> str:
+    from xutil_spark.entry_queries import _PTS_SQL
+
+    z, n = _HORN_ZOOM, 2 ** _HORN_ZOOM
+    sun = repr(_SUN_UP_8)
+    tx, ty = _tile_sql("lon", "lat", z)
+    return f"""
+WITH pts AS ({_PTS_SQL}),
+cells AS (
+  SELECT {tx} AS x, {ty} AS y, COUNT(*) AS c
+  FROM pts GROUP BY 1, 2
+),
+ring(dx, dy) AS (VALUES {_RING8}),
+fan AS (
+  SELECT (x + dx + {n}) % {n} AS tx, y + dy AS ty, dx, dy, c
+  FROM cells CROSS JOIN ring
+  WHERE y + dy >= 0 AND y + dy < {n}
+),
+gather AS (
+  SELECT tx, ty,
+         CAST(SUM((-dx) * (2 - abs(dy)) * c) AS BIGINT) AS sxz,
+         CAST(SUM((-dy) * (2 - abs(dx)) * c) AS BIGINT) AS syz,
+         CAST(SUM((-dx) * (2 - abs(dy))) AS BIGINT) AS swx,
+         CAST(SUM((-dy) * (2 - abs(dx))) AS BIGINT) AS swy
+  FROM fan GROUP BY 1, 2
+),
+j AS (
+  SELECT c.x, c.y, c.c,
+         g.sxz - g.swx * c.c AS gx, g.syz - g.swy * c.c AS gy
+  FROM cells c JOIN gather g ON g.tx = c.x AND g.ty = c.y
+),
+calc AS (
+  SELECT *,
+         CAST(gx * gx + gy * gy AS DOUBLE) AS g2,
+         degrees(atan2(CAST(-gx AS DOUBLE), CAST(gy AS DOUBLE))) AS araw
+  FROM j
+)
+SELECT {z} * {_ZB} + x * {_XB} + y AS cell, c AS v, gx, gy,
+       ROUND(degrees(atan(sqrt(g2) / 8.0)), 6) + 0.0 AS slope_deg,
+       CASE WHEN gx = 0 AND gy = 0 THEN NULL
+            ELSE ROUND(CASE WHEN araw < 0 THEN araw + 360.0
+                            ELSE araw END, 6) + 0.0 END AS aspect_deg,
+       CAST(ROUND(GREATEST(0.0, 255.0 *
+              ((CAST(gx AS DOUBLE) / 2.0 + CAST(gy AS DOUBLE) / 2.0 + {sun})
+               / sqrt(g2 + 64.0))), 0) AS BIGINT) AS hillshade
+FROM calc
+"""
+
+
+def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I + Geary's C at z6 (operators/terrain.py) over
+    the event-point cell counts with binary queen weights — one row:
+    (n_cells, w_pairs, morans_i, z_i, gearys_c).  All inputs to the
+    float formulas are exact integer aggregates; the final reduce is
+    map-side combined (one row to the driver)."""
+    _utc(spark)
+    from pyspark.sql import functions as F
+
+    from xutil_spark.entry_queries import _read
+    from xutil_spark.operators.heatmap import cell_counts
+    from xutil_spark.operators.terrain import spatial_autocorr
+
+    ev = _read(spark, sf_dir, "events").select(
+        (F.lit(73.5) + (F.col("event_id") * 2654435761 % 1048576)
+         .cast("double") / 1048576.0 * 61.0).alias("lon"),
+        (F.lit(18.2) + (F.col("event_id") * 1597334677 % 1048576)
+         .cast("double") / 1048576.0 * 35.3).alias("lat"),
+    )
+    return spatial_autocorr(cell_counts(ev, _AC_ZOOM), _AC_ZOOM)
+
+
+def o_morans_i() -> str:
+    z, n = _AC_ZOOM, 2 ** _AC_ZOOM
+    tx, ty = _tile_sql("lon", "lat", z)
+    return f"""
+WITH ev AS (
+  SELECT {_EV_LON} AS lon, {_EV_LAT} AS lat FROM events
+),
+cells AS (
+  SELECT {tx} AS x, {ty} AS y, COUNT(*) AS c
+  FROM ev GROUP BY 1, 2
+),
+ring(dx, dy) AS (VALUES {_RING8}),
+fan AS (
+  SELECT (x + dx + {n}) % {n} AS tx, y + dy AS ty, c
+  FROM cells CROSS JOIN ring
+  WHERE y + dy >= 0 AND y + dy < {n}
+),
+per_cell AS (
+  SELECT tx, ty, COUNT(*) AS wn,
+         CAST(SUM(c) AS BIGINT) AS nsum,
+         CAST(SUM(c * c) AS BIGINT) AS nsq
+  FROM fan GROUP BY 1, 2
+),
+j AS (
+  SELECT c.c AS x, COALESCE(p.wn, 0) AS wn,
+         COALESCE(p.nsum, 0) AS nsum, COALESCE(p.nsq, 0) AS nsq
+  FROM cells c LEFT JOIN per_cell p ON p.tx = c.x AND p.ty = c.y
+),
+g AS (
+  SELECT COUNT(*) AS n_cells,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(wn) AS BIGINT) AS w_pairs,
+         CAST(SUM(x * wn) AS BIGINT) AS t,
+         CAST(SUM(x * nsum) AS BIGINT) AS crs,
+         CAST(SUM(wn * x * x - 2 * x * nsum + nsq) AS BIGINT) AS d,
+         CAST(SUM(wn * wn) AS BIGINT) AS u
+  FROM j
+),
+calc AS (
+  SELECT *,
+         CAST(n_cells AS DOUBLE) AS nd, CAST(w_pairs AS DOUBLE) AS wd,
+         CAST(sx AS DOUBLE) / CAST(n_cells AS DOUBLE) AS xbar,
+         CAST(sxx AS DOUBLE) - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           / CAST(n_cells AS DOUBLE) AS den
+  FROM g
+),
+calc2 AS (
+  SELECT *,
+         CAST(crs AS DOUBLE) - 2.0 * xbar * CAST(t AS DOUBLE)
+           + xbar * xbar * wd AS num,
+         -1.0 / (nd - 1.0) AS e_i
+  FROM calc
+),
+calc3 AS (
+  SELECT *,
+         ((nd * nd * (2.0 * wd) - nd * (4.0 * CAST(u AS DOUBLE))
+           + 3.0 * wd * wd) / (wd * wd * (nd * nd - 1.0)))
+           - e_i * e_i AS var_i
+  FROM calc2
+)
+SELECT n_cells, w_pairs,
+       CASE WHEN w_pairs > 0 AND den > 0.0 THEN
+         ROUND((nd / wd) * num / den, 6) + 0.0 END AS morans_i,
+       CASE WHEN w_pairs > 0 AND den > 0.0 AND var_i > 0.0 THEN
+         ROUND(((nd / wd) * num / den - e_i) / sqrt(var_i), 6) + 0.0
+       END AS z_i,
+       CASE WHEN w_pairs > 0 AND den > 0.0 THEN
+         ROUND((nd - 1.0) * CAST(d AS DOUBLE) / (2.0 * wd * den), 6) + 0.0
+       END AS gearys_c
+FROM calc3
+"""
+
+
+QUERIES15 = {
+    "terrain_horn_z7": q_terrain_horn,
+    "morans_i_z6": q_morans_i,
+}
+
+ORACLES15 = {
+    "terrain_horn_z7": o_terrain_horn(),
+    "morans_i_z6": o_morans_i(),
+}
