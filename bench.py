@@ -111,7 +111,7 @@ HEADLINE = [
     "od_flows_z5", "emerging_cells_mk", "contour_segments_z7",
     "idw_surface_z6", "track_resample_4h", "image_augment",
     "track_speed_stats", "trip_segments", "stay_points",
-    "terrain_horn_z7", "morans_i_z6",
+    "terrain_horn_z7", "morans_i_z6", "local_moran_z6", "focal_stats_z7",
 ]
 
 

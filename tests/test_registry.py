@@ -80,6 +80,8 @@ REGISTERED_ROUND = {
     "stay_points": 4,
     "terrain_horn_z7": 4,
     "morans_i_z6": 4,
+    "local_moran_z6": 4,
+    "focal_stats_z7": 4,
 }
 
 

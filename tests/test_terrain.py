@@ -102,3 +102,39 @@ def test_autocorr_clustered_positive(spark):
     assert r.morans_i == pytest.approx(1.0, abs=1e-9)
     assert r.gearys_c == 0.0
     assert r.z_i is not None and r.z_i > 2.0
+
+
+def test_local_moran_two_cell(spark):
+    from xutil_spark.operators.terrain import local_moran
+
+    # x = [1, 3]: x̄ = 2, m₂ = 1; both cells Ii = −1, opposite outliers
+    df = _counts(spark, [(5, 5, 1), (6, 5, 3)])
+    out = {r.v: r for r in local_moran(df, _Z).collect()}
+    assert (out[1].local_i, out[1].quadrant) == (-1.0, "LH")
+    assert (out[3].local_i, out[3].quadrant) == (-1.0, "HL")
+
+
+def test_local_moran_clustered(spark):
+    from xutil_spark.operators.terrain import local_moran
+
+    cells = [(5, 5, 10), (6, 5, 10), (5, 6, 10),
+             (12, 12, 1), (13, 12, 1), (12, 13, 1)]
+    rows = local_moran(_counts(spark, cells), _Z).collect()
+    # x̄ = 5.5, m₂ = 20.25; every cell: |dev| = 4.5, lagdev = ±9 → Ii = 2
+    for r in rows:
+        assert r.local_i == 2.0
+        assert r.quadrant == ("HH" if r.v == 10 else "LL")
+
+
+def test_focal_stats_block_and_isolated(spark):
+    from xutil_spark.operators.terrain import focal_stats
+
+    df = _counts(spark, [(5, 5, 10), (6, 5, 20), (5, 6, 30), (6, 6, 40),
+                         (1, 1, 7)])
+    out = {r.cell: r for r in focal_stats(df, _Z, radius=1).collect()}
+    r = out[_cell(5, 5)]
+    assert (r.fcnt, r.fsum, r.fmin, r.fmax, r.frange, r.fmean) == (
+        4, 100, 10, 40, 30, 25.0)
+    # isolated cell keeps itself (include_self default) — unlike horn
+    iso = out[_cell(1, 1)]
+    assert (iso.fcnt, iso.fsum, iso.fmean) == (1, 7, 7.0)

@@ -200,12 +200,150 @@ FROM calc3
 """
 
 
+_RING9 = ",".join(f"({dx},{dy})" for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+
+
+def _ev_sql_cells(z: int) -> str:
+    tx, ty = _tile_sql("lon", "lat", z)
+    n = 2 ** z
+    return f"""
+ev AS (
+  SELECT {_EV_LON} AS lon, {_EV_LAT} AS lat FROM events
+),
+cells AS (
+  SELECT {tx} AS x, {ty} AS y, COUNT(*) AS c
+  FROM ev GROUP BY 1, 2
+)"""
+
+
+def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anselin LISA at z6 (operators/terrain.py local_moran): per-cell
+    local Moran statistic + HH/LL/HL/LH quadrant over the event-point
+    counts; integer lag sums, one broadcast global row, fixed float
+    tree — same fan shape as gi_star."""
+    _utc(spark)
+    from pyspark.sql import functions as F
+
+    from xutil_spark.entry_queries import _read
+    from xutil_spark.operators.heatmap import cell_counts
+    from xutil_spark.operators.terrain import local_moran
+
+    ev = _read(spark, sf_dir, "events").select(
+        (F.lit(73.5) + (F.col("event_id") * 2654435761 % 1048576)
+         .cast("double") / 1048576.0 * 61.0).alias("lon"),
+        (F.lit(18.2) + (F.col("event_id") * 1597334677 % 1048576)
+         .cast("double") / 1048576.0 * 35.3).alias("lat"),
+    )
+    return local_moran(cell_counts(ev, _AC_ZOOM), _AC_ZOOM)
+
+
+def o_local_moran() -> str:
+    z, n = _AC_ZOOM, 2 ** _AC_ZOOM
+    return f"""
+WITH {_ev_sql_cells(z)},
+ring(dx, dy) AS (VALUES {_RING8}),
+fan AS (
+  SELECT (x + dx + {n}) % {n} AS tx, y + dy AS ty, c
+  FROM cells CROSS JOIN ring
+  WHERE y + dy >= 0 AND y + dy < {n}
+),
+per_cell AS (
+  SELECT tx, ty, COUNT(*) AS wn, CAST(SUM(c) AS BIGINT) AS nsum
+  FROM fan GROUP BY 1, 2
+),
+j AS (
+  SELECT c.x, c.y, c.c AS v, COALESCE(p.wn, 0) AS wn,
+         COALESCE(p.nsum, 0) AS nsum
+  FROM cells c LEFT JOIN per_cell p ON p.tx = c.x AND p.ty = c.y
+),
+g AS (
+  SELECT COUNT(*) AS gn, CAST(SUM(c) AS BIGINT) AS sx,
+         CAST(SUM(c * c) AS BIGINT) AS sxx
+  FROM cells
+),
+calc AS (
+  SELECT j.*,
+         CAST(sx AS DOUBLE) / CAST(gn AS DOUBLE) AS xbar,
+         (CAST(sxx AS DOUBLE) - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            / CAST(gn AS DOUBLE)) / CAST(gn AS DOUBLE) AS m2
+  FROM j CROSS JOIN g
+),
+calc2 AS (
+  SELECT *,
+         CAST(v AS DOUBLE) - xbar AS dev,
+         CAST(nsum AS DOUBLE) - CAST(wn AS DOUBLE) * xbar AS lagdev,
+         CASE WHEN wn > 0 THEN CAST(nsum AS DOUBLE) / CAST(wn AS DOUBLE)
+         END AS lagmean
+  FROM calc
+)
+SELECT {z} * {_ZB} + x * {_XB} + y AS cell, v, wn, nsum,
+       CASE WHEN wn > 0 AND m2 > 0.0 THEN
+         ROUND(dev / m2 * lagdev, 6) + 0.0 END AS local_i,
+       CASE WHEN wn > 0 AND m2 > 0.0 AND dev <> 0.0
+                 AND lagmean <> xbar THEN
+         (CASE WHEN dev > 0.0 THEN 'H' ELSE 'L' END)
+           || (CASE WHEN lagmean > xbar THEN 'H' ELSE 'L' END)
+       END AS quadrant
+FROM calc2
+"""
+
+
+_FOCAL_ZOOM = 7
+
+
+def q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focal neighborhood statistics at z7 (operators/terrain.py
+    focal_stats): per occupied cell the sum/count/min/max/range/mean
+    of the lineitem-point counts over the 3×3 window (self included)
+    — all-integer except the one mean division; the kde fan shape."""
+    _utc(spark)
+    from xutil_spark.operators.heatmap import cell_counts
+    from xutil_spark.operators.terrain import focal_stats
+
+    counts = cell_counts(_points(spark, sf_dir), _FOCAL_ZOOM)
+    return focal_stats(counts, _FOCAL_ZOOM, radius=1)
+
+
+def o_focal_stats() -> str:
+    from xutil_spark.entry_queries import _PTS_SQL
+
+    z, n = _FOCAL_ZOOM, 2 ** _FOCAL_ZOOM
+    tx, ty = _tile_sql("lon", "lat", z)
+    return f"""
+WITH pts AS ({_PTS_SQL}),
+cells AS (
+  SELECT {tx} AS x, {ty} AS y, COUNT(*) AS c
+  FROM pts GROUP BY 1, 2
+),
+ring(dx, dy) AS (VALUES {_RING9}),
+fan AS (
+  SELECT (x + dx + {n}) % {n} AS tx, y + dy AS ty, c
+  FROM cells CROSS JOIN ring
+  WHERE y + dy >= 0 AND y + dy < {n}
+),
+gather AS (
+  SELECT tx, ty, COUNT(*) AS fcnt, CAST(SUM(c) AS BIGINT) AS fsum,
+         MIN(c) AS fmin, MAX(c) AS fmax
+  FROM fan GROUP BY 1, 2
+)
+SELECT {z} * {_ZB} + c.x * {_XB} + c.y AS cell, c.c AS v,
+       g.fcnt, g.fsum, g.fmin, g.fmax, g.fmax - g.fmin AS frange,
+       ROUND(CAST(g.fsum AS DOUBLE) / CAST(g.fcnt AS DOUBLE), 6) + 0.0
+         AS fmean
+FROM cells c JOIN gather g ON g.tx = c.x AND g.ty = c.y
+"""
+
+
 QUERIES15 = {
     "terrain_horn_z7": q_terrain_horn,
     "morans_i_z6": q_morans_i,
+    "local_moran_z6": q_local_moran,
+    "focal_stats_z7": q_focal_stats,
 }
 
 ORACLES15 = {
     "terrain_horn_z7": o_terrain_horn(),
     "morans_i_z6": o_morans_i(),
+    "local_moran_z6": o_local_moran(),
+    "focal_stats_z7": o_focal_stats(),
 }

@@ -211,3 +211,111 @@ def spatial_autocorr(counts: DataFrame, zoom: int,
         "n_cells", "w_pairs", i_stat.alias("morans_i"), z_i.alias("z_i"),
         c_stat.alias("gearys_c"),
     )
+
+
+def local_moran(counts: DataFrame, zoom: int,
+                value: str = "cnt") -> DataFrame:
+    """Anselin's local Moran (LISA, Anselin 1995) per occupied cell
+    with binary queen weights: where :func:`spatial_autocorr` answers
+    "is the surface clustered?", this labels WHICH cells are the
+    clusters and outliers.
+
+        Iᵢ = (xᵢ − x̄)/m₂ · Σⱼ wᵢⱼ(xⱼ − x̄),   m₂ = Σₖ(xₖ − x̄)²/n
+
+    via the integer decomposition Σⱼwᵢⱼ(xⱼ−x̄) = nsumᵢ − wnᵢ·x̄, so the
+    only floats are the fixed (x̄, m₂) tree from the 1-row global
+    broadcast.  Quadrant labels compare the value and the mean spatial
+    lag against x̄: HH (hot cluster), LL (cold cluster), HL (high
+    outlier), LH (low outlier); NULL when the cell sits exactly on x̄,
+    has no occupied neighbor, or the surface is constant.
+
+    Scale: the same occupied-cell fan + one broadcast join as
+    :func:`gi_star`.  Returns (cell, v, wn, nsum, local_i, quadrant).
+    """
+    fan = _neighbor_fan(counts, zoom, value)
+    per_cell = fan.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("wn"),
+        F.sum("_nv").alias("nsum"),
+    )
+    j = counts.join(per_cell, "cell", "left").select(
+        "cell", F.col(value).alias("v"),
+        F.coalesce(F.col("wn"), F.lit(0)).alias("wn"),
+        F.coalesce(F.col("nsum"), F.lit(0)).alias("nsum"),
+    )
+    glob = counts.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(value).alias("_sx"),
+        F.sum(F.col(value) * F.col(value)).alias("_sxx"),
+    )
+    j = j.join(F.broadcast(glob))
+    n = F.col("_n").cast("double")
+    xbar = F.col("_sx").cast("double") / n
+    m2 = (F.col("_sxx").cast("double") - (F.col("_sx").cast("double")
+                                          * F.col("_sx").cast("double")) / n) / n
+    dev = F.col("v").cast("double") - xbar
+    lagdev = F.col("nsum").cast("double") - F.col("wn").cast("double") * xbar
+    ok = (F.col("wn") > 0) & (m2 > 0.0)
+    li = F.when(ok, F.round(dev / m2 * lagdev, 6) + F.lit(0.0))
+    lagmean = F.col("nsum").cast("double") / F.col("wn").cast("double")
+    quad = F.when(
+        ok & (dev != 0.0) & (lagmean != xbar),
+        F.concat(
+            F.when(dev > 0.0, F.lit("H")).otherwise(F.lit("L")),
+            F.when(lagmean > xbar, F.lit("H")).otherwise(F.lit("L")),
+        ),
+    )
+    return j.select("cell", "v", "wn", "nsum", li.alias("local_i"),
+                    quad.alias("quadrant"))
+
+
+def focal_stats(counts: DataFrame, zoom: int, radius: int = 1,
+                value: str = "cnt", include_self: bool = True) -> DataFrame:
+    """Generic focal (neighborhood) statistics — the map-algebra
+    building block (ESRI "Focal Statistics"): per occupied cell, the
+    sum / count / min / max / range / mean of ``value`` over the
+    occupied cells within Chebyshev ``radius`` (x wraps, y clamps).
+
+    Everything except the mean is an exact integer; the mean is ONE
+    division over two integers rounded to 6 dp.  Missing (unoccupied)
+    neighbors are simply absent from the statistics — the surface is
+    sparse by design; use the ``fsum``/``fcnt`` pair downstream if a
+    dense-frame semantic (zeros) is needed: the dense mean is
+    fsum / (2r+1)².
+
+    Scale: one (2r+1)²-way explode + groupBy at occupied-cell
+    cardinality, one join back — the kde_smooth shape generalized.
+    Returns (cell, v, fcnt, fsum, fmin, fmax, frange, fmean).
+    """
+    n_axis = F.lit(2 ** zoom).cast("long")
+    ring = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dy in range(-radius, radius + 1)
+        for dx in range(-radius, radius + 1)
+        if include_self or (dx, dy) != (0, 0)
+    ])
+    fan = (
+        counts.withColumn("_k", F.explode(ring))
+        .withColumn("_ny", native.cell_y(F.col("cell")) + F.col("_k.dy"))
+        .filter((F.col("_ny") >= 0) & (F.col("_ny") < n_axis))
+        .withColumn(
+            "_tcell",
+            native.cell_from_xy(
+                F.pmod(native.cell_x(F.col("cell")) + F.col("_k.dx"), n_axis),
+                F.col("_ny"), zoom,
+            ),
+        )
+        .groupBy(F.col("_tcell").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("fcnt"),
+            F.sum(value).alias("fsum"),
+            F.min(value).alias("fmin"),
+            F.max(value).alias("fmax"),
+        )
+    )
+    j = counts.join(fan, "cell")
+    return j.select(
+        "cell", F.col(value).alias("v"), "fcnt", "fsum", "fmin", "fmax",
+        (F.col("fmax") - F.col("fmin")).alias("frange"),
+        (F.round(F.col("fsum").cast("double") / F.col("fcnt").cast("double"),
+                 6) + F.lit(0.0)).alias("fmean"),
+    )
