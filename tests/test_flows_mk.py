@@ -347,3 +347,67 @@ def test_detect_stays_half_tie_rounding(spark):
     dfn = _fix_df(spark, [(1, 0, -10.000001, 0.0), (1, 1000, -10.000002, 0.0)])
     rn = detect_stays(dfn, stay_jump_m=200.0, min_stay_s=0).collect()[0]
     assert rn.ctr_lon == -10.000002
+
+
+def test_bearing_east_track(spark):
+    from xutil_spark.operators.trajectory import track_bearing_stats
+
+    # due-east along the equator: both bearings exactly 90°
+    df = _fix_df(spark, [(1, 0, 10.0, 0.0), (1, 100, 10.1, 0.0),
+                         (1, 200, 10.2, 0.0)])
+    r = track_bearing_stats(df, traj_col="traj_id").collect()[0]
+    assert (r.n_fixes, r.n_segs, r.n_turns) == (3, 2, 1)
+    assert r.mean_heading_deg == 90.0
+    assert r.resultant_r == 1.0
+    assert r.sum_abs_turn_deg == 0.0
+
+    def hav_mm(lo1, la1, lo2, la2):
+        rad = math.pi / 180.0
+        a = (math.sin((la2 - la1) * rad / 2) ** 2
+             + math.sin((lo2 - lo1) * rad / 2) ** 2
+             * math.cos(la1 * rad) * math.cos(la2 * rad))
+        return round(12742000.0 * math.atan2(math.sqrt(a),
+                                             math.sqrt(1 - a)) * 1000)
+
+    path = hav_mm(10.0, 0, 10.1, 0) + hav_mm(10.1, 0, 10.2, 0)
+    net = hav_mm(10.0, 0, 10.2, 0)
+    assert r.straightness == round(net / path, 6)
+
+
+def test_bearing_right_angle_turn(spark):
+    from xutil_spark.operators.trajectory import track_bearing_stats
+
+    # east then north: bearings 90° and 0°, |turn| = 90°, mean 45°
+    df = _fix_df(spark, [(1, 0, 0.0, 0.0), (1, 100, 0.1, 0.0),
+                         (1, 200, 0.1, 0.1)])
+    r = track_bearing_stats(df, traj_col="traj_id").collect()[0]
+    assert r.sum_abs_turn_deg == 90.0
+    assert r.mean_heading_deg == 45.0
+    assert r.resultant_r == round(math.sqrt(2.0) / 2.0, 6)
+
+
+def test_bearing_stationary_and_single(spark):
+    from xutil_spark.operators.trajectory import track_bearing_stats
+
+    # duplicate fix: no moving segment → circular fields NULL; the
+    # zero-length segment must not break a later turn chain
+    df = _fix_df(spark, [(1, 0, 10.0, 20.0), (1, 100, 10.0, 20.0),
+                         (2, 0, 5.0, 5.0)])
+    out = {r.traj_id: r for r in
+           track_bearing_stats(df, traj_col="traj_id").collect()}
+    r1, r2 = out[1], out[2]
+    assert (r1.n_fixes, r1.n_segs) == (2, 0)
+    assert r1.mean_heading_deg is None and r1.resultant_r is None
+    assert r1.straightness is None
+    assert (r2.n_fixes, r2.n_segs) == (1, 0)
+
+
+def test_bearing_turn_chain_skips_zero_segment(spark):
+    from xutil_spark.operators.trajectory import track_bearing_stats
+
+    # east, STATIONARY, north: turn still links the two real bearings
+    df = _fix_df(spark, [(1, 0, 0.0, 0.0), (1, 100, 0.1, 0.0),
+                         (1, 200, 0.1, 0.0), (1, 300, 0.1, 0.1)])
+    r = track_bearing_stats(df, traj_col="traj_id").collect()[0]
+    assert (r.n_segs, r.n_turns) == (2, 1)
+    assert r.sum_abs_turn_deg == 90.0

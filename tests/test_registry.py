@@ -82,6 +82,7 @@ REGISTERED_ROUND = {
     "morans_i_z6": 4,
     "local_moran_z6": 4,
     "focal_stats_z7": 4,
+    "track_bearing_stats": 4,
 }
 
 

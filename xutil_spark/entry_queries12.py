@@ -477,6 +477,127 @@ WHERE end_epoch - start_epoch >= {_STAY_MIN_S}
 """
 
 
+# ===================================================== bearings
+
+
+def q_track_bearings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user directional profile (operators/trajectory.py
+    track_bearing_stats): circular-mean heading / resultant length
+    from 1e-8-integer sin/cos sums, turning totals as pure integer
+    micro-degree arithmetic, straightness from integer-mm distances —
+    exact under any aggregation order; one window shuffle + one
+    map-side-combined groupBy, zero Python."""
+    _utc(spark)
+    from xutil_spark.operators.trajectory import track_bearing_stats
+
+    ev = _located_events(spark, sf_dir).withColumn(
+        "ts", F.timestamp_seconds(F.unix_timestamp(F.col("ts"))))
+    return track_bearing_stats(ev, traj_col="user_id", tiebreak="event_id")
+
+
+def o_track_bearings() -> str:
+    import math
+
+    rad = repr(math.pi / 180.0)
+    a = (f"sin((lat - plat) * {rad} / 2.0) * sin((lat - plat) * {rad} / 2.0)"
+         f" + sin((lon - plon) * {rad} / 2.0)"
+         f" * sin((lon - plon) * {rad} / 2.0)"
+         f" * cos(plat * {rad}) * cos(lat * {rad})")
+    hav = "12742000.0 * atan2(sqrt(av), sqrt(1.0 - av))"
+    na = (f"sin((llat - flat) * {rad} / 2.0) * sin((llat - flat) * {rad} / 2.0)"
+          f" + sin((llon - flon) * {rad} / 2.0)"
+          f" * sin((llon - flon) * {rad} / 2.0)"
+          f" * cos(flat * {rad}) * cos(llat * {rad})")
+    nhav = "12742000.0 * atan2(sqrt(nav), sqrt(1.0 - nav))"
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id, ts, {_EV_LON} AS lon, {_EV_LAT} AS lat
+  FROM events
+),
+w AS (
+  SELECT user_id, event_id, ts, lon, lat,
+         LAG(lon) OVER win AS plon, LAG(lat) OVER win AS plat,
+         ROW_NUMBER() OVER win AS rn
+  FROM ev
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+seg AS (
+  SELECT *,
+         CASE WHEN plon IS NOT NULL AND (plon <> lon OR plat <> lat)
+              THEN sin((lon - plon) * {rad}) * cos(lat * {rad}) END AS yy,
+         CASE WHEN plon IS NOT NULL AND (plon <> lon OR plat <> lat)
+              THEN cos(plat * {rad}) * sin(lat * {rad})
+                   - sin(plat * {rad}) * cos(lat * {rad})
+                     * cos((lon - plon) * {rad}) END AS xx,
+         CASE WHEN plon IS NOT NULL THEN {a} END AS av
+  FROM w
+),
+br AS (
+  SELECT *,
+         CASE WHEN yy IS NOT NULL THEN
+           CAST(ROUND((CASE WHEN degrees(atan2(yy, xx)) < 0.0
+                            THEN degrees(atan2(yy, xx)) + 360.0
+                            ELSE degrees(atan2(yy, xx)) END) * 1000000.0, 0)
+                AS BIGINT) % 360000000 END AS bu,
+         CASE WHEN yy IS NOT NULL THEN
+           CAST(ROUND(yy / sqrt(xx * xx + yy * yy) * 100000000.0, 0)
+                AS BIGINT) END AS si,
+         CASE WHEN yy IS NOT NULL THEN
+           CAST(ROUND(xx / sqrt(xx * xx + yy * yy) * 100000000.0, 0)
+                AS BIGINT) END AS ci,
+         CASE WHEN plon IS NOT NULL THEN
+           CAST(ROUND(({hav}) * 1000.0, 0) AS BIGINT) END AS dmm
+  FROM seg
+),
+tn AS (
+  SELECT *,
+         LAST_VALUE(bu IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pbu
+  FROM br
+),
+tr AS (
+  SELECT *, CASE WHEN bu IS NOT NULL AND pbu IS NOT NULL THEN
+              (bu - pbu + 540000000) % 360000000 - 180000000 END AS turn
+  FROM tn
+),
+agg AS (
+  SELECT user_id, COUNT(*) AS n_fixes, COUNT(bu) AS n_segs,
+         CAST(SUM(si) AS BIGINT) AS s, CAST(SUM(ci) AS BIGINT) AS c,
+         COUNT(turn) AS n_turns,
+         CAST(SUM(abs(turn)) AS BIGINT) AS tsum,
+         CAST(SUM(dmm) AS BIGINT) AS pathmm,
+         MAX(CASE WHEN rn = 1 THEN lon END) AS flon,
+         MAX(CASE WHEN rn = 1 THEN lat END) AS flat,
+         ARG_MAX(lon, rn) AS llon, ARG_MAX(lat, rn) AS llat
+  FROM tr GROUP BY 1
+),
+calc AS (
+  SELECT *,
+         degrees(atan2(CAST(s AS DOUBLE), CAST(c AS DOUBLE))) AS mh,
+         {na} AS nav
+  FROM agg
+)
+SELECT user_id, n_fixes, n_segs,
+       CASE WHEN n_segs > 0 AND (s <> 0 OR c <> 0) THEN
+         ROUND(CASE WHEN mh < 0.0 THEN mh + 360.0 ELSE mh END, 6) + 0.0
+       END AS mean_heading_deg,
+       CASE WHEN n_segs > 0 THEN
+         ROUND(sqrt(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                    + CAST(c AS DOUBLE) * CAST(c AS DOUBLE))
+               / (100000000.0 * CAST(n_segs AS DOUBLE)), 6) + 0.0
+       END AS resultant_r,
+       n_turns,
+       ROUND(CAST(COALESCE(tsum, 0) AS DOUBLE) / 1000000.0, 6)
+         AS sum_abs_turn_deg,
+       CASE WHEN COALESCE(pathmm, 0) > 0 THEN
+         ROUND(CAST(CAST(ROUND(({nhav}) * 1000.0, 0) AS BIGINT) AS DOUBLE)
+               / CAST(pathmm AS DOUBLE), 6) + 0.0
+       END AS straightness
+FROM calc
+"""
+
+
 QUERIES12 = {
     "od_flows_z5": q_od_flows,
     "emerging_cells_mk": q_emerging_cells,
@@ -484,6 +605,7 @@ QUERIES12 = {
     "track_speed_stats": q_track_speed,
     "trip_segments": q_trip_segments,
     "stay_points": q_stay_points,
+    "track_bearing_stats": q_track_bearings,
 }
 
 ORACLES12 = {
@@ -493,4 +615,5 @@ ORACLES12 = {
     "track_speed_stats": o_track_speed(),
     "trip_segments": o_trip_segments(),
     "stay_points": o_stay_points(),
+    "track_bearing_stats": o_track_bearings(),
 }

@@ -24,6 +24,8 @@ chunks +63 with a continuation bit.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -460,4 +462,136 @@ def detect_stays(
     return agg.select(
         traj_col, "stay_id", "n_fixes", "start_epoch", "end_epoch",
         "dwell_s", ctr("_slon").alias("ctr_lon"), ctr("_slat").alias("ctr_lat"),
+    )
+
+
+def track_bearing_stats(
+    df: DataFrame,
+    traj_col: str = "traj_id",
+    ts: str = "ts",
+    lon: str = "lon",
+    lat: str = "lat",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-track directional profile: circular-mean heading, resultant
+    length, total turning, and path straightness — the movement-
+    behavior feature block (migration vs foraging vs commuting) every
+    trajectory-mining pipeline computes after :func:`track_speed_stats`
+    (Batschelet, "Circular Statistics in Biology", ch. 1-2).
+
+    Per moving segment (consecutive fixes at distinct coordinates) the
+    initial great-circle bearing θ comes from the standard
+    atan2(sin Δλ·cos φ₂, cos φ₁ sin φ₂ − sin φ₁ cos φ₂ cos Δλ) tree
+    (engine addition — the reference's Azimuth quirk, gis.go:177-179,
+    is preserved separately in kernels/distance.py).
+
+    Exactness design (the integer-sum rule): per-segment sin θ / cos θ
+    round to 1e-8 integers and bearings to integer MICRO-DEGREES, so
+    every per-track sum is exact under any aggregation order, and turn
+    angles are pure integer arithmetic over the rounded bearings —
+    ((Δbu + 540e6) mod 360e6) − 180e6.  The only floats are fixed
+    trees over those integers:
+
+        mean_heading_deg = degrees(atan2(S, C)) wrapped to [0, 360)
+        resultant_r      = √(S² + C²) / (10⁸ · n_segs)   (0 ≤ r ≤ 1)
+        straightness     = net_mm / path_mm              (first→last
+                           haversine over the summed segment mm)
+
+    Previous bearing uses last(ignorenulls) over rows-to-−1 so zero-
+    length segments (undefined bearing) don't break turn chains.
+
+    100-TB shape: ONE lag-window shuffle on the track key (the shared
+    per-track layout), then ONE map-side-combined groupBy.  Zero
+    Python.  Returns (traj_col, n_fixes, n_segs, mean_heading_deg,
+    resultant_r, n_turns, sum_abs_turn_deg, straightness); circular
+    fields NULL when no moving segment exists, straightness NULL when
+    the path length is zero.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from xutil_spark.functions import native
+
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(traj_col).orderBy(*order)
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    rad = math.pi / 180.0
+    src = (
+        df.withColumn("_pl", F.lag(lon).over(w))
+        .withColumn("_pf", F.lag(lat).over(w))
+        .withColumn("_rn", F.row_number().over(w))
+    )
+    moving = F.col("_pl").isNotNull() & (
+        (F.col("_pl") != F.col(lon)) | (F.col("_pf") != F.col(lat)))
+    dlon = (F.col(lon) - F.col("_pl")) * rad
+    la1 = F.col("_pf") * rad
+    la2 = F.col(lat) * rad
+    y = F.sin(dlon) * F.cos(la2)
+    x = (F.cos(la1) * F.sin(la2) - F.sin(la1) * F.cos(la2) * F.cos(dlon))
+    b = F.degrees(F.atan2(y, x))
+    b = F.when(b < 0.0, b + 360.0).otherwise(b)
+    bu = F.round(b * 1e6, 0).cast("long") % F.lit(360000000).cast("long")
+    hyp = F.sqrt(x * x + y * y)
+    s_i = F.round(y / hyp * 1e8, 0).cast("long")
+    c_i = F.round(x / hyp * 1e8, 0).cast("long")
+    d_mm = F.round(
+        native.haversine_m(F.col("_pl"), F.col("_pf"),
+                           F.col(lon), F.col(lat)) * 1000.0, 0
+    ).cast("long")
+    src = (
+        src.withColumn("_bu", F.when(moving, bu))
+        .withColumn("_si", F.when(moving, s_i))
+        .withColumn("_ci", F.when(moving, c_i))
+        .withColumn("_dmm", F.when(F.col("_pl").isNotNull(), d_mm))
+    )
+    pbu = F.last("_bu", ignorenulls=True).over(wprev)
+    turn = F.when(
+        F.col("_bu").isNotNull() & pbu.isNotNull(),
+        (F.col("_bu") - pbu + F.lit(540000000).cast("long"))
+        % F.lit(360000000).cast("long") - F.lit(180000000).cast("long"),
+    )
+    agg = (
+        src.withColumn("_turn", turn)
+        .groupBy(traj_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_fixes"),
+            F.count("_bu").alias("n_segs"),
+            F.sum("_si").alias("_s"),
+            F.sum("_ci").alias("_c"),
+            F.count("_turn").alias("n_turns"),
+            F.sum(F.abs(F.col("_turn"))).alias("_tsum"),
+            F.sum("_dmm").alias("_pathmm"),
+            F.max(F.when(F.col("_rn") == 1, F.col(lon))).alias("_flon"),
+            F.max(F.when(F.col("_rn") == 1, F.col(lat))).alias("_flat"),
+            F.max_by(F.col(lon), F.col("_rn")).alias("_llon"),
+            F.max_by(F.col(lat), F.col("_rn")).alias("_llat"),
+        )
+    )
+    mh = F.degrees(F.atan2(F.col("_s").cast("double"),
+                           F.col("_c").cast("double")))
+    mh = F.when(mh < 0.0, mh + 360.0).otherwise(mh)
+    net_mm = F.round(
+        native.haversine_m(F.col("_flon"), F.col("_flat"),
+                           F.col("_llon"), F.col("_llat")) * 1000.0, 0
+    ).cast("long")
+    has = (F.col("n_segs") > 0) & ((F.col("_s") != 0) | (F.col("_c") != 0))
+    return agg.select(
+        traj_col, "n_fixes", "n_segs",
+        F.when(has, F.round(mh, 6) + F.lit(0.0)).alias("mean_heading_deg"),
+        F.when(
+            F.col("n_segs") > 0,
+            F.round(
+                F.sqrt(F.col("_s").cast("double") * F.col("_s").cast("double")
+                       + F.col("_c").cast("double")
+                       * F.col("_c").cast("double"))
+                / (1e8 * F.col("n_segs").cast("double")), 6) + F.lit(0.0),
+        ).alias("resultant_r"),
+        "n_turns",
+        F.round(F.coalesce(F.col("_tsum"), F.lit(0)).cast("double")
+                / 1e6, 6).alias("sum_abs_turn_deg"),
+        F.when(
+            F.coalesce(F.col("_pathmm"), F.lit(0)) > 0,
+            F.round(net_mm.cast("double")
+                    / F.col("_pathmm").cast("double"), 6) + F.lit(0.0),
+        ).alias("straightness"),
     )
