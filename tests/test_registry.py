@@ -83,6 +83,7 @@ REGISTERED_ROUND = {
     "local_moran_z6": 4,
     "focal_stats_z7": 4,
     "track_bearing_stats": 4,
+    "bilinear_up_z6": 4,
 }
 
 

@@ -138,3 +138,28 @@ def test_focal_stats_block_and_isolated(spark):
     # isolated cell keeps itself (include_self default) — unlike horn
     iso = out[_cell(1, 1)]
     assert (iso.fcnt, iso.fsum, iso.fmean) == (1, 7, 7.0)
+
+
+def test_bilinear_upsample_weights(spark):
+    from xutil_spark.operators.interpolate import bilinear_upsample
+
+    def child(x, y):
+        return (_Z + 1) * _ZB + x * _XB + y
+
+    # isolated parent: every child sees only it → est == parent value
+    iso = bilinear_upsample(_counts(spark, [(3, 3, 16)]), _Z)
+    rows = {r.cell: r for r in iso.collect()}
+    assert set(rows) == {child(6, 6), child(7, 6), child(6, 7), child(7, 7)}
+    for r in rows.values():
+        assert (r.wsum, r.vwsum, r.est) == (9, 144, 16.0)
+
+    # two adjacent parents: child (11,10) mixes 3:1 in x → est 20
+    two = bilinear_upsample(_counts(spark, [(5, 5, 16), (6, 5, 32)]), _Z)
+    out = {r.cell: r for r in two.collect()}
+    r = out[child(11, 10)]
+    assert (r.wsum, r.vwsum, r.est) == (12, 240, 20.0)
+    # the mirror child on the other parent mixes 3:1 the other way
+    r2 = out[child(12, 10)]
+    assert (r2.wsum, r2.vwsum, r2.est) == (12, 3 * 3 * 32 + 3 * 16, 28.0)
+    # children of unoccupied parents (e.g. under (4,5)) are dropped
+    assert child(9, 10) not in out

@@ -334,11 +334,63 @@ FROM cells c JOIN gather g ON g.tx = c.x AND g.ty = c.y
 """
 
 
+_FAN16 = ",".join(f"({i},{j},{wx * wy})"
+                  for j, wy in ((-1, 1), (0, 3), (1, 3), (2, 1))
+                  for i, wx in ((-1, 1), (0, 3), (1, 3), (2, 1)))
+
+
+def q_bilinear_up(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilinear z6→z7 upsample (operators/interpolate.py
+    bilinear_upsample) of the event-point cell counts: (9,3,3,1)/16
+    separable weights, sparse-normalized over present parents,
+    children kept only under occupied parents — integer weight/value
+    sums, one division.  16-way fan + groupBy at cell cardinality."""
+    _utc(spark)
+    from pyspark.sql import functions as F
+
+    from xutil_spark.entry_queries import _read
+    from xutil_spark.operators.heatmap import cell_counts
+    from xutil_spark.operators.interpolate import bilinear_upsample
+
+    ev = _read(spark, sf_dir, "events").select(
+        (F.lit(73.5) + (F.col("event_id") * 2654435761 % 1048576)
+         .cast("double") / 1048576.0 * 61.0).alias("lon"),
+        (F.lit(18.2) + (F.col("event_id") * 1597334677 % 1048576)
+         .cast("double") / 1048576.0 * 35.3).alias("lat"),
+    )
+    return bilinear_upsample(cell_counts(ev, _AC_ZOOM), _AC_ZOOM)
+
+
+def o_bilinear_up() -> str:
+    z, n = _AC_ZOOM, 2 ** _AC_ZOOM
+    nc = 2 * n
+    zc = z + 1
+    return f"""
+WITH {_ev_sql_cells(z)},
+fan(i, j, w) AS (VALUES {_FAN16}),
+contrib AS (
+  SELECT (2 * x + i + {nc}) % {nc} AS cx, 2 * y + j AS cy,
+         CAST(SUM(w * c) AS BIGINT) AS vwsum,
+         CAST(SUM(w) AS BIGINT) AS wsum
+  FROM cells CROSS JOIN fan
+  WHERE 2 * y + j >= 0 AND 2 * y + j < {nc}
+  GROUP BY 1, 2
+)
+SELECT {zc} * {_ZB} + ct.cx * {_XB} + ct.cy AS cell,
+       ct.wsum, ct.vwsum,
+       ROUND(CAST(ct.vwsum AS DOUBLE) / CAST(ct.wsum AS DOUBLE), 6) + 0.0
+         AS est
+FROM contrib ct
+JOIN cells p ON p.x = ct.cx // 2 AND p.y = ct.cy // 2
+"""
+
+
 QUERIES15 = {
     "terrain_horn_z7": q_terrain_horn,
     "morans_i_z6": q_morans_i,
     "local_moran_z6": q_local_moran,
     "focal_stats_z7": q_focal_stats,
+    "bilinear_up_z6": q_bilinear_up,
 }
 
 ORACLES15 = {
@@ -346,4 +398,5 @@ ORACLES15 = {
     "morans_i_z6": o_morans_i(),
     "local_moran_z6": o_local_moran(),
     "focal_stats_z7": o_focal_stats(),
+    "bilinear_up_z6": o_bilinear_up(),
 }

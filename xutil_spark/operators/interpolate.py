@@ -99,3 +99,64 @@ def idw_surface(
                 / F.lit(float(10 ** vdec)), 6) + F.lit(0.0),
     )
     return agg.select("cell", "n_obs", est.alias("est"))
+
+
+def bilinear_upsample(counts, zoom: int, value: str = "cnt"):
+    """Upsample a cell-value surface one zoom level with separable
+    bilinear weights — the inverse companion of the pyramid's box
+    DOWNSAMPLE (raster/pyramid.py): each z+1 child estimates from the
+    4 nearest z parents with (9,3,3,1)/16 weights (child centers sit
+    at ±0.25 parent units, so the x/y half-weights are (3,1)/4).
+
+    Sparse-normalized semantics: the estimate divides by the PRESENT
+    weight mass — Σwᵢvᵢ / Σwᵢ over occupied parents only — and a child
+    row is emitted only when its OWN parent is occupied (the horn/
+    gi_star occupied-frame convention; a dense frame would need
+    4^(z+1) rows).  Both sums are exact integers: a parent fans to the
+    4×4 child block it influences with integer weight wx·wy,
+    wx, wy ∈ (1,3,3,1), so the division is the only float — one fixed
+    ROUND(…,6) tree.
+
+    Scale: 16-way explode + groupBy at occupied-cell cardinality, one
+    equi-join back to the parent frame (both sides cell-cardinality).
+    Returns (cell, wsum, vwsum, est) at zoom+1.
+    """
+    from pyspark.sql import functions as F
+
+    from xutil_spark.functions import native
+
+    n_child = F.lit(2 ** (zoom + 1)).cast("long")
+    fan16 = F.array(*[
+        F.struct(F.lit(i).alias("i"), F.lit(j).alias("j"),
+                 F.lit(wx * wy).cast("long").alias("w"))
+        for j, wy in ((-1, 1), (0, 3), (1, 3), (2, 1))
+        for i, wx in ((-1, 1), (0, 3), (1, 3), (2, 1))
+    ])
+    contrib = (
+        counts.withColumn("_k", F.explode(fan16))
+        .withColumn("_cy", F.shiftleft(native.cell_y(F.col("cell")), 1)
+                    + F.col("_k.j"))
+        .filter((F.col("_cy") >= 0) & (F.col("_cy") < n_child))
+        .withColumn(
+            "_ccell",
+            native.cell_from_xy(
+                F.pmod(F.shiftleft(native.cell_x(F.col("cell")), 1)
+                       + F.col("_k.i"), n_child),
+                F.col("_cy"), zoom + 1,
+            ),
+        )
+        .groupBy(F.col("_ccell").alias("cell"))
+        .agg(F.sum(F.col("_k.w") * F.col(value)).alias("vwsum"),
+             F.sum("_k.w").alias("wsum"))
+    )
+    # keep only children whose own parent is occupied
+    parents = counts.select(F.col("cell").alias("_pcell"))
+    keyed = contrib.withColumn(
+        "_pcell", native.cell_parent(F.col("cell"), zoom + 1, zoom))
+    kept = keyed.join(parents, "_pcell")
+    return kept.select(
+        "cell", "wsum", "vwsum",
+        (F.round(F.col("vwsum").cast("double")
+                 / F.col("wsum").cast("double"), 6)
+         + F.lit(0.0)).alias("est"),
+    )
