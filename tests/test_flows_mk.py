@@ -411,3 +411,43 @@ def test_bearing_turn_chain_skips_zero_segment(spark):
     r = track_bearing_stats(df, traj_col="traj_id").collect()[0]
     assert (r.n_segs, r.n_turns) == (2, 1)
     assert r.sum_abs_turn_deg == 90.0
+
+
+def test_dev_ellipse_axis_line(spark):
+    from xutil_spark.operators.flows import deviational_ellipse
+
+    # colinear along the x axis: θ = 0 (degenerate-C branch, cxx ≥ cyy),
+    # all variance in the rotated-x axis
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0), (1, 1.0, 0.0), (1, 2.0, 0.0)],
+        "user_id long, lon double, lat double")
+    r = deviational_ellipse(df, group="user_id").collect()[0]
+    assert (r.n, r.ctr_lon, r.ctr_lat, r.angle_deg) == (3, 1.0, 0.0, 0.0)
+    cxx = 5e12 - 9e12 / 3.0
+    assert r.sigma_x == round(math.sqrt(2.0) * math.sqrt(cxx / 3.0) / 1e6, 6)
+    assert r.sigma_y == 0.0
+
+
+def test_dev_ellipse_45_degree_line(spark):
+    from xutil_spark.operators.flows import deviational_ellipse
+
+    # colinear along the 45° diagonal: θ = 45°, the rotated-x variance
+    # vanishes and the rotated-y axis carries the spread
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0), (1, 1.0, 1.0), (1, 2.0, 2.0)],
+        "user_id long, lon double, lat double")
+    r = deviational_ellipse(df, group="user_id").collect()[0]
+    assert r.angle_deg == 45.0
+    assert r.sigma_x == 0.0
+    sy2 = 4e12 / 3.0
+    assert r.sigma_y == round(math.sqrt(2.0) * math.sqrt(sy2) / 1e6, 6)
+
+
+def test_dev_ellipse_single_point(spark):
+    from xutil_spark.operators.flows import deviational_ellipse
+
+    df = spark.createDataFrame([(7, 10.5, -3.25)],
+                               "user_id long, lon double, lat double")
+    r = deviational_ellipse(df, group="user_id").collect()[0]
+    assert (r.n, r.ctr_lon, r.ctr_lat) == (1, 10.5, -3.25)
+    assert (r.sigma_x, r.sigma_y) == (0.0, 0.0)

@@ -84,6 +84,7 @@ REGISTERED_ROUND = {
     "focal_stats_z7": 4,
     "track_bearing_stats": 4,
     "bilinear_up_z6": 4,
+    "dev_ellipse_users": 4,
 }
 
 

@@ -598,6 +598,88 @@ FROM calc
 """
 
 
+# ===================================================== ellipse
+
+
+def q_dev_ellipse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user standard deviational ellipse (operators/flows.py
+    deviational_ellipse): mean center / rotation / axis sigmas from
+    five exact integer micro-degree moment sums — one map-side-
+    combined groupBy, no window, no join, zero Python."""
+    _utc(spark)
+    from xutil_spark.operators.flows import deviational_ellipse
+
+    return deviational_ellipse(_located_events(spark, sf_dir),
+                               group="user_id")
+
+
+def o_dev_ellipse() -> str:
+    import math
+
+    pi = repr(math.pi)
+    half_pi = repr(math.pi / 2.0)
+    scale = repr(math.sqrt(2.0) / 1e6)
+    return f"""
+WITH ev AS (
+  SELECT user_id,
+         CAST(ROUND(({_EV_LON}) * 1000000.0, 0) AS BIGINT) AS ux,
+         CAST(ROUND(({_EV_LAT}) * 1000000.0, 0) AS BIGINT) AS uy
+  FROM events
+),
+agg AS (
+  SELECT user_id, COUNT(*) AS n,
+         CAST(SUM(ux) AS BIGINT) AS sx, CAST(SUM(uy) AS BIGINT) AS sy,
+         CAST(SUM(ux * ux) AS BIGINT) AS sxx,
+         CAST(SUM(uy * uy) AS BIGINT) AS syy,
+         CAST(SUM(ux * uy) AS BIGINT) AS sxy
+  FROM ev GROUP BY 1
+),
+cm AS (
+  SELECT *,
+         CAST(sxx AS DOUBLE) - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           / CAST(n AS DOUBLE) AS cxx,
+         CAST(syy AS DOUBLE) - (CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+           / CAST(n AS DOUBLE) AS cyy,
+         CAST(sxy AS DOUBLE) - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / CAST(n AS DOUBLE) AS cxy
+  FROM agg
+),
+th AS (
+  SELECT *,
+         CASE WHEN cxy <> 0.0 THEN
+           atan(((cxx - cyy) + sqrt((cxx - cyy) * (cxx - cyy)
+                                    + 4.0 * cxy * cxy)) / (2.0 * cxy))
+         WHEN cxx >= cyy THEN 0.0 ELSE {half_pi} END AS traw
+  FROM cm
+),
+th2 AS (
+  SELECT *, CASE WHEN traw < 0.0 THEN traw + {pi} ELSE traw END AS theta
+  FROM th
+),
+rot AS (
+  SELECT *,
+         (cos(theta) * cos(theta) * cxx
+          - 2.0 * cos(theta) * sin(theta) * cxy
+          + sin(theta) * sin(theta) * cyy) / CAST(n AS DOUBLE) AS sx2,
+         (sin(theta) * sin(theta) * cxx
+          + 2.0 * cos(theta) * sin(theta) * cxy
+          + cos(theta) * cos(theta) * cyy) / CAST(n AS DOUBLE) AS sy2
+  FROM th2
+)
+SELECT user_id, n,
+       CAST(CASE WHEN sx >= 0 THEN (2 * sx + n) // (2 * n)
+                 ELSE -((2 * (-sx) + n) // (2 * n)) END AS DOUBLE)
+         / 1000000.0 AS ctr_lon,
+       CAST(CASE WHEN sy >= 0 THEN (2 * sy + n) // (2 * n)
+                 ELSE -((2 * (-sy) + n) // (2 * n)) END AS DOUBLE)
+         / 1000000.0 AS ctr_lat,
+       ROUND(degrees(theta), 6) + 0.0 AS angle_deg,
+       ROUND({scale} * sqrt(GREATEST(sx2, 0.0)), 6) + 0.0 AS sigma_x,
+       ROUND({scale} * sqrt(GREATEST(sy2, 0.0)), 6) + 0.0 AS sigma_y
+FROM rot
+"""
+
+
 QUERIES12 = {
     "od_flows_z5": q_od_flows,
     "emerging_cells_mk": q_emerging_cells,
@@ -606,6 +688,7 @@ QUERIES12 = {
     "trip_segments": q_trip_segments,
     "stay_points": q_stay_points,
     "track_bearing_stats": q_track_bearings,
+    "dev_ellipse_users": q_dev_ellipse,
 }
 
 ORACLES12 = {
@@ -616,4 +699,5 @@ ORACLES12 = {
     "trip_segments": o_trip_segments(),
     "stay_points": o_stay_points(),
     "track_bearing_stats": o_track_bearings(),
+    "dev_ellipse_users": o_dev_ellipse(),
 }

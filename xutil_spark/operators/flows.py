@@ -20,6 +20,8 @@ partition — pre-split such entities by day via ``order_within`` being
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -66,4 +68,88 @@ def od_flows(
             F.countDistinct(entity).alias("n_entities"),
         )
         .filter(F.col("n_moves") >= F.lit(int(min_count)))
+    )
+
+
+def deviational_ellipse(
+    df,
+    group: str = "user_id",
+    lon: str = "lon",
+    lat: str = "lat",
+):
+    """Standard deviational ellipse (Yuill 1971; ESRI "Directional
+    Distribution") per group: mean center, major-axis rotation and the
+    two standard deviations — the one-row shape summary of a point
+    cloud that answers "where is this entity and which way does it
+    spread?".
+
+    Exactness design: coordinates round to integer MICRO-DEGREES and
+    the five sufficient statistics (Σx, Σy, Σx², Σy², Σxy) are exact
+    integer sums, so the ellipse is identical under any aggregation
+    order; the mean center divides with half-away INTEGER rounding
+    (the stay-centroid trick — float ROUND ties on the micro-degree
+    grid), and θ/σ are one fixed float tree over the integer moments:
+
+        A = Sxx′ − Syy′,  C = 2·Sxy′           (central, via raw sums)
+        θ = atan((A + √(A² + 4Sxy′²)) / C)     clockwise from north;
+            C = 0 → 0 if Sxx′ ≥ Syy′ else 90°  (degenerate axes)
+        σₓ = √2·√((cos²θ·Sxx′ − 2cosθsinθ·Sxy′ + sin²θ·Syy′)/n)
+        σy = √2·√((sin²θ·Sxx′ + 2cosθsinθ·Sxy′ + cos²θ·Syy′)/n)
+
+    (σ in degree units on the micro-degree plane — the planar ellipse
+    convention; project first for metric axes.)
+
+    100-TB shape: ONE map-side-combined groupBy — no window, no join.
+    Returns (group, n, ctr_lon, ctr_lat, angle_deg, sigma_x, sigma_y).
+    """
+    from pyspark.sql import functions as F
+
+    ux = F.round(F.col(lon) * 1e6, 0).cast("long")
+    uy = F.round(F.col(lat) * 1e6, 0).cast("long")
+    agg = (
+        df.withColumn("_ux", ux).withColumn("_uy", uy)
+        .groupBy(group)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_ux").alias("_sx"),
+            F.sum("_uy").alias("_sy"),
+            F.sum(F.col("_ux") * F.col("_ux")).alias("_sxx"),
+            F.sum(F.col("_uy") * F.col("_uy")).alias("_syy"),
+            F.sum(F.col("_ux") * F.col("_uy")).alias("_sxy"),
+        )
+    )
+
+    def ctr(s: str):
+        q = F.expr(f"(2 * abs({s}) + n) div (2 * n)")
+        u = F.when(F.col(s) < 0, -q).otherwise(q)
+        return u.cast("double") / F.lit(1000000.0)
+
+    n = F.col("n").cast("double")
+    # central second moments from exact integer raw sums (micro-deg²)
+    cxx = F.col("_sxx").cast("double") - (F.col("_sx").cast("double")
+                                          * F.col("_sx").cast("double")) / n
+    cyy = F.col("_syy").cast("double") - (F.col("_sy").cast("double")
+                                          * F.col("_sy").cast("double")) / n
+    cxy = F.col("_sxy").cast("double") - (F.col("_sx").cast("double")
+                                          * F.col("_sy").cast("double")) / n
+    a = cxx - cyy
+    c2 = 2.0 * cxy
+    theta = F.when(
+        cxy != 0.0,
+        F.atan((a + F.sqrt(a * a + 4.0 * cxy * cxy)) / c2),
+    ).otherwise(
+        F.when(cxx >= cyy, F.lit(0.0)).otherwise(F.lit(math.pi / 2.0))
+    )
+    # atan range (−π/2, π/2): normalize to [0, π) clockwise-from-north
+    theta = F.when(theta < 0.0, theta + math.pi).otherwise(theta)
+    ct, st = F.cos(theta), F.sin(theta)
+    sx2 = (ct * ct * cxx - 2.0 * ct * st * cxy + st * st * cyy) / n
+    sy2 = (st * st * cxx + 2.0 * ct * st * cxy + ct * ct * cyy) / n
+    scale = math.sqrt(2.0) / 1e6
+    sig = lambda v: F.round(F.lit(scale) * F.sqrt(F.greatest(v, F.lit(0.0))),
+                            6) + F.lit(0.0)  # noqa: E731
+    return agg.select(
+        group, "n", ctr("_sx").alias("ctr_lon"), ctr("_sy").alias("ctr_lat"),
+        (F.round(F.degrees(theta), 6) + F.lit(0.0)).alias("angle_deg"),
+        sig(sx2).alias("sigma_x"), sig(sy2).alias("sigma_y"),
     )
