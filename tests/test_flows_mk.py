@@ -6,6 +6,8 @@ import datetime as dt
 import itertools
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from xutil_spark.kernels.tiles import wgs2tile
@@ -451,3 +453,87 @@ def test_dev_ellipse_single_point(spark):
     r = deviational_ellipse(df, group="user_id").collect()[0]
     assert (r.n, r.ctr_lon, r.ctr_lat) == (1, 10.5, -3.25)
     assert (r.sigma_x, r.sigma_y) == (0.0, 0.0)
+
+
+def _py_gravity(pairs, zoom, q_scale=1e6):
+    """Independent replay of gravity_flows: dict (f,t) -> n_moves →
+    dict (f,t) -> (expected, ratio)."""
+    from xutil_spark.kernels.tiles import cell_decode
+
+    def center(cell):
+        import numpy as np
+
+        x, y, z = cell_decode(np.int64(cell))
+        n = 2.0 ** int(z)
+        lon = (float(x) + 0.5) / n * 360.0 - 180.0
+        m = math.pi - 2.0 * math.pi * (float(y) + 0.5) / n
+        lat = math.degrees(math.atan(0.5 * (math.exp(m) - math.exp(-m))))
+        return lon, lat
+
+    def hav_km(p, q):
+        (lo1, la1), (lo2, la2) = p, q
+        dla = math.radians(la2 - la1)
+        dlo = math.radians(lo2 - lo1)
+        a = (math.sin(dla / 2) ** 2
+             + math.sin(dlo / 2) ** 2 * math.cos(math.radians(la1))
+             * math.cos(math.radians(la2)))
+        return 2 * 6371000.0 * math.atan2(math.sqrt(a),
+                                          math.sqrt(1 - a)) / 1000.0
+
+    out_o, in_d, total = {}, {}, 0
+    for (f, t), n in pairs.items():
+        out_o[f] = out_o.get(f, 0) + n
+        in_d[t] = in_d.get(t, 0) + n
+        total += n
+    gq = {}
+    for (f, t), n in pairs.items():
+        d = hav_km(center(f), center(t))
+        gq[(f, t)] = round(out_o[f] * in_d[t] / (d * d) * q_scale)
+    sg = sum(gq.values())
+    out = {}
+    for k in pairs:
+        exp = total * gq[k] / sg
+        out[k] = (exp, pairs[k] / exp if exp > 0 else None)
+    return out
+
+
+def test_gravity_flows_matches_python_replay(spark):
+    from xutil_spark.kernels.tiles import cell_pack
+    from xutil_spark.operators.flows import gravity_flows
+
+    z = 5
+    A = int(cell_pack(10, 10, z))
+    B = int(cell_pack(11, 10, z))
+    C = int(cell_pack(13, 13, z))
+    pairs = {(A, B): 10, (A, C): 5, (B, C): 5, (C, A): 2}
+    df = spark.createDataFrame(
+        [(f, t, n) for (f, t), n in pairs.items()],
+        "from_cell long, to_cell long, n_moves long")
+    got = {(r.from_cell, r.to_cell): r
+           for r in gravity_flows(df, z).collect()}
+    want = _py_gravity(pairs, z)
+    assert set(got) == set(pairs)
+    # marginals are exact integers
+    assert got[(A, B)].out_o == 15 and got[(A, B)].in_d == 10
+    assert got[(C, A)].out_o == 2 and got[(C, A)].in_d == 2
+    for k, (exp, ratio) in want.items():
+        assert got[k].expected == round(exp, 6)
+        # a quantization-underflow pair (gq = 0) has NULL ratio
+        assert got[k].ratio == (round(ratio, 6) if ratio is not None else None)
+
+
+def test_gravity_expected_sums_to_total(spark):
+    from xutil_spark.kernels.tiles import cell_pack
+    from xutil_spark.operators.flows import gravity_flows
+
+    z = 5
+    cells = [int(cell_pack(8 + i, 9 + (i * 3) % 5, z)) for i in range(5)]
+    pairs = {(cells[i], cells[j]): 3 + i + 2 * j
+             for i in range(5) for j in range(5) if i != j}
+    df = spark.createDataFrame(
+        [(f, t, n) for (f, t), n in pairs.items()],
+        "from_cell long, to_cell long, n_moves long")
+    rows = gravity_flows(df, z).collect()
+    total = sum(pairs.values())
+    # the total-flow constraint: Σ expected = T up to quantization
+    assert sum(r.expected for r in rows) == pytest.approx(total, rel=1e-6)

@@ -85,6 +85,11 @@ REGISTERED_ROUND = {
     "track_bearing_stats": 4,
     "bilinear_up_z6": 4,
     "dev_ellipse_users": 4,
+    "quadkey_cells_z9": 4,
+    "hilbert_layout_z8": 4,
+    "rhumb_nav": 4,
+    "gravity_flows_z5": 4,
+    "nn_index_z8": 4,
 }
 
 

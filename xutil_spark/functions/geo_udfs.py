@@ -214,6 +214,32 @@ def _ring_is_clockwise(coords_json: pd.Series) -> pd.Series:
     )
 
 
+def _hilbert_xy2d(x: pd.Series, y: pd.Series, z: pd.Series) -> pd.Series:
+    from xutil_spark.kernels import hilbert as K_hilbert
+
+    xv = x.to_numpy(np.int64)
+    yv = y.to_numpy(np.int64)
+    zv = z.to_numpy(np.int64)
+    out = np.empty(len(xv), dtype=np.int64)
+    for zoom in np.unique(zv):
+        m = zv == zoom
+        out[m] = K_hilbert.xy2d(xv[m], yv[m], int(zoom))
+    return pd.Series(out)
+
+
+def _hilbert_d2xy(d: pd.Series, z: pd.Series) -> pd.DataFrame:
+    from xutil_spark.kernels import hilbert as K_hilbert
+
+    dv = d.to_numpy(np.int64)
+    zv = z.to_numpy(np.int64)
+    xo = np.empty(len(dv), dtype=np.int64)
+    yo = np.empty(len(dv), dtype=np.int64)
+    for zoom in np.unique(zv):
+        m = zv == zoom
+        xo[m], yo[m] = K_hilbert.d2xy(dv[m], int(zoom))
+    return pd.DataFrame({"x": xo, "y": yo})
+
+
 # name → (python function, return DDL type)
 _SPECS = {
     "wgs2gcj": (_coord_pair_fn(K_coords.wgs2gcj), _LONLAT),
@@ -245,6 +271,8 @@ _SPECS = {
     "wkt_covering_cells": (_wkt_covering_cells, "array<long>"),
     "wkt_transform": (_wkt_transform, "string"),
     "ring_is_clockwise": (_ring_is_clockwise, "boolean"),
+    "hilbert_xy2d": (_hilbert_xy2d, "long"),
+    "hilbert_d2xy": (_hilbert_d2xy, "struct<x:long,y:long>"),
 }
 
 

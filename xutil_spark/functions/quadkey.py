@@ -75,8 +75,9 @@ def quadkey_to_xy(qk, z: int) -> tuple[Column, Column]:
 def quadkey_sql(x_expr: str, y_expr: str, z: int) -> str:
     """The 1:1 ANSI-SQL transcription of :func:`quadkey_from_xy` for
     DuckDB oracles — same unrolled digit arithmetic."""
+    # full parenthesization: SQL's & binds LOOSER than + and *
     parts = [
-        f"CAST((({x_expr}) >> {z - 1 - i}) & 1"
+        f"CAST(((({x_expr}) >> {z - 1 - i}) & 1)"
         f" + 2 * ((({y_expr}) >> {z - 1 - i}) & 1) AS VARCHAR)"
         for i in range(z)
     ]

@@ -64,9 +64,11 @@ def rhumb_distance_m(lon1, lat1, lon2, lat2) -> Column:
     rlat1, rlat2 = _c(lat1) * rad, _c(lat2) * rad
     dphi = rlat2 - rlat1
     dpsi = _dpsi(rlat1, rlat2)
-    q = F.when(F.abs(dpsi) > F.lit(DPSI_EPS), dphi / dpsi).otherwise(
-        F.cos(rlat1)
-    )
+    # try_divide: ANSI mode errors on /0 even for doubles, and codegen
+    # subexpression hoisting can evaluate a branch the when() excludes
+    q = F.when(
+        F.abs(dpsi) > F.lit(DPSI_EPS), F.try_divide(dphi, dpsi)
+    ).otherwise(F.cos(rlat1))
     dlon = _dlon_wrapped(lon1, lon2)
     return F.sqrt(dphi * dphi + q * q * dlon * dlon) * F.lit(R_EARTH)
 
@@ -83,10 +85,10 @@ def rhumb_destination(lon1, lat1, bearing_deg, dist_m) -> tuple[Column, Column]:
     rlat2 = rlat1 + delta * F.cos(theta)
     dpsi = _dpsi(rlat1, rlat2)
     dphi = rlat2 - rlat1
-    q = F.when(F.abs(dpsi) > F.lit(DPSI_EPS), dphi / dpsi).otherwise(
-        F.cos(rlat1)
-    )
-    dlon = delta * F.sin(theta) / q
+    q = F.when(
+        F.abs(dpsi) > F.lit(DPSI_EPS), F.try_divide(dphi, dpsi)
+    ).otherwise(F.cos(rlat1))
+    dlon = delta * F.try_divide(F.sin(theta), q)
     lon2 = _c(lon1) + F.degrees(dlon)
     lon2 = F.pmod(lon2 + F.lit(180.0), F.lit(360.0)) - F.lit(180.0)
     return lon2, F.degrees(rlat2)

@@ -71,6 +71,95 @@ def od_flows(
     )
 
 
+def cell_center(cell_col, zoom: int):
+    """(lon, lat) of a packed cell's center — the inverse of the tile
+    encode at (x+0.5, y+0.5), the Mercator inversion of gis.go:269-275
+    written as exp/atan (no sinh builtin in the oracle dialect, so both
+    engines share the identical (e^n − e^−n)/2 tree)."""
+    from xutil_spark.functions import native
+
+    n_axis = float(2 ** zoom)
+    xc = native.cell_x(cell_col).cast("double") + F.lit(0.5)
+    yc = native.cell_y(cell_col).cast("double") + F.lit(0.5)
+    lon = xc / F.lit(n_axis) * F.lit(360.0) - F.lit(180.0)
+    n = F.lit(math.pi) - F.lit(2.0 * math.pi) * yc / F.lit(n_axis)
+    lat = F.degrees(F.atan(F.lit(0.5) * (F.exp(n) - F.exp(-n))))
+    return lon, lat
+
+
+def gravity_flows(
+    flows: DataFrame,
+    zoom: int,
+    q_scale: float = 1e6,
+) -> DataFrame:
+    """Unconstrained gravity-model calibration over an OD flow matrix
+    (:func:`od_flows` output): score every observed (from_cell,
+    to_cell) pair's flow against the gravity expectation
+
+        g_ij = O_i · D_j / d_ij²          (d in km, center-to-center)
+        E_ij = T · g_ij / Σ g             (total-flow-constrained k)
+        ratio_ij = n_moves / E_ij         (>1 ⇒ corridor over-performs)
+
+    where O_i / D_j are the observed out/in marginals and T the total
+    movement count.  The spatial-interaction screen over mobility data
+    (Zipf 1946 "P₁P₂/D"): corridors with ratio ≫ 1 are structurally
+    coupled beyond what size+distance predict.
+
+    Exactness: marginals and T are exact integer sums; g quantizes to
+    an int64 (round(g·q_scale)) BEFORE the global Σg so the only
+    cross-row float reduction is over integers — order-free; E and
+    ratio are then one fixed float tree per pair, mirrored in the
+    oracle.  ``q_scale`` sets the quantization resolution: pick it so
+    typical O·D/d²_km values land well above 1 (they contribute 0 and
+    a degenerate all-zero Σ yields NULL expected/ratio) and the
+    largest stays below 2^63/q_scale.
+
+    Scale: two map-side-combined marginal aggs at cell cardinality
+    (broadcast back), centers decoded arithmetically from the packed
+    id (no geometry join), one single-row Σ broadcast — the fact-scale
+    work stays at pair cardinality throughout.
+    """
+    f = flows.select("from_cell", "to_cell", "n_moves")
+    out_m = f.groupBy("from_cell").agg(F.sum("n_moves").alias("out_o"))
+    in_m = f.groupBy("to_cell").agg(F.sum("n_moves").alias("in_d"))
+    j = (
+        f.join(F.broadcast(out_m), "from_cell")
+        .join(F.broadcast(in_m), "to_cell")
+    )
+    flon, flat = cell_center(F.col("from_cell"), zoom)
+    tlon, tlat = cell_center(F.col("to_cell"), zoom)
+    from xutil_spark.functions import native
+
+    d_km = native.haversine_m(flon, flat, tlon, tlat) / F.lit(1000.0)
+    g = (
+        F.col("out_o").cast("double") * F.col("in_d").cast("double")
+        / (d_km * d_km)
+    )
+    j = j.withColumn("_gq", F.round(g * F.lit(float(q_scale)), 0).cast("long"))
+    tot = j.agg(
+        F.sum("n_moves").alias("_t"), F.sum("_gq").alias("_sg")
+    )
+    j = j.join(F.broadcast(tot))
+    # try_divide: NULL (not an ANSI error) on the degenerate Σgq = 0 /
+    # expected = 0 edges — subexpression elimination can hoist a
+    # division out of a when() guard, so the null-safety lives in the
+    # operator itself
+    expected = F.try_divide(
+        F.col("_t").cast("double") * F.col("_gq").cast("double"),
+        F.col("_sg").cast("double"),
+    )
+    ratio = F.when(
+        expected > 0.0,
+        F.try_divide(F.col("n_moves").cast("double"), expected),
+    )
+    return j.select(
+        "from_cell", "to_cell", "n_moves", "out_o", "in_d",
+        (F.round(d_km, 3) + F.lit(0.0)).alias("dist_km"),
+        (F.round(expected, 6) + F.lit(0.0)).alias("expected"),
+        (F.round(ratio, 6) + F.lit(0.0)).alias("ratio"),
+    )
+
+
 def deviational_ellipse(
     df,
     group: str = "user_id",
