@@ -84,7 +84,7 @@ def test_snap_matches_brute_force(spark, zoom, radius):
          "bx": sb[:, 0], "by": sb[:, 1]}))
 
     got = {r["pid"]: r for r in snap_to_segments(
-        pts, segs, radius_m=radius, zoom=zoom).collect()}
+        pts, segs, radius_m=radius, zoom=zoom, strategy="cascade").collect()}
 
     dist, t = _snap_np(plon, plat, sa[:, 0], sa[:, 1], sb[:, 0], sb[:, 1])
     matched = 0
@@ -124,7 +124,7 @@ def test_snap_escalation_agrees_with_single_pass(spark):
         {"seg_id": np.arange(n_segs), "ax": sa[:, 0], "ay": sa[:, 1],
          "bx": sb[:, 0], "by": sb[:, 1]}))
 
-    kw = dict(radius_m=65000.0, zoom=9)
+    kw = dict(radius_m=65000.0, zoom=9, strategy="cascade")
     single = {r["pid"]: r for r in snap_to_segments(
         pts, segs, fine_zoom=None, **kw).collect()}
     esc = {r["pid"]: r for r in snap_to_segments(
@@ -167,6 +167,42 @@ def test_snap_tie_break_is_deterministic(spark):
         "ax": [10.2, 9.8], "ay": [19.0, 19.0],
         "bx": [10.2, 9.8], "by": [21.0, 21.0],
     }))
-    out = snap_to_segments(pts, segs, radius_m=80000.0, zoom=7).collect()
-    assert len(out) == 1 and out[0]["seg_id"] == 3
-    assert out[0]["t"] == pytest.approx(0.5, abs=1e-6)
+    for strat in ("cascade", "np"):
+        out = snap_to_segments(pts, segs, radius_m=80000.0, zoom=7,
+                               strategy=strat).collect()
+        assert len(out) == 1 and out[0]["seg_id"] == 3, strat
+        assert out[0]["t"] == pytest.approx(0.5, abs=1e-6), strat
+
+
+def test_snap_np_equals_cascade(spark):
+    """The broadcast-numpy brute path (``auto``'s dim-scale pick) must
+    emit row-for-row what the cascade emits — same winners, same
+    rounded distances/positions — including inner-radius drops."""
+    from xutil_spark.operators.spatial_join import snap_to_segments
+
+    rng = np.random.default_rng(2024)
+    n_pts, n_segs = 700, 35
+    plon = rng.uniform(60, 120, n_pts)
+    plat = rng.uniform(5, 55, n_pts)
+    sa = rng.uniform([60, 5], [120, 55], (n_segs, 2))
+    sb = np.clip(sa + rng.uniform(-8, 8, (n_segs, 2)), [60, 5], [120, 55])
+    pts = spark.createDataFrame(pd.DataFrame(
+        {"pid": np.arange(n_pts), "lon": plon, "lat": plat}))
+    segs = spark.createDataFrame(pd.DataFrame(
+        {"seg_id": np.arange(n_segs), "ax": sa[:, 0], "ay": sa[:, 1],
+         "bx": sb[:, 0], "by": sb[:, 1]}))
+
+    kw = dict(radius_m=65000.0, zoom=9)
+    casc = {r["pid"]: r for r in snap_to_segments(
+        pts, segs, strategy="cascade", **kw).collect()}
+    # auto with a 35-row dim must route to the np path
+    fast = {r["pid"]: r for r in snap_to_segments(
+        pts, segs, strategy="auto", **kw).collect()}
+    assert set(fast) == set(casc)
+    assert 30 <= len(fast) < n_pts  # both arms (matched + dropped) live
+    for pid, r in fast.items():
+        s = casc[pid]
+        assert (r["seg_id"], r["dist_m"], r["t"],
+                r["snap_lon"], r["snap_lat"]) == \
+            (s["seg_id"], s["dist_m"], s["t"],
+             s["snap_lon"], s["snap_lat"]), pid

@@ -1146,6 +1146,134 @@ def pick_snap_fine_zoom(segments: DataFrame, coarse_zoom: int,
     return coarse_zoom
 
 
+def snap_to_segments_np(
+    points: DataFrame,
+    segments: DataFrame,
+    radius_m: float,
+    point_id: str = "pid",
+    seg_id: str = "seg_id",
+    lon: str = "lon",
+    lat: str = "lat",
+    ax: str = "ax",
+    ay: str = "ay",
+    bx: str = "bx",
+    by: str = "by",
+    pair_chunk: int = 524_288,
+) -> DataFrame:
+    """Exact snap against a **dim-sized** segment table with ZERO
+    shuffles — the ``knn_join_np`` pattern applied to map matching.
+
+    The segments collect to numpy arrays (id-sorted) and ship once per
+    worker via ``sc.broadcast``; the points side streams through ONE
+    ``mapInPandas``, scoring every (point, segment) pair with the same
+    clamped equirectangular projection as ``_snap_best`` in
+    cache-sized chunks (``pair_chunk`` pairs ≈ 4 MB per float64
+    temporary — the v3 lesson: work units sized to cache beat
+    batch-sized matrices).  No candidate pruning and therefore no ring
+    guarantee needed: exhaustive per point, exact by construction.
+
+    Winner semantics are ``_snap_best``'s exactly: min by
+    (round(dist, 3), seg_id) — segments are pre-sorted by id so the
+    first argmin occurrence IS the smallest seg_id among mm-ties —
+    then the inner radius filter on the ROUNDED distance.
+
+    Scale boundary: brute cost is points × segments, so this path is
+    for dim-scale networks (≤ ~4k segments ≈ the bench shape, where it
+    replaces a 5-level cascade with one embarrassingly-parallel pass).
+    Real road networks (10^8 segments) take the cascade; the ``auto``
+    gate in ``snap_to_segments`` picks per input.
+    """
+    import numpy as np
+
+    from xutil_spark.kernels.rounding import round_half_away
+
+    seg_pd = (segments.select(seg_id, ax, ay, bx, by).toPandas()
+              .sort_values(seg_id, kind="stable"))
+    sid0 = seg_pd[seg_id].to_numpy()
+    segs_np = (sid0,
+               seg_pd[ax].to_numpy(np.float64),
+               seg_pd[ay].to_numpy(np.float64),
+               seg_pd[bx].to_numpy(np.float64),
+               seg_pd[by].to_numpy(np.float64))
+    bc = points.sparkSession.sparkContext.broadcast(segs_np)
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType([
+        points.schema[point_id],
+        StructField(seg_id, segments.schema[seg_id].dataType, True),
+        StructField(lon, DoubleType(), True),
+        StructField(lat, DoubleType(), True),
+        StructField("dist_m", DoubleType(), True),
+        StructField("t", DoubleType(), True),
+        StructField("snap_lon", DoubleType(), True),
+        StructField("snap_lat", DoubleType(), True),
+    ])
+    k = _M_PER_DEG
+    radius = float(radius_m)
+    chunk = max(1, pair_chunk // max(1, len(sid0)))
+
+    def run(it):
+        import pandas as pd
+
+        sid, sax, say, sbx, sby = bc.value
+        if len(sid) == 0:
+            return
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            plon = pdf[lon].to_numpy(np.float64)
+            plat = pdf[lat].to_numpy(np.float64)
+            pids = pdf[point_id].to_numpy()
+            parts = []
+            for s in range(0, n, chunk):
+                e = min(n, s + chunk)
+                lo = plon[s:e, None]
+                la = plat[s:e, None]
+                kx = k * np.cos(np.radians(la))
+                axm = (sax[None, :] - lo) * kx
+                aym = (say[None, :] - la) * k
+                uxm = (sbx[None, :] - lo) * kx - axm
+                uym = (sby[None, :] - la) * k - aym
+                len2 = uxm * uxm + uym * uym
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    t = np.clip(-(axm * uxm + aym * uym) / len2, 0.0, 1.0)
+                t = np.where(len2 == 0.0, 0.0, t)
+                qx = axm + t * uxm
+                qy = aym + t * uym
+                dist_r = round_half_away(np.sqrt(qx * qx + qy * qy), 3)
+                rows = np.arange(e - s)
+                j = np.argmin(dist_r, axis=1)
+                db = dist_r[rows, j]
+                keep = db <= radius
+                if not keep.any():
+                    continue
+                rk = rows[keep]
+                jk = j[keep]
+                kxk = kx[rk, 0]
+                parts.append(pd.DataFrame({
+                    point_id: pids[s:e][keep],
+                    seg_id: sid[jk],
+                    lon: plon[s:e][keep],
+                    lat: plat[s:e][keep],
+                    "dist_m": db[keep],
+                    "t": round_half_away(t[rk, jk], 6),
+                    "snap_lon": round_half_away(
+                        plon[s:e][keep] + qx[rk, jk] / kxk, 6),
+                    "snap_lat": round_half_away(
+                        plat[s:e][keep] + qy[rk, jk] / k, 6),
+                }))
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    src = points
+    par = points.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    return src.mapInPandas(run, out_schema)
+
+
 def snap_to_segments(
     points: DataFrame,
     segments: DataFrame,
@@ -1162,6 +1290,8 @@ def snap_to_segments(
     broadcast_segs: bool = True,
     max_abs_lat: float = 60.0,
     fine_zoom: int | str | None = "auto",
+    strategy: str = "auto",
+    np_max_segs: int = 4096,
 ) -> DataFrame:
     """Snap each point to its nearest segment within ``radius_m`` — the
     map-matching primitive (point → road).  Inner semantics: points
@@ -1203,6 +1333,16 @@ def snap_to_segments(
     dim broadcasts (or shuffles on cell when huge).  Skew: hot cells
     fall under AQE skew-join; ``salt_hot_cells`` composes if needed.
     """
+    if strategy not in ("auto", "np", "cascade"):
+        raise ValueError(f"unknown snap strategy {strategy!r}")
+    if strategy == "np" or (
+        strategy == "auto"
+        and segments.limit(np_max_segs + 1).count() <= np_max_segs
+    ):
+        return snap_to_segments_np(
+            points, segments, radius_m, point_id=point_id, seg_id=seg_id,
+            lon=lon, lat=lat, ax=ax, ay=ay, bx=bx, by=by)
+
     ring = 1
     while _ring_guarantee_m(zoom, ring, max_abs_lat=max_abs_lat) < radius_m * 1.05:
         ring += 1
