@@ -90,6 +90,7 @@ REGISTERED_ROUND = {
     "rhumb_nav": 4,
     "gravity_flows_z5": 4,
     "nn_index_z8": 4,
+    "encounters_z6": 4,
 }
 
 

@@ -1,0 +1,141 @@
+"""Spatiotemporal encounter (co-location) join: pairs of entities whose
+events came within ``radius_m`` meters AND ``window_s`` seconds of each
+other — the proximity/contact primitive (co-visit mining, contact
+tracing, convoy seeding).
+
+The reference has no multi-entity operator; this extends its
+point-distance kernel (gis.go:196-206 ``PointDistHaversine``) into a
+self-join the same way knn/distance_join extend it into point→dim
+joins (SURVEY §2.3).
+
+Engine shape — a **bucketed fact×fact self-join**, never a cross join:
+
+1. each event gets a packed cell id (zoom sized so a ring-1 block
+   provably covers ``radius_m``; same static envelope bound as
+   ``distance_join``) and an integer time bucket ``floor(epoch /
+   window_s)``;
+2. the LEFT side explodes to its (2r+1)² neighbor cells × 3 adjacent
+   buckets (|Δt| ≤ W ⇒ bucket diff ≤ 1 under floor division — every
+   true pair is covered exactly once, no distinct needed: the right
+   side's (cell, bucket) key is unique per event);
+3. ONE equi-join on (cell, bucket) — Catalyst plans a shuffled hash /
+   sort-merge join both sides partitioned by the composite key; AQE
+   skew-split handles hot (cell, bucket) combos, ``salt_hot_cells``
+   composes for pathological ones;
+4. exact filter: entity_l < entity_r (different entities, each
+   unordered pair once), |Δepoch| ≤ W (exact integers), JVM-native
+   haversine ≤ R — zero Python anywhere;
+5. per-pair aggregation at encounter cardinality.
+
+100-TB story: the fact table is touched by one narrow projection +
+one shuffle on (cell, bucket); the 3·(2r+1)² explode multiplies only
+the join KEY stream, not payload width.  Everything after the filter
+is at matched-pair cardinality.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from xutil_spark.functions import native
+from xutil_spark.operators.spatial_join import (
+    _explode_neighbors,
+    _ring_guarantee_m,
+    with_cell,
+)
+
+
+def pick_encounter_zoom(radius_m: float, max_abs_lat: float = 60.0,
+                        ring: int = 1) -> int:
+    """FINEST zoom whose ring-``ring`` static guarantee covers
+    ``radius_m`` (finer cells = fewer candidate pairs; one level too
+    fine would let a true pair straddle the block)."""
+    for z in range(30, -1, -1):
+        if _ring_guarantee_m(z, ring, max_abs_lat=max_abs_lat) >= radius_m:
+            return z
+    raise ValueError("radius too large for any zoom at this latitude bound")
+
+
+def encounter_join(
+    events: DataFrame,
+    radius_m: float,
+    window_s: int,
+    zoom: int | None = None,
+    entity: str = "user_id",
+    event_id: str = "event_id",
+    ts: str = "ts",
+    lon: str = "lon",
+    lat: str = "lat",
+    max_abs_lat: float = 60.0,
+) -> DataFrame:
+    """Entity pairs with ≥1 encounter: ``(entity_a, entity_b,
+    n_encounters, min_dist_m)``, ``entity_a < entity_b``, min distance
+    rounded to mm.
+
+    An *encounter* is an (event_i, event_j) pair from two DIFFERENT
+    entities with haversine ≤ ``radius_m`` and |epoch_i − epoch_j| ≤
+    ``window_s`` (epochs in floor-seconds).  Each unordered event pair
+    counts once.
+
+    ``zoom=None`` auto-picks the finest ring-1-covering zoom.  The
+    static envelope bound assumes |lat| ≤ ``max_abs_lat`` — callers
+    with polar data must lower the zoom accordingly (same contract as
+    ``distance_join`` / ``snap_to_segments``).
+    """
+    if zoom is None:
+        zoom = pick_encounter_zoom(radius_m, max_abs_lat)
+    ring = 1
+    while _ring_guarantee_m(zoom, ring, max_abs_lat=max_abs_lat) < radius_m:
+        ring += 1
+        if ring > 64:
+            raise ValueError("radius too large for this zoom; lower the zoom")
+
+    ev = with_cell(events, zoom, lon, lat).select(
+        F.col(event_id).alias("_eid"),
+        F.col(entity).alias("_ent"),
+        F.col(ts).cast("long").alias("_ep"),
+        F.col(lon).alias("_lon"),
+        F.col(lat).alias("_lat"),
+        # floor division, not integer-cast truncation: the bucket-diff≤1
+        # coverage argument needs floor semantics for negative epochs
+        F.floor(F.col(ts).cast("long") / F.lit(float(window_s)))
+        .cast("long").alias("_bkt"),
+        "cell",
+    )
+
+    left = (
+        _explode_neighbors(ev, F.col("cell"), zoom, ring, out="_jcell")
+        .withColumn("_do", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("_jbkt", F.col("_bkt") + F.col("_do"))
+        .select(
+            F.col("_eid").alias("_leid"), F.col("_ent").alias("_lent"),
+            F.col("_ep").alias("_lep"), F.col("_lon").alias("_llon"),
+            F.col("_lat").alias("_llat"), "_jcell", "_jbkt",
+        )
+    )
+    right = ev.select(
+        F.col("_eid").alias("_reid"), F.col("_ent").alias("_rent"),
+        F.col("_ep").alias("_rep"), F.col("_lon").alias("_rlon"),
+        F.col("_lat").alias("_rlat"),
+        F.col("cell").alias("_jcell"), F.col("_bkt").alias("_jbkt"),
+    )
+    pairs = (
+        left.join(right, on=["_jcell", "_jbkt"], how="inner")
+        .filter(
+            (F.col("_lent") < F.col("_rent"))
+            & (F.abs(F.col("_lep") - F.col("_rep")) <= F.lit(int(window_s)))
+        )
+        .withColumn("_d", native.haversine_m("_llon", "_llat", "_rlon", "_rlat"))
+        .filter(F.col("_d") <= F.lit(float(radius_m)))
+    )
+    return (
+        pairs.groupBy(
+            F.col("_lent").alias("entity_a"), F.col("_rent").alias("entity_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_encounters"),
+            F.round(F.min("_d"), 3).alias("min_dist_m"),
+        )
+    )
