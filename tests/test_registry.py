@@ -91,6 +91,7 @@ REGISTERED_ROUND = {
     "gravity_flows_z5": 4,
     "nn_index_z8": 4,
     "encounters_z6": 4,
+    "flow_watershed_z8": 4,
 }
 
 

@@ -1,7 +1,8 @@
 """Contract queries, round-4 tenth batch: the spatiotemporal encounter
 join (operators/encounters.py) — entity pairs co-located within
 ``radius_m`` meters and ``window_s`` seconds, the proximity/contact
-primitive over event trails.
+primitive over event trails — and D8 flow routing + watershed labeling
+(operators/hydrology.py) over the z8 event-count surface.
 
 Same conventions as every entry_queries*.py: q_* takes (spark, sf_dir)
 and returns a DataFrame; o_* returns ANSI SQL DuckDB runs on the same
@@ -74,9 +75,100 @@ GROUP BY 1, 2
 """
 
 
+# ===================================================== D8 flow / watershed
+
+_FLOW_ZOOM = 8
+
+
+def q_flow_watershed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 flow routing over the z8 event-count surface
+    (operators/hydrology.py): per occupied cell its steepest-descent
+    direction (integer-exact 2·d²-vs-d² comparison, compass-priority
+    ties), successor, terminal sink cell and hop count.  Engine:
+    8-dir explode + one equi-join for direction choice, then pointer
+    doubling (fixed ⌈log₂(max v+1)⌉+1 round budget, dim-scale gate to
+    one vectorized pandas pass).  Oracle: the same integer scoring in
+    SQL + a recursive-CTE walk to the sink."""
+    _utc(spark)
+    from pyspark.sql import functions as F
+
+    from xutil_spark.operators.hydrology import watershed
+    from xutil_spark.operators.spatial_join import with_cell
+
+    ev = _located_events(spark, sf_dir)
+    counts = (with_cell(ev, _FLOW_ZOOM, "lon", "lat")
+              .groupBy("cell").agg(F.count(F.lit(1)).alias("cnt")))
+    return watershed(counts, _FLOW_ZOOM, value="cnt")
+
+
+def o_flow_watershed() -> str:
+    from xutil_spark.entry_queries import _tile_sql
+
+    z = _FLOW_ZOOM
+    n = 2 ** z
+    xs, ys = _tile_sql("lon", "lat", z)
+    dirs = ",".join(f"({d},{dx},{dy},{e})" for d, dx, dy, e in [
+        (0, 0, -1, 1), (1, 1, -1, 0), (2, 1, 0, 1), (3, 1, 1, 0),
+        (4, 0, 1, 1), (5, -1, 1, 0), (6, -1, 0, 1), (7, -1, -1, 0)])
+    return f"""
+WITH RECURSIVE ev AS (
+  SELECT {_EV_LON} AS lon, {_EV_LAT} AS lat FROM events
+),
+t AS (SELECT {xs} AS x, {ys} AS y FROM ev),
+cells AS (
+  SELECT x, y, ({z} * 288230376151711744 + x * 536870912 + y) AS cell,
+         COUNT(*) AS v
+  FROM t GROUP BY 1, 2
+),
+dirs(d, dx, dy, e) AS (VALUES {dirs}),
+cand AS (
+  SELECT c.cell, c.v, s.d, s.e,
+         ((c.x + s.dx + {n}) % {n}) AS nx2, c.y + s.dy AS ny,
+         COALESCE(nb.v, 0) AS nv
+  FROM cells c
+  CROSS JOIN dirs s
+  LEFT JOIN cells nb ON nb.x = ((c.x + s.dx + {n}) % {n})
+                    AND nb.y = c.y + s.dy
+  WHERE c.y + s.dy >= 0 AND c.y + s.dy < {n}
+),
+scored AS (
+  SELECT cell, v, d,
+         ({z} * 288230376151711744 + nx2 * 536870912 + ny) AS succ,
+         (v - nv) * (v - nv) * (1 + e) AS key
+  FROM cand WHERE v - nv > 0
+),
+best AS (
+  SELECT cell, d AS dir, succ FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY cell ORDER BY key DESC, d ASC) AS rn
+    FROM scored) WHERE rn = 1
+),
+flows AS (
+  SELECT c.cell, c.v, b.dir, b.succ
+  FROM cells c LEFT JOIN best b USING (cell)
+),
+walk(cell, cur, n_steps) AS (
+  SELECT cell, cell, 0 FROM flows
+  UNION ALL
+  SELECT w.cell, f.succ, w.n_steps + 1
+  FROM walk w JOIN flows f ON f.cell = w.cur
+  WHERE f.succ IS NOT NULL
+)
+SELECT fl.cell, fl.v, fl.dir, fin.sink_cell, fin.n_steps
+FROM flows fl JOIN (
+  SELECT cell, cur AS sink_cell, n_steps FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY cell ORDER BY n_steps DESC) AS rn
+    FROM walk) WHERE rn = 1
+) fin USING (cell)
+"""
+
+
 QUERIES17 = {
     "encounters_z6": q_encounters,
+    "flow_watershed_z8": q_flow_watershed,
 }
 ORACLES17 = {
     "encounters_z6": o_encounters(),
+    "flow_watershed_z8": o_flow_watershed(),
 }
