@@ -92,6 +92,7 @@ REGISTERED_ROUND = {
     "nn_index_z8": 4,
     "encounters_z6": 4,
     "flow_watershed_z8": 4,
+    "crossmodal_dups": 4,
 }
 
 

@@ -164,11 +164,83 @@ FROM flows fl JOIN (
 """
 
 
+# ===================================================== cross-modal dedup
+
+_XM_IMG_T = 3     # image dHash hamming (banded-join exact bound)
+_XM_TXT_T = 10    # caption SimHash hamming filter
+
+
+def q_crossmodal_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal near-dup pairs over the input_hint images table:
+    candidate pairs from the EXACT banded image-dHash self-join
+    (pigeonhole, t ≤ bands−1), refined by caption SimHash hamming ≤
+    10 — the training-data dedup rule "same picture AND same caption",
+    composing the image and text fingerprint stacks.  Both fingerprint
+    tables are dim-wide joins back onto the pair set (AQE broadcasts
+    them); the scale path is the image-band bucket join."""
+    from pyspark.sql import functions as F
+
+    from xutil_spark.data.synth import images_table
+    from xutil_spark.operators.dedup import hamming_near_dup_pairs, simhash
+    from xutil_spark.raster.images import dhash
+
+    img = images_table(spark, 2000).localCheckpoint()
+    fp = dhash(img)
+    sh = simhash(img.select("image_id", "caption"),
+                 text_col="caption", id_col="image_id")
+    fpj = fp.join(sh, "image_id").localCheckpoint()
+    pairs = hamming_near_dup_pairs(fpj, "dhash", "image_id",
+                                   max_hamming=_XM_IMG_T, bands=4)
+    sa = fpj.select(F.col("image_id").alias("a"), F.col("simhash").alias("_sa"))
+    sb = fpj.select(F.col("image_id").alias("b"), F.col("simhash").alias("_sb"))
+    return (
+        pairs.join(sa, "a").join(sb, "b")
+        .withColumn(
+            "caption_hamming",
+            F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).cast("int"))
+        .filter(F.col("caption_hamming") <= _XM_TXT_T)
+        .select("a", "b", F.col("hamming").alias("img_hamming"),
+                "caption_hamming")
+    )
+
+
+def o_crossmodal_dups() -> str:
+    """Ground truth: full O(n²) sweep in DuckDB over INDEPENDENT scalar
+    re-derivations of both fingerprints (entry_queries6._dhash_py from
+    the generator formula; entry_queries._simhash_py pinned to Spark
+    xxhash64 by tests/test_registry.py)."""
+    from xutil_spark.data.synth import caption_for
+    from xutil_spark.entry_queries import _simhash_py
+    from xutil_spark.entry_queries6 import _dhash_py
+
+    dh, sh = {}, {}
+    for i in range(2000):
+        kd = (i % 3, i % 256)
+        if kd not in dh:
+            dh[kd] = _dhash_py(i)
+        sh[i] = _simhash_py(caption_for(i))
+    rows = ",".join(
+        f"('img{i:012d}',{dh[(i % 3, i % 256)]},{sh[i]})" for i in range(2000)
+    )
+    return f"""
+WITH fp AS (SELECT * FROM (VALUES {rows}) AS t(image_id, dhash, simhash))
+SELECT a.image_id AS a, b.image_id AS b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS img_hamming,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
+         AS caption_hamming
+FROM fp a JOIN fp b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= {_XM_IMG_T}
+  AND bit_count(xor(a.simhash, b.simhash)) <= {_XM_TXT_T}
+"""
+
+
 QUERIES17 = {
     "encounters_z6": q_encounters,
     "flow_watershed_z8": q_flow_watershed,
+    "crossmodal_dups": q_crossmodal_dups,
 }
 ORACLES17 = {
     "encounters_z6": o_encounters(),
     "flow_watershed_z8": o_flow_watershed(),
+    "crossmodal_dups": o_crossmodal_dups(),
 }
