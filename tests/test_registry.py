@@ -93,6 +93,7 @@ REGISTERED_ROUND = {
     "encounters_z6": 4,
     "flow_watershed_z8": 4,
     "crossmodal_dups": 4,
+    "st_clusters_z7": 4,
 }
 
 

@@ -234,13 +234,83 @@ WHERE bit_count(xor(a.dhash, b.dhash)) <= {_XM_IMG_T}
 """
 
 
+# ===================================================== space-time clustering
+
+_ST_ZOOM = 7
+_ST_WINDOW_S = 21_600
+_ST_MIN = 3
+
+
+def q_st_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatiotemporal grid clustering (operators/clustering.py
+    st_grid_clusters): events voxelized to (z7 cell, 6 h bucket),
+    dense voxels (≥3 events) connected over the 26-neighborhood,
+    components labeled by min voxel id — bursts / moving hotspots.
+    Everything past one count shuffle runs at dense-voxel cardinality."""
+    _utc(spark)
+    from xutil_spark.operators.clustering import st_grid_clusters
+
+    ev = _located_events(spark, sf_dir)
+    return st_grid_clusters(ev, zoom=_ST_ZOOM, window_s=_ST_WINDOW_S,
+                            min_count=_ST_MIN)
+
+
+def o_st_clusters() -> str:
+    from xutil_spark.entry_queries import _tile_sql
+
+    z, w, m = _ST_ZOOM, _ST_WINDOW_S, _ST_MIN
+    n = 2 ** z
+    xs, ys = _tile_sql("lon", "lat", z)
+    return f"""
+WITH RECURSIVE ev AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         {_EV_LON} AS lon, {_EV_LAT} AS lat
+  FROM events
+),
+t AS (
+  SELECT {xs} AS x, {ys} AS y,
+         CAST(floor(ep / {w}.0) AS BIGINT) AS bkt
+  FROM ev
+),
+vox AS (SELECT x, y, bkt, COUNT(*) AS n_points FROM t GROUP BY 1, 2, 3),
+dense AS (
+  SELECT x, y, bkt, n_points,
+         (x * {n} + y) * 1048576 + bkt AS vid,
+         ({z} * 288230376151711744 + x * 536870912 + y) AS cell
+  FROM vox WHERE n_points >= {m}
+),
+pairs AS (
+  SELECT a.vid AS a, b.vid AS b
+  FROM dense a JOIN dense b ON a.vid < b.vid
+   AND abs(a.x - b.x) <= 1 AND abs(a.y - b.y) <= 1
+   AND abs(a.bkt - b.bkt) <= 1
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION
+  SELECT b AS src, a AS dst FROM pairs
+),
+reach(src, node) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT src, MIN(node) AS cluster_id FROM reach GROUP BY src)
+SELECT d.cell, d.bkt, COALESCE(c.cluster_id, d.vid) AS cluster_id,
+       CAST(d.n_points AS BIGINT) AS n_points
+FROM dense d LEFT JOIN comp c ON d.vid = c.src
+"""
+
+
 QUERIES17 = {
     "encounters_z6": q_encounters,
     "flow_watershed_z8": q_flow_watershed,
     "crossmodal_dups": q_crossmodal_dups,
+    "st_clusters_z7": q_st_clusters,
 }
 ORACLES17 = {
     "encounters_z6": o_encounters(),
     "flow_watershed_z8": o_flow_watershed(),
     "crossmodal_dups": o_crossmodal_dups(),
+    "st_clusters_z7": o_st_clusters(),
 }
