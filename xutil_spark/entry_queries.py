@@ -1060,6 +1060,16 @@ ORACLES.update(ORACLES17)
 # token_counts / quality rotated out to make room for the round-3
 # media goldens + dhash/geohash — all r01+r02 green, code untouched
 # since they last went green).
+#
+# r05 WINDOW CONSTRUCTION (for the session that sees CORRECTNESS_r04):
+# the must-include set is (a) the 36 REGISTERED_ROUND=4 additions
+# (never driver-evaluated — see tests/test_registry.py), (b) any r04
+# window row that did NOT come back green, (c) queries whose code
+# changes in r05.  That already fills ~36-50 of the 50 slots; the
+# staleness rule then allows at most len(QUERIES)-100 = 28 r03-green
+# queries to wait for r06 — everything else green-in-r04 is safe to
+# rotate out.  test_registry.py enforces all of this mechanically;
+# build the window, run pytest, fix what it names.
 _DRIVER_WINDOW = [
     # --- round 4: never driver-green — the 4 formerly rows-only/
     #     no-oracle entries (now computed-VALUES-oracled) + the new
