@@ -282,12 +282,20 @@ def run_queries() -> dict:
         # extrapolates; the warmup is documented here and in BENCH.md.
         for name in HEADLINE:
             QUERIES[name](spark, SF_DIR).count()
-        for name in HEADLINE:
-            t0 = time.perf_counter()
-            n = QUERIES[name](spark, SF_DIR).count()
-            dt = time.perf_counter() - t0
-            timings[name] = round(dt, 3)
-            log(f"query {name}: {n} rows in {dt:.2f}s")
+        # TWO timed passes, min per query: this VM's noise epochs last
+        # minutes, so a single sample can inflate one query 3-5×
+        # (observed snap 19.3s in-bench vs 3.5-6s standalone-warm, with
+        # a refuted cache-pollution hypothesis — 2× the heavy queries
+        # re-run in-session left snap at 4s); the passes sit ~a full
+        # sweep apart and therefore sample different epochs.
+        for _pass in range(2):
+            for name in HEADLINE:
+                t0 = time.perf_counter()
+                n = QUERIES[name](spark, SF_DIR).count()
+                dt = time.perf_counter() - t0
+                prev = timings.get(name)
+                timings[name] = round(min(dt, prev) if prev else dt, 3)
+                log(f"query {name} (pass {_pass}): {n} rows in {dt:.2f}s")
     finally:
         spark.stop()
     return timings
@@ -413,7 +421,10 @@ def write_bench_md(timings, p2, p8, p32, eff, pooled_eff, pooled_n, pooled):
         "",
         "Steady-state (one untimed warmup pass over all queries first:",
         "C2 JIT + codegen + worker spawn are session costs, ~5s per",
-        "query's first heavy run; a long-lived cluster JVM runs hot).",
+        "query's first heavy run; a long-lived cluster JVM runs hot),",
+        "then MIN over two timed passes — the shared VM's noise epochs",
+        "last minutes and can inflate a single sample 3-5×; the passes",
+        "sit a full sweep apart, sampling different epochs.",
         "",
         "| query | sec |",
         "|---|---|",
