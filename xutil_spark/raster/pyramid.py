@@ -150,10 +150,16 @@ def tile_pyramid(
     z = from_zoom
     while z > to_zoom:
         chunk_to = max(to_zoom, z - step)
+        # partition count PINNED (repartition(N, col) is exempt from
+        # AQE coalescing): pyramid groups are tiny in bytes but heavy
+        # in Python render work, and byte-based coalescing starves the
+        # renderer of cores (same fix as tile_mosaic — measured there
+        # 3.4s → 1.3s at 32 cores)
+        par = cur.sparkSession.sparkContext.defaultParallelism
         keyed = (
             cur.withColumn(
                 "_acell", native.cell_parent(F.col("cell"), z, chunk_to))
-            .repartition(F.col("_acell"))
+            .repartition(par, F.col("_acell"))
             .sortWithinPartitions("_acell")
         )
         lvls = keyed.mapInPandas(
