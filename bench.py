@@ -114,6 +114,7 @@ HEADLINE = [
     "terrain_horn_z7", "morans_i_z6", "local_moran_z6", "focal_stats_z7",
     "track_bearing_stats", "bilinear_up_z6", "dev_ellipse_users",
     "encounters_z6", "flow_watershed_z8", "crossmodal_dups", "st_clusters_z7",
+    "image_patches", "image_sharpness", "seq_packing", "video_scene_cuts",
 ]
 
 

@@ -94,6 +94,10 @@ REGISTERED_ROUND = {
     "flow_watershed_z8": 4,
     "crossmodal_dups": 4,
     "st_clusters_z7": 4,
+    "image_patches": 4,
+    "image_sharpness": 4,
+    "seq_packing": 4,
+    "video_scene_cuts": 4,
 }
 
 

@@ -75,3 +75,41 @@ def video_table(spark: SparkSession, n: int, w: int = 32, h: int = 24,
             yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_SCHEMA])
 
     return base.mapInPandas(gen, schema=VIDEO_SCHEMA)
+
+
+def video_scene_frames_for(i: int, w: int, h: int, n_frames: int,
+                           scene_len: int) -> np.ndarray:
+    """Deterministic frames with SCENE STRUCTURE: within a scene the
+    gradient drifts slowly (+7/+11/+13 per frame, like
+    ``video_frames_for``); at every ``scene_len`` boundary a per-scene
+    offset jumps the whole palette, so consecutive-frame pixel
+    difference is ~5× larger across a boundary than inside a scene —
+    the signal ``raster.av.scene_cuts`` detects."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    f = np.arange(n_frames)[:, None, None]
+    off = (i * 131 + (f // scene_len) * 977) % 256
+    r = (xx[None] * 3 + f * 7 + i + off) % 256
+    g = (yy[None] * 5 + f * 11 + i * 3 + 2 * off) % 256
+    bch = (xx[None] + yy[None] + f * 13 + i * 5 + 3 * off) % 256
+    return np.stack([r, g, bch], axis=-1).astype(np.uint8)
+
+
+def video_scene_table(spark: SparkSession, n: int, w: int = 16, h: int = 12,
+                      n_frames: int = 24, scene_len: int = 8,
+                      fps: float = 10.0) -> DataFrame:
+    """Scene-structured videos (VIDEO_SCHEMA) for cut detection."""
+    base = spark.range(n).toDF("i")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for i in b["i"]:
+                i = int(i)
+                frames = video_scene_frames_for(i, w, h, n_frames, scene_len)
+                rows.append((
+                    f"vid{i:06d}", frames.tobytes(), w, h, fps, n_frames,
+                    "rawrgb", f"synthetic scenes {i}",
+                ))
+            yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_SCHEMA])
+
+    return base.mapInPandas(gen, schema=VIDEO_SCHEMA)

@@ -978,6 +978,7 @@ from xutil_spark.entry_queries14 import ORACLES14, QUERIES14  # noqa: E402
 from xutil_spark.entry_queries15 import ORACLES15, QUERIES15  # noqa: E402
 from xutil_spark.entry_queries16 import ORACLES16, QUERIES16  # noqa: E402
 from xutil_spark.entry_queries17 import ORACLES17, QUERIES17  # noqa: E402
+from xutil_spark.entry_queries18 import ORACLES18, QUERIES18  # noqa: E402
 
 QUERIES.update(QUERIES2)
 QUERIES.update(QUERIES3)
@@ -995,6 +996,7 @@ QUERIES.update(QUERIES14)
 QUERIES.update(QUERIES15)
 QUERIES.update(QUERIES16)
 QUERIES.update(QUERIES17)
+QUERIES.update(QUERIES18)
 
 ORACLES = {
     "tile_assign_z15": o_tile_assign_z15(),
@@ -1036,6 +1038,7 @@ ORACLES.update(ORACLES14)
 ORACLES.update(ORACLES15)
 ORACLES.update(ORACLES16)
 ORACLES.update(ORACLES17)
+ORACLES.update(ORACLES18)
 
 # ------------------------------------------------------------ registry order
 #

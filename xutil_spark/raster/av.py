@@ -148,3 +148,54 @@ def frame_sample(videos: DataFrame, every_n: int = 10) -> DataFrame:
             ])
 
     return videos.mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)
+
+
+SCENE_CUT_SCHEMA = T.StructType([
+    T.StructField("video_id", T.StringType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("diff_sum", T.LongType(), False),
+    T.StructField("is_cut", T.BooleanType(), False),
+])
+
+
+def scene_cuts(videos: DataFrame, threshold: int,
+               circular: bool = False) -> DataFrame:
+    """Scene-change detection: one row per consecutive frame pair —
+    ``frame_idx`` is the LATER frame, ``diff_sum`` the exact integer
+    sum of per-pixel-per-channel differences to the previous frame,
+    ``is_cut`` whether it exceeds ``threshold``.
+
+    The standard shot-boundary primitive for video training-data
+    curation (segmenting web video into shots before frame sampling /
+    captioning).  ``circular=False`` is the plain absolute difference
+    (natural-image content); ``circular=True`` measures each channel
+    on the mod-256 circle — ``min(d, 256−d)`` — the right metric for
+    wrapping channels (hue planes, phase imagery, and the synthetic
+    mod-gradient fixtures, where a +7 drift must read as 7, not 249).
+
+    All-integer math (uint8 → int64 diff sum), so every value is
+    platform-exact and oracle-checkable; one vectorized tensor op per
+    video inside a single ``mapInPandas`` pass — no shuffle, no
+    per-pixel Python."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {k: [] for k in ("video_id", "frame_idx", "diff_sum",
+                                    "is_cut")}
+            for r in b.itertuples(index=False):
+                nf = int(r.n_frames)
+                if nf < 2:
+                    continue
+                fr = decode_video(bytes(r.bytes), int(r.w), int(r.h),
+                                  nf, r.fmt).astype(np.int64)
+                ad = np.abs(fr[1:] - fr[:-1])
+                if circular:
+                    ad = np.minimum(ad, 256 - ad)
+                d = ad.sum(axis=(1, 2, 3))
+                rows["video_id"].extend([r.video_id] * (nf - 1))
+                rows["frame_idx"].extend(range(1, nf))
+                rows["diff_sum"].extend(int(x) for x in d)
+                rows["is_cut"].extend(bool(x > threshold) for x in d)
+            yield pd.DataFrame(rows)
+
+    return videos.mapInPandas(run, schema=SCENE_CUT_SCHEMA)

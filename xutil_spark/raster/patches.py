@@ -1,0 +1,145 @@
+"""ViT-style image patch extraction over the images fact table.
+
+Training pipelines for vision models consume images as fixed-size
+patch grids (patch embedding inputs); at 10^12-image scale patch
+extraction is the map stage that dominates preprocessing cost.  This
+operator decodes each image once and emits one row per full ``P×P``
+patch — patch bytes (raw interleaved RGB, C-order) plus exact integer
+channel statistics — inside a single ``mapInPandas`` pass.
+
+Engine shape: narrow projection in, one Python stage, no shuffle.
+Patch counts per image are ``⌊w/P⌋·⌊h/P⌋`` (partial border patches are
+dropped, the standard ViT convention).  The per-image reshape
+``(ny, P, nx, P, 3)`` turns per-patch channel sums into one vectorized
+``.sum(axis=(2, 4))`` — no per-patch Python except the byte slice.
+
+100-TB story: embarrassingly parallel, output partitioning inherits
+the input, patch rows are written columnar so downstream shuffles
+(e.g. patch-level dedup) key on scalar columns only.
+
+Reference scope: engine addition beyond xvill/xutil (the reference has
+no raster surface; nearest neighbors are the byte codecs in
+archive.go) — implements the BASELINE.json input_hint multimodal
+contract alongside raster/images.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from xutil_spark.kernels import codec as K_codec
+
+PATCH_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType(), False),
+    T.StructField("py", T.IntegerType(), False),
+    T.StructField("px", T.IntegerType(), False),
+    T.StructField("mean_r", T.DoubleType(), False),
+    T.StructField("mean_g", T.DoubleType(), False),
+    T.StructField("mean_b", T.DoubleType(), False),
+    T.StructField("psum", T.LongType(), False),
+    T.StructField("bytes", T.BinaryType(), False),
+])
+
+
+def patchify(images: DataFrame, patch: int = 16,
+             id_col: str = "image_id") -> DataFrame:
+    """One row per full ``patch×patch`` tile of every image:
+    ``(image_id, py, px, mean_r, mean_g, mean_b, psum, bytes)``.
+
+    ``py``/``px`` index the patch grid (row-major), ``bytes`` is the
+    raw interleaved-RGB patch (C-order ``uint8``, exactly
+    ``patch·patch·3`` bytes), channel means are integer-exact
+    (integer pixel sums / patch area, rounded to 6 dp), ``psum`` is
+    the exact all-channel pixel sum.  Images smaller than one patch
+    on either axis emit no rows."""
+    if patch < 1:
+        raise ValueError("patch must be >= 1")
+    area = patch * patch
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {k: [] for k in ("image_id", "py", "px", "mean_r",
+                                    "mean_g", "mean_b", "psum", "bytes")}
+            for r in b.itertuples(index=False):
+                w, h = int(r.w), int(r.h)
+                ny, nx = h // patch, w // patch
+                if ny == 0 or nx == 0:
+                    continue
+                img = K_codec.decode_image(bytes(r.bytes), w, h, r.fmt)
+                crop = np.ascontiguousarray(img[: ny * patch, : nx * patch])
+                grid = crop.reshape(ny, patch, nx, patch, 3)
+                sums = grid.sum(axis=(1, 3), dtype=np.int64)  # (ny, nx, 3)
+                rid = getattr(r, id_col)
+                for yi in range(ny):
+                    for xi in range(nx):
+                        s = sums[yi, xi]
+                        rows["image_id"].append(rid)
+                        rows["py"].append(yi)
+                        rows["px"].append(xi)
+                        rows["mean_r"].append(round(float(s[0]) / area, 6))
+                        rows["mean_g"].append(round(float(s[1]) / area, 6))
+                        rows["mean_b"].append(round(float(s[2]) / area, 6))
+                        rows["psum"].append(int(s.sum()))
+                        rows["bytes"].append(
+                            np.ascontiguousarray(grid[yi, :, xi]).tobytes())
+            yield pd.DataFrame(rows)
+
+    return images.mapInPandas(run, schema=PATCH_SCHEMA)
+
+
+SHARPNESS_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType(), False),
+    T.StructField("lap_sum", T.LongType(), False),
+    T.StructField("lap_sq", T.LongType(), False),
+    T.StructField("n_int", T.LongType(), False),
+    T.StructField("sharpness", T.DoubleType(), False),
+])
+
+
+def sharpness_stats(images: DataFrame, id_col: str = "image_id") -> DataFrame:
+    """Blur/sharpness score per image: variance of the 4-neighbor
+    Laplacian of the integer grayscale — the standard cheap blur
+    detector for training-data image curation (low variance = flat /
+    out-of-focus image).
+
+    All-integer interior math: ``gray = (299r + 587g + 114b) // 1000``
+    (same luma as ``images.dhash``), ``L = 4·g − g_up − g_down −
+    g_left − g_right`` at the ``(w−2)·(h−2)`` interior pixels; the row
+    carries the exact ``ΣL`` / ``ΣL²`` / count and the derived
+    ``sharpness = round(ΣL²/n − (ΣL/n)², 6)`` so the float step is one
+    fixed expression both the engine and any oracle can replay
+    bit-for-bit.  Images with no interior (w or h < 3) emit n_int=0
+    and sharpness 0."""
+    luma = np.array([299, 587, 114], dtype=np.int64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {k: [] for k in ("image_id", "lap_sum", "lap_sq",
+                                    "n_int", "sharpness")}
+            for r in b.itertuples(index=False):
+                w, h = int(r.w), int(r.h)
+                img = K_codec.decode_image(bytes(r.bytes), w, h, r.fmt)
+                g = (img.astype(np.int64) @ luma) // 1000
+                if w < 3 or h < 3:
+                    ls, lq, n = 0, 0, 0
+                else:
+                    c = g[1:-1, 1:-1]
+                    lap = (4 * c - g[:-2, 1:-1] - g[2:, 1:-1]
+                           - g[1:-1, :-2] - g[1:-1, 2:])
+                    ls = int(lap.sum())
+                    lq = int((lap * lap).sum())
+                    n = (w - 2) * (h - 2)
+                sharp = (round(lq / n - (ls / n) ** 2, 6) if n else 0.0)
+                rows["image_id"].append(getattr(r, id_col))
+                rows["lap_sum"].append(ls)
+                rows["lap_sq"].append(lq)
+                rows["n_int"].append(n)
+                rows["sharpness"].append(sharp)
+            yield pd.DataFrame(rows)
+
+    return images.mapInPandas(run, schema=SHARPNESS_SCHEMA)
