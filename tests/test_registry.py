@@ -98,6 +98,7 @@ REGISTERED_ROUND = {
     "image_sharpness": 4,
     "seq_packing": 4,
     "video_scene_cuts": 4,
+    "hmm_match_tracks": 4,
 }
 
 

@@ -979,6 +979,7 @@ from xutil_spark.entry_queries15 import ORACLES15, QUERIES15  # noqa: E402
 from xutil_spark.entry_queries16 import ORACLES16, QUERIES16  # noqa: E402
 from xutil_spark.entry_queries17 import ORACLES17, QUERIES17  # noqa: E402
 from xutil_spark.entry_queries18 import ORACLES18, QUERIES18  # noqa: E402
+from xutil_spark.entry_queries19 import ORACLES19, QUERIES19  # noqa: E402
 
 QUERIES.update(QUERIES2)
 QUERIES.update(QUERIES3)
@@ -997,6 +998,7 @@ QUERIES.update(QUERIES15)
 QUERIES.update(QUERIES16)
 QUERIES.update(QUERIES17)
 QUERIES.update(QUERIES18)
+QUERIES.update(QUERIES19)
 
 ORACLES = {
     "tile_assign_z15": o_tile_assign_z15(),
@@ -1039,6 +1041,7 @@ ORACLES.update(ORACLES15)
 ORACLES.update(ORACLES16)
 ORACLES.update(ORACLES17)
 ORACLES.update(ORACLES18)
+ORACLES.update(ORACLES19)
 
 # ------------------------------------------------------------ registry order
 #

@@ -1,0 +1,246 @@
+"""HMM map matching: snap whole TRACKS to the road network with a
+Viterbi decode (Newson & Krumm 2009 shape), not each point greedily.
+
+``snap_to_segments`` (spatial_join.py) is the point-wise primitive —
+nearest segment per point.  Sequence-aware matching is the flagship
+trajectory operator on top of it: each point gets K CANDIDATE
+segments; emission weight favors close candidates, transition weight
+favors consecutive snaps whose along-network displacement agrees with
+the raw GPS displacement; the per-track Viterbi picks the jointly most
+plausible segment sequence (greedy nearest can zig-zag across parallel
+roads; the HMM cannot).
+
+Determinism contract (what makes this oracle-checkable): every score
+is QUANTIZED before entering the DP —
+
+* candidate ``dist_m``/``t``/``snap_*`` are the rounded (3 dp / 6 dp)
+  outputs of the same closed-form clamped equirectangular projection
+  as ``snap_to_segments`` (proven JVM↔SQL-identical by the
+  `snap_nearest_segment` driver row);
+* emission ``= round(−0.5·(dist_m/σ)², 6)``;
+* transition ``= round(−|route − direct|/β, 6)`` with route/direct the
+  equirectangular meters between the (rounded) snap points / raw
+  points;
+* ties in the running max break toward the LOWEST candidate index,
+  candidates ordered by ``(dist_m, seg_id)``.
+
+With quantized inputs, float summation order is the only freedom left,
+and both the engine and any scalar replay add ``score + transition +
+emission`` left to right — so the decode is bit-reproducible.
+
+Engine shape: candidate generation is one broadcast supercover
+equi-join + a per-point top-K window (fact side: 1 cell encode + ring
+explode, 1 shuffle for the rank); the Viterbi is one
+``groupBy(track).applyInPandas`` at track cardinality — per-track cost
+O(points · K²) numpy, no Python in the candidate hot path.
+
+100-TB story: identical to the snap join's (the candidate stage IS the
+snap join minus the final min), plus one shuffle keyed by track id;
+track groups are bounded (a device's pings), so no skew beyond what
+AQE handles.
+
+Reference scope: engine addition beyond xvill/xutil — extends the
+reference's point kernels (gis.go:184-249) the same way knn/snap do
+(SURVEY §2.3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from xutil_spark.operators.spatial_join import (
+    _explode_neighbors,
+    _M_PER_DEG,
+    _ring_guarantee_m,
+    _segments_with_cells,
+    with_cell,
+)
+
+MATCH_SCHEMA = T.StructType([
+    T.StructField("track_id", T.LongType(), False),
+    T.StructField("point_id", T.LongType(), False),
+    T.StructField("seg_id", T.LongType(), False),
+    T.StructField("dist_m", T.DoubleType(), False),
+    T.StructField("t", T.DoubleType(), False),
+    T.StructField("snap_lon", T.DoubleType(), False),
+    T.StructField("snap_lat", T.DoubleType(), False),
+])
+
+
+def candidate_segments(
+    points: DataFrame,
+    segments: DataFrame,
+    radius_m: float,
+    k: int = 3,
+    zoom: int = 8,
+    point_id: str = "pid",
+    seg_id: str = "seg_id",
+    lon: str = "lon",
+    lat: str = "lat",
+    ax: str = "ax",
+    ay: str = "ay",
+    bx: str = "bx",
+    by: str = "by",
+    max_abs_lat: float = 60.0,
+    extra_cols: tuple = (),
+) -> DataFrame:
+    """Top-``k`` segments within ``radius_m`` of each point, scored by
+    the snap projection: ``(point_id, [extra_cols...], rank, seg_id,
+    dist_m, t, snap_lon, snap_lat)``.  Exact: the ring is sized so the
+    static guarantee covers the radius (the snap coarse-pass bound).
+    ``extra_cols`` (e.g. track id / timestamp) pass through."""
+    ring = 1
+    while _ring_guarantee_m(zoom, ring, max_abs_lat=max_abs_lat) < radius_m * 1.05:
+        ring += 1
+        if ring > 64:
+            raise ValueError("radius too large for this zoom; lower the zoom")
+
+    segs = _segments_with_cells(segments, zoom, seg_id, ax, ay, bx, by)
+    pc = with_cell(points, zoom, lon, lat, out="_ccell")
+    cand = (
+        _explode_neighbors(pc, F.col("_ccell"), zoom, ring, out="_cncell")
+        .join(F.broadcast(segs), F.col("_cncell") == F.col("_scell"), "inner")
+    )
+    kc = F.lit(_M_PER_DEG)
+    kx = kc * F.cos(F.radians(F.col(lat)))
+    axm = (F.col("_sax") - F.col(lon)) * kx
+    aym = (F.col("_say") - F.col(lat)) * kc
+    bxm = (F.col("_sbx") - F.col(lon)) * kx
+    bym = (F.col("_sby") - F.col(lat)) * kc
+    ux = bxm - axm
+    uy = bym - aym
+    len2 = ux * ux + uy * uy
+    t = F.when(len2 == 0.0, F.lit(0.0)).otherwise(
+        F.least(F.lit(1.0), F.greatest(F.lit(0.0), -(axm * ux + aym * uy) / len2))
+    )
+    qx = axm + t * ux
+    qy = aym + t * uy
+    scored = (
+        cand.select(
+            point_id, *extra_cols, lon, lat,
+            F.col("_sid").alias(seg_id),
+            F.round(F.sqrt(qx * qx + qy * qy), 3).alias("dist_m"),
+            F.round(t, 6).alias("t"),
+            F.round(F.col(lon) + qx / kx, 6).alias("snap_lon"),
+            F.round(F.col(lat) + qy / kc, 6).alias("snap_lat"),
+        )
+        # the ring join can surface one segment via several neighbor
+        # cells — dedup before ranking
+        .dropDuplicates([point_id, seg_id])
+        .filter(F.col("dist_m") <= F.lit(float(radius_m)))
+    )
+    w = Window.partitionBy(point_id).orderBy("dist_m", seg_id)
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def hmm_map_match(
+    points: DataFrame,
+    segments: DataFrame,
+    radius_m: float,
+    sigma_m: float = 25_000.0,
+    beta_m: float = 10_000.0,
+    k: int = 3,
+    zoom: int = 8,
+    track: str = "track_id",
+    point_id: str = "pid",
+    ts: str = "ts",
+    lon: str = "lon",
+    lat: str = "lat",
+    seg_id: str = "seg_id",
+    ax: str = "ax",
+    ay: str = "ay",
+    bx: str = "bx",
+    by: str = "by",
+    max_abs_lat: float = 60.0,
+) -> DataFrame:
+    """Viterbi-matched segment per track point: ``(track_id, point_id,
+    seg_id, dist_m, t, snap_lon, snap_lat)``.  Points with no candidate
+    inside ``radius_m`` drop out and the chain bridges the gap (the
+    transition then spans the skipped point — Newson-Krumm's broken-
+    track simplification).  Track/point ids must be integral."""
+    cand = candidate_segments(
+        points.select(
+            F.col(track).alias("_trk"),
+            F.col(point_id).cast("long").alias("_pid"),
+            F.col(ts).cast("long").alias("_ep"),
+            F.col(lon).alias(lon), F.col(lat).alias(lat),
+        ),
+        segments, radius_m, k=k, zoom=zoom,
+        point_id="_pid", seg_id=seg_id, lon=lon, lat=lat,
+        ax=ax, ay=ay, bx=bx, by=by, max_abs_lat=max_abs_lat,
+        extra_cols=("_trk", "_ep"),
+    )
+    sig2 = 2.0 * float(sigma_m) * float(sigma_m)
+    beta = float(beta_m)
+    kc = _M_PER_DEG
+
+    def _planar_m(lon1, lat1, lon2, lat2):
+        kx = kc * np.cos(np.radians((lat1 + lat2) * 0.5))
+        dx = (lon2 - lon1) * kx
+        dy = (lat2 - lat1) * kc
+        return np.hypot(dx, dy)
+
+    def decode(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_ep", "_pid", "dist_m", seg_id],
+                              kind="mergesort").reset_index(drop=True)
+        out = {c: [] for c in ("track_id", "point_id", "seg_id", "dist_m",
+                               "t", "snap_lon", "snap_lat")}
+        # group candidate rows per point, in (ts, pid) order
+        steps = []
+        for pid_, g in pdf.groupby("_pid", sort=False):
+            steps.append(g.reset_index(drop=True))
+        prev = None          # (frame, scores, backpointer list chain)
+        chains: list = []    # per step: array of backpointers
+        frames: list = []
+        scores_hist: list = []
+        for g in steps:
+            emit = np.round(-(g["dist_m"].to_numpy(float) ** 2) / sig2, 6)
+            if prev is None:
+                scores = emit.copy()
+                back = np.full(len(g), -1, dtype=np.int64)
+            else:
+                pg, pscores = prev
+                route = _planar_m(
+                    pg["snap_lon"].to_numpy(float)[:, None],
+                    pg["snap_lat"].to_numpy(float)[:, None],
+                    g["snap_lon"].to_numpy(float)[None, :],
+                    g["snap_lat"].to_numpy(float)[None, :],
+                )
+                direct = _planar_m(
+                    float(pg[lon].iloc[0]), float(pg[lat].iloc[0]),
+                    float(g[lon].iloc[0]), float(g[lat].iloc[0]),
+                )
+                trans = np.round(-np.abs(route - direct) / beta, 6)
+                tot = pscores[:, None] + trans        # (prev, cur)
+                back = np.argmax(tot, axis=0)          # first max wins
+                scores = tot[back, np.arange(len(g))] + emit
+            frames.append(g)
+            chains.append(back)
+            scores_hist.append(scores)
+            prev = (g, scores)
+        if not frames:
+            return pd.DataFrame(out)
+        # backtrack from the best final state (first max on ties)
+        j = int(np.argmax(scores_hist[-1]))
+        picks = [0] * len(frames)
+        for s in range(len(frames) - 1, -1, -1):
+            picks[s] = j
+            j = int(chains[s][j])
+        trk = int(key[0])
+        for s, g in enumerate(frames):
+            r = g.iloc[picks[s]]
+            out["track_id"].append(trk)
+            out["point_id"].append(int(r["_pid"]))
+            out["seg_id"].append(int(r[seg_id]))
+            out["dist_m"].append(float(r["dist_m"]))
+            out["t"].append(float(r["t"]))
+            out["snap_lon"].append(float(r["snap_lon"]))
+            out["snap_lat"].append(float(r["snap_lat"]))
+        return pd.DataFrame(out)
+
+    return cand.groupBy("_trk").applyInPandas(decode, schema=MATCH_SCHEMA)
