@@ -115,7 +115,7 @@ HEADLINE = [
     "track_bearing_stats", "bilinear_up_z6", "dev_ellipse_users",
     "encounters_z6", "flow_watershed_z8", "crossmodal_dups", "st_clusters_z7",
     "image_patches", "image_sharpness", "seq_packing", "video_scene_cuts",
-    "hmm_match_tracks",
+    "hmm_match_tracks", "image_color_hist",
 ]
 
 

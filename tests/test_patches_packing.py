@@ -181,3 +181,29 @@ def test_scene_cuts_plain_abs_default(spark):
     fr = video_scene_frames_for(0, 16, 12, 6, 8).astype(np.int64)
     for f in range(1, 6):
         assert got[f] == int(np.abs(fr[f] - fr[f - 1]).sum())
+
+
+# ------------------------------------------------------ color histogram
+
+
+def test_color_histogram_exact(spark):
+    from xutil_spark.raster.patches import color_histogram
+
+    rows = color_histogram(images_table(spark, 3), 4).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.image_id, {})[r.bin] = r.n_px
+    for i in range(3):
+        px = pixels_for(i).astype(np.int64)
+        idx = (px[:, :, 0] >> 6) * 16 + (px[:, :, 1] >> 6) * 4 + (px[:, :, 2] >> 6)
+        want = {int(k): int(v) for k, v in
+                zip(*np.unique(idx.ravel(), return_counts=True))}
+        assert per[f"img{i:012d}"] == want
+        assert sum(want.values()) == px.shape[0] * px.shape[1]
+
+
+def test_color_histogram_rejects_bad_bins(spark):
+    from xutil_spark.raster.patches import color_histogram
+
+    with pytest.raises(ValueError):
+        color_histogram(None, 3)

@@ -99,6 +99,7 @@ REGISTERED_ROUND = {
     "seq_packing": 4,
     "video_scene_cuts": 4,
     "hmm_match_tracks": 4,
+    "image_color_hist": 4,
 }
 
 

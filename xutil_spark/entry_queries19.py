@@ -204,10 +204,51 @@ FROM (VALUES {vals})
 """
 
 
+# --------------------------------------------------- color histograms
+
+_N_HIST_IMAGES = 500
+_HIST_B = 4
+
+
+def q_image_color_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact joint RGB histograms (raster/patches.py color_histogram,
+    4 bins/channel): one row per non-empty 64-bin bucket.  Oracle:
+    independent scalar bucket loop over the generator formula."""
+    _utc(spark)
+    from xutil_spark.data.synth import images_table
+    from xutil_spark.raster.patches import color_histogram
+
+    return color_histogram(images_table(spark, _N_HIST_IMAGES), _HIST_B)
+
+
+def o_image_color_hist() -> str:
+    B = _HIST_B
+    w_cyc, h_cyc = (16, 32, 64), (16, 24, 48)
+    rows = []
+    for i in range(_N_HIST_IMAGES):
+        w, h = w_cyc[i % 3], h_cyc[i % 3]
+        hist: dict = {}
+        for y in range(h):
+            gb = (y * 255 // (h - 1)) * B // 256
+            for x in range(w):
+                rb = (x * 255 // (w - 1)) * B // 256
+                bb = (((x * 31 + y * 17 + i) % 256) * B) // 256
+                k = rb * B * B + gb * B + bb
+                hist[k] = hist.get(k, 0) + 1
+        rows.extend(f"('img{i:012d}',{k},{n})" for k, n in sorted(hist.items()))
+    vals = ",".join(rows)
+    return f"""
+SELECT image_id, CAST(bin AS INTEGER) AS bin, CAST(n_px AS BIGINT) AS n_px
+FROM (VALUES {vals}) AS s(image_id, bin, n_px)
+"""
+
+
 QUERIES19 = {
     "hmm_match_tracks": q_hmm_match_tracks,
+    "image_color_hist": q_image_color_hist,
 }
 
 ORACLES19 = {
     "hmm_match_tracks": o_hmm_match_tracks(),
+    "image_color_hist": o_image_color_hist(),
 }
