@@ -48,7 +48,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -119,23 +119,40 @@ def candidate_segments(
     )
     qx = axm + t * ux
     qy = aym + t * uy
-    scored = (
-        cand.select(
-            point_id, *extra_cols, lon, lat,
-            F.col("_sid").alias(seg_id),
-            F.round(F.sqrt(qx * qx + qy * qy), 3).alias("dist_m"),
-            F.round(t, 6).alias("t"),
-            F.round(F.col(lon) + qx / kx, 6).alias("snap_lon"),
-            F.round(F.col(lat) + qy / kc, 6).alias("snap_lat"),
-        )
-        # the ring join can surface one segment via several neighbor
-        # cells — dedup before ranking
-        .dropDuplicates([point_id, seg_id])
-        .filter(F.col("dist_m") <= F.lit(float(radius_m)))
+    scored = cand.select(
+        point_id, *extra_cols, lon, lat,
+        F.col("_sid").alias(seg_id),
+        F.round(F.sqrt(qx * qx + qy * qy), 3).alias("dist_m"),
+        F.round(t, 6).alias("t"),
+        F.round(F.col(lon) + qx / kx, 6).alias("snap_lon"),
+        F.round(F.col(lat) + qy / kc, 6).alias("snap_lat"),
+    ).filter(F.col("dist_m") <= F.lit(float(radius_m)))
+    # ONE shuffle does dedup + top-K: the ring join can surface a
+    # segment via several neighbor cells, but its scored struct is
+    # identical each time, so collect_set dedups exactly; array_sort
+    # on the struct orders by (dist_m, seg_id) lexicographically — the
+    # deterministic rank key — and slice keeps k.  (A dropDuplicates +
+    # row_number window would spend two shuffles on the same result.)
+    cand_struct = F.struct(
+        F.col("dist_m"), F.col(seg_id), F.col("t"),
+        F.col("snap_lon"), F.col("snap_lat"))
+    agg = (
+        scored.groupBy(point_id, *extra_cols, lon, lat)
+        .agg(F.slice(F.array_sort(F.collect_set(cand_struct)), 1, k)
+             .alias("_cand"))
     )
-    w = Window.partitionBy(point_id).orderBy("dist_m", seg_id)
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k))
+    return agg.select(
+        point_id, *extra_cols, lon, lat,
+        F.posexplode("_cand").alias("_pos", "_c"),
+    ).select(
+        point_id, *extra_cols, lon, lat,
+        F.col(f"_c.{seg_id}").alias(seg_id),
+        F.col("_c.dist_m").alias("dist_m"),
+        F.col("_c.t").alias("t"),
+        F.col("_c.snap_lon").alias("snap_lon"),
+        F.col("_c.snap_lat").alias("snap_lat"),
+        (F.col("_pos") + 1).alias("rank"),
+    )
 
 
 def hmm_map_match(
