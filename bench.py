@@ -116,6 +116,7 @@ HEADLINE = [
     "encounters_z6", "flow_watershed_z8", "crossmodal_dups", "st_clusters_z7",
     "image_patches", "image_sharpness", "seq_packing", "video_scene_cuts",
     "hmm_match_tracks", "image_color_hist",
+    "traj_hausdorff", "caption_bigram_lm", "image_entropy",
 ]
 
 

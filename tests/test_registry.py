@@ -100,6 +100,9 @@ REGISTERED_ROUND = {
     "video_scene_cuts": 4,
     "hmm_match_tracks": 4,
     "image_color_hist": 4,
+    "traj_hausdorff": 4,
+    "caption_bigram_lm": 4,
+    "image_entropy": 4,
 }
 
 

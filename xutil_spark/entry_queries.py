@@ -980,6 +980,7 @@ from xutil_spark.entry_queries16 import ORACLES16, QUERIES16  # noqa: E402
 from xutil_spark.entry_queries17 import ORACLES17, QUERIES17  # noqa: E402
 from xutil_spark.entry_queries18 import ORACLES18, QUERIES18  # noqa: E402
 from xutil_spark.entry_queries19 import ORACLES19, QUERIES19  # noqa: E402
+from xutil_spark.entry_queries20 import ORACLES20, QUERIES20  # noqa: E402
 
 QUERIES.update(QUERIES2)
 QUERIES.update(QUERIES3)
@@ -999,6 +1000,7 @@ QUERIES.update(QUERIES16)
 QUERIES.update(QUERIES17)
 QUERIES.update(QUERIES18)
 QUERIES.update(QUERIES19)
+QUERIES.update(QUERIES20)
 
 ORACLES = {
     "tile_assign_z15": o_tile_assign_z15(),
@@ -1042,6 +1044,7 @@ ORACLES.update(ORACLES16)
 ORACLES.update(ORACLES17)
 ORACLES.update(ORACLES18)
 ORACLES.update(ORACLES19)
+ORACLES.update(ORACLES20)
 
 # ------------------------------------------------------------ registry order
 #

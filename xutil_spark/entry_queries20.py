@@ -1,0 +1,221 @@
+"""Contract queries, round-4 thirteenth batch: trajectory-similarity
+join (operators/trajsim.py — symmetric Hausdorff ≤ τ over cell-blocked
+candidate pairs), per-document bigram language-model quality scores
+(operators/textops.py bigram_lm_scores), and per-image color entropy
+(raster/patches.py color_entropy).
+
+Same conventions as every entry_queries*.py.  Registered BEHIND the
+frozen 50-row r04 driver window; the REGISTERED_ROUND ledger forces
+them into the round-5 window.
+
+Oracle strategy:
+
+- ``traj_hausdorff``: computed-VALUES golden from an independent
+  pure-Python (math.*, no numpy, no engine imports) all-pairs replay.
+  The engine prunes candidates through the cell block, but the
+  prefilter is COMPLETE for the τ filter (Hausdorff ≤ τ ⇒ some
+  cross-track point pair ≤ τ ⇒ the pair meets in the ring-1 block),
+  so the replay can skip it and brute-force every sampled pair.  The
+  Hausdorff kernel is min/max-only — no summation — hence bit-exact
+  between numpy and the scalar replay.
+- ``caption_bigram_lm``: pure SQL (no VALUES) — the add-one bigram LM
+  is fully relational; each distinct bigram's ln-likelihood is
+  quantized to integer micro-nats on both sides, making the per-doc
+  sum an exact integer.
+- ``image_entropy``: computed-VALUES golden replaying the synthetic
+  pixel generator + the SEQUENTIAL ascending-bin entropy accumulation
+  (the same contract pinned by ``image_color_hist``).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xutil_spark.entry_queries import _utc
+from xutil_spark.entry_queries6 import _fmt_f
+
+_TAU_M = 800_000.0
+_TRK_MOD = 11  # user subset: user_id % 11 == 0
+_K_M = 111194.92664455873  # π/180 × 6371000, = spatial_join._M_PER_DEG
+
+
+def q_traj_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory-similarity join: sampled user tracks paired when
+    their symmetric Hausdorff distance ≤ 800 km.  Engine: one distinct
+    at (track, cell), half-space ring explode + one equi-join for
+    candidates, two array-dim joins, one vectorized mapInPandas."""
+    _utc(spark)
+    from xutil_spark.entry_queries12 import _located_events
+    from xutil_spark.operators.trajsim import hausdorff_join
+
+    ev = _located_events(spark, sf_dir).filter(
+        F.col("user_id") % _TRK_MOD == 0)
+    return hausdorff_join(ev, tau_m=_TAU_M, track="user_id")
+
+
+def _scalar_pair_h(a: list, b: list) -> tuple[float, float, float]:
+    """Independent scalar Hausdorff (mirrors the documented kernel:
+    equirectangular meters at the pair-mean latitude; min/max only)."""
+    def d(p, q):
+        kx = _K_M * math.cos(math.radians((p[1] + q[1]) * 0.5))
+        dx = (q[0] - p[0]) * kx
+        dy = (q[1] - p[1]) * _K_M
+        return math.sqrt(dx * dx + dy * dy)
+
+    h_ab = max(min(d(p, q) for q in b) for p in a)
+    h_ba = max(min(d(p, q) for p in a) for q in b)
+    return round(h_ab, 3), round(h_ba, 3), round(max(h_ab, h_ba), 3)
+
+
+def o_traj_hausdorff() -> str:
+    import duckdb as _dd
+
+    con = _dd.connect()
+    ev = con.execute(
+        "SELECT user_id, event_id FROM "
+        "read_parquet('/root/testdata/sf0.01/events.parquet') "
+        f"WHERE user_id % {_TRK_MOD} = 0"
+    ).fetchall()
+    con.close()
+    tracks: dict = {}
+    for uid, eid in ev:
+        lon = 73.5 + (eid * 2654435761 % 1048576) / 1048576.0 * 61.0
+        lat = 18.2 + (eid * 1597334677 % 1048576) / 1048576.0 * 35.3
+        tracks.setdefault(uid, []).append((lon, lat))
+    uids = sorted(tracks)
+    rows = []
+    for i, ua in enumerate(uids):
+        for ub in uids[i + 1:]:
+            h_ab, h_ba, h = _scalar_pair_h(tracks[ua], tracks[ub])
+            if h <= _TAU_M:
+                rows.append(
+                    f"({ua},{ub},{_fmt_f(h_ab)},{_fmt_f(h_ba)},{_fmt_f(h)})")
+    vals = ",".join(rows)
+    return f"""
+SELECT CAST(track_a AS BIGINT) AS track_a,
+       CAST(track_b AS BIGINT) AS track_b,
+       CAST(h_ab_m AS DOUBLE) AS h_ab_m,
+       CAST(h_ba_m AS DOUBLE) AS h_ba_m,
+       CAST(hausdorff_m AS DOUBLE) AS hausdorff_m
+FROM (VALUES {vals})
+  AS s(track_a, track_b, h_ab_m, h_ba_m, hausdorff_m)
+"""
+
+
+# ------------------------------------------------------- bigram LM
+
+
+def q_caption_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-one bigram LM quality score per document (integer micro-nat
+    quantization makes the per-doc sum order-independent).  Two
+    map-side-combined counts + broadcast model joins."""
+    _utc(spark)
+    from xutil_spark.entry_queries import _read
+    from xutil_spark.operators.textops import bigram_lm_scores
+
+    docs = _read(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs)
+
+
+def o_caption_bigram_lm() -> str:
+    return r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS a
+  FROM documents
+),
+uni AS (
+  SELECT w, COUNT(*) AS c_w
+  FROM (SELECT unnest(a) AS w FROM d) GROUP BY 1
+),
+v AS (SELECT COUNT(*) AS v FROM uni),
+bi AS (
+  SELECT doc_id, a[i] AS w1, a[i + 1] AS w2
+  FROM d, unnest(generate_series(1, len(a) - 1)) AS g(i)
+),
+usage AS (
+  SELECT doc_id, w1, w2, COUNT(*) AS m FROM bi GROUP BY 1, 2, 3
+),
+big AS (
+  SELECT w1, w2, CAST(SUM(m) AS BIGINT) AS n_pair FROM usage GROUP BY 1, 2
+),
+scored AS (
+  SELECT u.doc_id, u.m,
+         CAST(ROUND(LN(CAST(b.n_pair + 1 AS DOUBLE)
+                       / CAST(c.c_w + v.v AS DOUBLE)) * 1000000.0, 0)
+              AS BIGINT) AS llq
+  FROM usage u
+  JOIN big b ON b.w1 = u.w1 AND b.w2 = u.w2
+  JOIN uni c ON c.w = u.w1
+  CROSS JOIN v
+)
+SELECT doc_id,
+       CAST(SUM(m) AS BIGINT) AS n_bigrams,
+       ROUND(CAST(CAST(SUM(m * llq) AS BIGINT) AS DOUBLE)
+             / CAST(SUM(m) AS BIGINT) / 1000000.0, 6) AS avg_ll
+FROM scored GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------- color entropy
+
+_N_ENT_IMAGES = 500
+_ENT_B = 4
+
+
+def q_image_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the exact 64-bin joint RGB histogram per
+    image (raster/patches.py color_entropy): one mapInPandas pass, the
+    Σ a pinned sequential ascending-bin accumulation."""
+    _utc(spark)
+    from xutil_spark.data.synth import images_table
+    from xutil_spark.raster.patches import color_entropy
+
+    return color_entropy(images_table(spark, _N_ENT_IMAGES), _ENT_B)
+
+
+def o_image_entropy() -> str:
+    B = _ENT_B
+    w_cyc, h_cyc = (16, 32, 64), (16, 24, 48)
+    rows = []
+    for i in range(_N_ENT_IMAGES):
+        w, h = w_cyc[i % 3], h_cyc[i % 3]
+        hist: dict = {}
+        for y in range(h):
+            gb = (y * 255 // (h - 1)) * B // 256
+            for x in range(w):
+                rb = (x * 255 // (w - 1)) * B // 256
+                bb = (((x * 31 + y * 17 + i) % 256) * B) // 256
+                k = rb * B * B + gb * B + bb
+                hist[k] = hist.get(k, 0) + 1
+        n = w * h
+        s = 0.0
+        for k in sorted(hist):
+            c = hist[k]
+            s += c * math.log2(c)
+        ent = round(math.log2(n) - s / n, 9)
+        rows.append(f"('img{i:012d}',{len(hist)},{n},{_fmt_f(ent)})")
+    vals = ",".join(rows)
+    return f"""
+SELECT image_id, CAST(n_bins AS INTEGER) AS n_bins,
+       CAST(n_px AS BIGINT) AS n_px,
+       CAST(entropy_bits AS DOUBLE) AS entropy_bits
+FROM (VALUES {vals}) AS s(image_id, n_bins, n_px, entropy_bits)
+"""
+
+
+QUERIES20 = {
+    "traj_hausdorff": q_traj_hausdorff,
+    "caption_bigram_lm": q_caption_bigram_lm,
+    "image_entropy": q_image_entropy,
+}
+
+ORACLES20 = {
+    "traj_hausdorff": o_traj_hausdorff(),
+    "caption_bigram_lm": o_caption_bigram_lm(),
+    "image_entropy": o_image_entropy(),
+}

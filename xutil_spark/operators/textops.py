@@ -582,3 +582,97 @@ def bm25_scores(
         scored.select(F.col(id_col), F.round(score, 4).alias("bm25"))
         .filter(F.col("bm25") > 0)
     )
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Per-document add-one-smoothed bigram language-model score — the
+    classic perplexity-style quality filter for training-data curation
+    (low average log-likelihood ⇒ unnatural token sequences: boilerplate,
+    gibberish, OCR noise).
+
+    Model, trained on the corpus itself: ``P(w2|w1) = (c(w1 w2) + 1) /
+    (c(w1) + V)`` with ``c`` corpus-wide counts over the whitespace
+    tokens (same tokenizer as every textops operator) and ``V`` the
+    corpus vocabulary size.  Per doc: ``avg_ll = (Σ over its bigram
+    instances of ln P) / n_bigrams``.
+
+    Determinism contract: each distinct bigram's ``ln P`` is quantized
+    to integer MICRO-NATS (``round(ln P · 1e6)`` as int64) before the
+    per-doc reduce, so the sum is an exact order-independent integer —
+    the one float-summation hazard is gone, and the DuckDB oracle
+    mirrors the float tree token-for-token up to the quantization.
+
+    Scale shape: two map-side-combined counts (per-doc bigram usage at
+    (doc, w1, w2) cardinality; global bigram counts reduced FROM that —
+    the fact table is read once), one unigram count, and a join of the
+    per-doc usage against the two model dims — broadcast by default,
+    ``broadcast_vocab=False`` for web-crawl vocabularies (AQE still
+    promotes the joins back to broadcast when the measured dim is
+    small).  V and nothing else rides along as a 1-row broadcast
+    frame.  Docs with < 2 tokens have no bigrams and drop out.
+    """
+    src = docs
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    toks = src.select(F.col(id_col), tokens(text_col).alias("_t"))
+    uni = (
+        toks.select(F.explode("_t").alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("_v"))
+    # per-doc bigram usage: one explode + one shuffle at
+    # (doc, w1, w2) cardinality; the global model is a reduce of it
+    usage = (
+        toks.select(
+            F.col(id_col),
+            F.explode(
+                F.when(
+                    F.size("_t") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("_t") - F.lit(1)),
+                        lambda i: F.struct(
+                            F.element_at("_t", i).alias("w1"),
+                            F.element_at("_t", i + F.lit(1)).alias("w2"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+            ).alias("_b"),
+        )
+        .select(id_col, "_b.w1", "_b.w2")
+        .groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("m"))
+    )
+    big = usage.groupBy("w1", "w2").agg(F.sum("m").alias("n_pair"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c_w").alias("_c1"))
+    if broadcast_vocab:
+        big, u1 = F.broadcast(big), F.broadcast(u1)
+    # mirror the oracle token-for-token:
+    #   ln(CAST(n_pair + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE))
+    lp = F.log(
+        (F.col("n_pair") + F.lit(1)).cast("double")
+        / (F.col("_c1") + F.col("_v")).cast("double")
+    )
+    ll_q = F.round(lp * F.lit(1000000.0), 0).cast("long")
+    return (
+        usage.join(big, ["w1", "w2"])
+        .join(u1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("_llq", ll_q)
+        .groupBy(id_col)
+        .agg(
+            F.sum("m").alias("n_bigrams"),
+            F.sum(F.col("m") * F.col("_llq")).alias("_s"),
+        )
+        .select(
+            id_col, "n_bigrams",
+            F.round(
+                F.col("_s").cast("double") / F.col("n_bigrams") / F.lit(1000000.0),
+                6,
+            ).alias("avg_ll"),
+        )
+    )

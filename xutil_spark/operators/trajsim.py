@@ -1,0 +1,232 @@
+"""Trajectory similarity join: pairs of tracks whose symmetric
+Hausdorff distance is within ``tau_m`` meters — the set-similarity
+primitive for trajectory dedup, co-route mining and trajectory
+clustering seeds.
+
+The reference has no multi-track operator; this extends its
+point-distance kernels (gis.go:184-249) into a track×track join the
+same way ``encounter_join`` extends them into an event×event join
+(SURVEY §2.3 engine additions).
+
+Determinism contract (what makes this oracle-checkable): the Hausdorff
+distance is built ONLY from order-independent reductions — per-point
+nearest distances (min) and a max over them.  No summation happens
+anywhere, so float evaluation order cannot change the result: the
+engine's numpy matrix evaluation and a pure-Python scalar replay
+produce bit-identical doubles.  Distances use the same clamped-free
+equirectangular formula as the map-matching transition metric
+(operators/mapmatch.py): ``kx = K·cos(radians((lat_a+lat_b)/2))``,
+``d = sqrt((Δlon·kx)² + (Δlat·K)²)`` with ``K = π/180·6 371 000``.
+
+Engine shape — a **cell-blocked track×track join**, never a cross
+join:
+
+1. each (track, cell) pair ships once (distinct over the track's
+   points at a zoom whose ring-1 static envelope covers ``tau_m`` —
+   same bound as ``encounter_join``);
+2. the LEFT side explodes to the HALF-SPACE of its (2r+1)² neighbor
+   block (lexicographically-positive offsets + self, 5 keys at ring
+   1): every pair with ANY cross-track point pair within ``tau_m`` —
+   a superset of pairs with Hausdorff ≤ ``tau_m`` — meets on ≥1 key,
+   cross-key pairs from exactly one side, same-key pairs dedup by
+   track order;
+3. ONE equi-join on cell + a distinct at candidate-pair cardinality;
+4. candidate pairs pick up both tracks' point arrays (two joins
+   against the per-track array dim — bounded rows per track by
+   upstream resample/simplify);
+5. one ``mapInPandas`` over pair rows: the |A|×|B| distance matrix is
+   a single vectorized numpy expression; ``h(A→B) = max(min(d,
+   axis=1))``, symmetric Hausdorff = max of both directions; exact
+   filter ≤ ``tau_m``.
+
+100-TB story: the fact table is touched by one narrow projection and
+one distinct shuffle at (track, cell) cardinality; candidate pruning
+is proportional to spatial co-location at the τ-matched zoom (dense
+datasets pick finer zooms), and per-pair cost is |A|·|B| vectorized —
+bounded when tracks are bounded (resample_tracks / douglas_peucker
+upstream cap |A|).  When ``tau_m`` approaches the data extent every
+pair is a candidate — that is inherent to the metric, not the plan.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from xutil_spark.functions import native
+from xutil_spark.operators.spatial_join import (
+    _M_PER_DEG,
+    _ring_guarantee_m,
+    with_cell,
+)
+
+HAUSDORFF_SCHEMA = T.StructType([
+    T.StructField("track_a", T.LongType(), False),
+    T.StructField("track_b", T.LongType(), False),
+    T.StructField("h_ab_m", T.DoubleType(), False),
+    T.StructField("h_ba_m", T.DoubleType(), False),
+    T.StructField("hausdorff_m", T.DoubleType(), False),
+])
+
+
+def pick_hausdorff_zoom(tau_m: float, max_abs_lat: float = 60.0) -> int:
+    """FINEST zoom whose ring-1 static guarantee covers ``tau_m``
+    (finer cells = fewer candidate pairs; one level too fine would let
+    a qualifying pair straddle the neighbor block)."""
+    for z in range(30, -1, -1):
+        if _ring_guarantee_m(z, 1, max_abs_lat=max_abs_lat) >= tau_m:
+            return z
+    raise ValueError("tau too large for any zoom at this latitude bound")
+
+
+def _pair_hausdorff_udf(tau_m: float):
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows: dict = {k.name: [] for k in HAUSDORFF_SCHEMA}
+            for r in b.itertuples(index=False):
+                alon = np.asarray(r.alon, dtype=np.float64)
+                alat = np.asarray(r.alat, dtype=np.float64)
+                blon = np.asarray(r.blon, dtype=np.float64)
+                blat = np.asarray(r.blat, dtype=np.float64)
+                kx = _M_PER_DEG * np.cos(np.radians(
+                    (alat[:, None] + blat[None, :]) * 0.5))
+                dx = (blon[None, :] - alon[:, None]) * kx
+                dy = (blat[None, :] - alat[:, None]) * _M_PER_DEG
+                d = np.sqrt(dx * dx + dy * dy)
+                h_ab = float(d.min(axis=1).max())
+                h_ba = float(d.min(axis=0).max())
+                h = max(h_ab, h_ba)
+                if h <= tau_m:
+                    rows["track_a"].append(int(r.track_a))
+                    rows["track_b"].append(int(r.track_b))
+                    rows["h_ab_m"].append(round(h_ab, 3))
+                    rows["h_ba_m"].append(round(h_ba, 3))
+                    rows["hausdorff_m"].append(round(h, 3))
+            yield pd.DataFrame(rows)
+
+    return run
+
+
+def hausdorff_join(
+    points: DataFrame,
+    tau_m: float,
+    zoom: int | None = None,
+    track: str = "user_id",
+    lon: str = "lon",
+    lat: str = "lat",
+    max_abs_lat: float = 60.0,
+) -> DataFrame:
+    """Track pairs with symmetric Hausdorff ≤ ``tau_m``: ``(track_a,
+    track_b, h_ab_m, h_ba_m, hausdorff_m)``, ``track_a < track_b``,
+    meters rounded to mm.
+
+    ``h(A→B) = max_{a∈A} min_{b∈B} d(a, b)`` under the equirectangular
+    metric above; ``hausdorff_m = max(h_ab, h_ba)``.  ``zoom=None``
+    auto-picks the finest ring-1-covering zoom.  The static envelope
+    bound assumes |lat| ≤ ``max_abs_lat`` — same contract as
+    ``encounter_join`` / ``distance_join``.
+
+    Completeness: Hausdorff ≤ τ implies SOME cross-track point pair is
+    within τ (any a∈A and its nearest b), so every qualifying pair
+    meets in the neighbor block — the exact filter never loses a true
+    pair to the prefilter.
+    """
+    if zoom is None:
+        zoom = pick_hausdorff_zoom(tau_m, max_abs_lat)
+    if _ring_guarantee_m(zoom, 1, max_abs_lat=max_abs_lat) < tau_m:
+        raise ValueError("ring-1 guarantee below tau at this zoom: lower the zoom")
+    n_axis = 2 ** zoom
+    if 3 > n_axis:
+        raise ValueError("neighbor block spans the x axis: raise the zoom")
+
+    pts = points.select(
+        F.col(track).cast("long").alias("_trk"),
+        F.col(lon).alias("_lon"),
+        F.col(lat).alias("_lat"),
+    )
+    cells = (
+        with_cell(pts, zoom, "_lon", "_lat")
+        .select("_trk", "cell").distinct()
+    )
+
+    # HALF-SPACE explode (encounter_join's idiom, 2D): of the 3×3 block
+    # only the lexicographically-positive offsets + self ship — each
+    # cross-key pair is generated from exactly ONE side, same-key pairs
+    # dedup by track order.  5 keys instead of 9.
+    offs = [
+        (dx, dy)
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        if (dx, dy) >= (0, 0)
+    ]
+    k = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                 F.lit(dx == 0 and dy == 0).alias("self"))
+        for dx, dy in offs
+    ])
+    left = (
+        cells.withColumn("_k", F.explode(k))
+        .withColumn("_ny", native.cell_y(F.col("cell")) + F.col("_k.dy"))
+        .filter((F.col("_ny") >= 0) & (F.col("_ny") < F.lit(n_axis).cast("long")))
+        .select(
+            F.col("_trk").alias("_ltrk"), F.col("_k.self").alias("_self"),
+            native.cell_from_xy(
+                F.pmod(native.cell_x(F.col("cell")) + F.col("_k.dx"),
+                       F.lit(n_axis).cast("long")),
+                F.col("_ny"), zoom,
+            ).alias("_jcell"),
+        )
+    )
+    right = cells.select(
+        F.col("_trk").alias("_rtrk"), F.col("cell").alias("_jcell"))
+    pairs = (
+        left.join(right, on="_jcell", how="inner")
+        .filter(
+            F.when(F.col("_self"), F.col("_ltrk") < F.col("_rtrk"))
+            .otherwise(F.col("_ltrk") != F.col("_rtrk"))
+        )
+        .select(
+            F.least("_ltrk", "_rtrk").alias("track_a"),
+            F.greatest("_ltrk", "_rtrk").alias("track_b"),
+        )
+        .distinct()
+    )
+
+    arrs = pts.groupBy("_trk").agg(
+        F.collect_list("_lon").alias("lons"),
+        F.collect_list("_lat").alias("lats"),
+    )
+    joined = (
+        pairs
+        .join(arrs.select(F.col("_trk").alias("track_a"),
+                          F.col("lons").alias("alon"),
+                          F.col("lats").alias("alat")), on="track_a")
+        .join(arrs.select(F.col("_trk").alias("track_b"),
+                          F.col("lons").alias("blon"),
+                          F.col("lats").alias("blat")), on="track_b")
+        .select("track_a", "track_b", "alon", "alat", "blon", "blat")
+    )
+    return joined.mapInPandas(_pair_hausdorff_udf(float(tau_m)),
+                              schema=HAUSDORFF_SCHEMA)
+
+
+def scalar_hausdorff(a: list, b: list) -> tuple[float, float, float]:
+    """Pure-Python replay of the pair kernel (oracle + pytest side):
+    ``a``/``b`` are [(lon, lat), ...]; returns (h_ab, h_ba, h) rounded
+    to mm.  Same ops in the same order as the numpy kernel — min/max
+    reductions only, so the replay is bit-exact."""
+    def d(p, q):
+        kx = _M_PER_DEG * math.cos(math.radians((p[1] + q[1]) * 0.5))
+        dx = (q[0] - p[0]) * kx
+        dy = (q[1] - p[1]) * _M_PER_DEG
+        return math.sqrt(dx * dx + dy * dy)
+
+    h_ab = max(min(d(p, q) for q in b) for p in a)
+    h_ba = max(min(d(p, q) for p in a) for q in b)
+    return round(h_ab, 3), round(h_ba, 3), round(max(h_ab, h_ba), 3)

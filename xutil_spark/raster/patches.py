@@ -184,3 +184,60 @@ def color_histogram(images: DataFrame, bins_per_channel: int = 4,
             yield pd.DataFrame({"image_id": ids, "bin": bins, "n_px": counts})
 
     return images.mapInPandas(run, schema=HIST_SCHEMA)
+
+
+ENTROPY_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType(), False),
+    T.StructField("n_bins", T.IntegerType(), False),
+    T.StructField("n_px", T.LongType(), False),
+    T.StructField("entropy_bits", T.DoubleType(), False),
+])
+
+
+def color_entropy(images: DataFrame, bins_per_channel: int = 4,
+                  id_col: str = "image_id") -> DataFrame:
+    """Shannon entropy (bits) of the joint RGB histogram per image —
+    the standard low-color-diversity curation filter (near-constant
+    images, solid banners, blank scans score ≈0; natural photos score
+    high).
+
+    ``H = log2(N) − (Σ_bins n·log2(n)) / N`` over the same exact
+    ``B³``-bin joint histogram as ``color_histogram``.
+
+    Determinism contract: the Σ is a SEQUENTIAL Python accumulation in
+    ascending bin order over the ≤B³ nonzero integer counts (≤64 terms
+    at B=4 — negligible next to the decode), and ``math.log2`` of an
+    exact integer is the identical libm call the pure-Python oracle
+    replays — so the resulting double is bit-exact, no tolerance
+    needed.  One ``mapInPandas`` pass, no shuffle; the histogram is a
+    vectorized ``np.bincount`` exactly as in ``color_histogram``."""
+    import math
+
+    B = int(bins_per_channel)
+    if B < 2 or B > 256 or (B & (B - 1)) != 0:
+        raise ValueError("bins_per_channel must be a power of two in [2, 256]")
+    shift = 8 - B.bit_length() + 1
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows: dict = {f.name: [] for f in ENTROPY_SCHEMA}
+            for r in b.itertuples(index=False):
+                px = K_codec.decode_image(bytes(r.bytes), int(r.w), int(r.h),
+                                          r.fmt).astype(np.int64)
+                idx = ((px[:, :, 0] >> shift) * B * B
+                       + (px[:, :, 1] >> shift) * B + (px[:, :, 2] >> shift))
+                hist = np.bincount(idx.ravel(), minlength=B ** 3)
+                nz = np.nonzero(hist)[0]
+                n = int(hist.sum())
+                s = 0.0
+                for k in nz:
+                    c = int(hist[k])
+                    s += c * math.log2(c)
+                h = math.log2(n) - s / n
+                rows["image_id"].append(getattr(r, id_col))
+                rows["n_bins"].append(int(len(nz)))
+                rows["n_px"].append(n)
+                rows["entropy_bits"].append(round(h, 9))
+            yield pd.DataFrame(rows)
+
+    return images.mapInPandas(run, schema=ENTROPY_SCHEMA)
