@@ -91,3 +91,41 @@ def test_single_point_track(spark):
     pts = _PTS.iloc[:1]
     out = _match(spark, pts, _SEGS)
     assert len(out) == 1 and out["seg_id"].iloc[0] == 1
+
+
+def test_candidates_np_matches_cells_path(spark):
+    """Broadcast-numpy candidates are the cell path's bit-for-bit —
+    values, ranks, and row set — on a multi-track point cloud against
+    a spread-out segment table (incl. radius drops and degenerate
+    zero-length segments)."""
+    from xutil_spark.operators.mapmatch import candidate_segments_np
+
+    segs = pd.DataFrame({
+        "seg_id": [1, 2, 3, 4, 5],
+        "ax": [0.00, 0.00, 0.05, -0.04, 0.02],
+        "ay": [0.010, -0.010, 0.030, 0.000, 0.002],
+        "bx": [0.10, 0.10, 0.05, -0.04, 0.02],
+        "by": [0.010, -0.010, -0.030, 0.040, 0.002],  # 5 is zero-length
+    })
+    pts = pd.DataFrame({
+        "pid": list(range(40)),
+        "lon": [0.004 * i - 0.05 for i in range(40)],
+        "lat": [0.002 * ((i * 7) % 11) - 0.01 for i in range(40)],
+    })
+    kw = dict(radius_m=4_000.0, k=3, point_id="pid")
+    a = candidate_segments(
+        spark.createDataFrame(pts), spark.createDataFrame(segs),
+        zoom=10, **kw).toPandas()
+    b = candidate_segments_np(
+        spark.createDataFrame(pts), spark.createDataFrame(segs),
+        **kw).toPandas()
+    cols = ["pid", "rank", "seg_id", "dist_m", "t", "snap_lon", "snap_lat"]
+    a = a[cols].sort_values(["pid", "rank"]).reset_index(drop=True)
+    b = b[cols].sort_values(["pid", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_hmm_strategies_agree(spark):
+    out_np = _match(spark, _PTS, _SEGS, strategy="np")
+    out_cells = _match(spark, _PTS, _SEGS, strategy="cells")
+    pd.testing.assert_frame_equal(out_np, out_cells)

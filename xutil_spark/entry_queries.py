@@ -1071,14 +1071,18 @@ ORACLES.update(ORACLES20)
 # since they last went green).
 #
 # r05 WINDOW CONSTRUCTION (for the session that sees CORRECTNESS_r04):
-# the must-include set is (a) the 36 REGISTERED_ROUND=4 additions
+# the must-include set is (a) the 45 REGISTERED_ROUND=4 additions
 # (never driver-evaluated — see tests/test_registry.py), (b) any r04
 # window row that did NOT come back green, (c) queries whose code
-# changes in r05.  That already fills ~36-50 of the 50 slots; the
-# staleness rule then allows at most len(QUERIES)-100 = 28 r03-green
-# queries to wait for r06 — everything else green-in-r04 is safe to
-# rotate out.  test_registry.py enforces all of this mechanically;
-# build the window, run pytest, fix what it names.
+# changes in r05.  With 137 contract queries the arithmetic is exact:
+# if r04 comes back all-green, the r05 window = the 45 never-greens +
+# 5 of the 42 r03-green rotated-out queries, and the remaining 37 ride
+# the overflow budget (len(QUERIES)-100 = 37, all r03-green as the
+# three-round cap requires) — so do NOT register new queries in r05
+# before CORRECTNESS_r04 lands, and front-load any r04 red rows by
+# swapping them against the 5 discretionary slots.  test_registry.py
+# enforces all of this mechanically; build the window, run pytest,
+# fix what it names.
 _DRIVER_WINDOW = [
     # --- round 4: never driver-green — the 4 formerly rows-only/
     #     no-oracle entries (now computed-VALUES-oracled) + the new

@@ -155,6 +155,140 @@ def candidate_segments(
     )
 
 
+def candidate_segments_np(
+    points: DataFrame,
+    segments: DataFrame,
+    radius_m: float,
+    k: int = 3,
+    point_id: str = "pid",
+    seg_id: str = "seg_id",
+    lon: str = "lon",
+    lat: str = "lat",
+    ax: str = "ax",
+    ay: str = "ay",
+    bx: str = "bx",
+    by: str = "by",
+    extra_cols: tuple = (),
+    pair_chunk: int = 524_288,
+) -> DataFrame:
+    """``candidate_segments`` against a **dim-sized** network with ZERO
+    shuffles — the ``snap_to_segments_np`` pattern with a top-K tail.
+
+    Why it exists: the cell path's candidate join multiplies (points ×
+    ring cells × segments-per-cell).  A network of LONG segments makes
+    segments-per-cell large (every random chord crosses many cells), so
+    a dim-scale-but-long-segment network can explode the join stream to
+    10⁸ rows while the network itself is a few-MB broadcast.  Here the
+    id-sorted segments ship once per worker via ``sc.broadcast`` and
+    the points stream through ONE ``mapInPandas``; per point the snap
+    projection scores every segment in cache-sized numpy chunks and a
+    STABLE argsort on the mm-rounded distance yields exactly the cell
+    path's (dist_m, seg_id) candidate order (ties fall back to array
+    position = ascending seg_id).  Exhaustive, so no ring guarantee is
+    needed; output rows/values are the cell path's bit-for-bit (pinned
+    by pytest).
+
+    Scale boundary: brute cost is points × segments — for dim-scale
+    networks only; real road networks (10^8 segments) keep the cell
+    path.  ``hmm_map_match(strategy="auto")`` gates on segment count.
+    """
+    import pandas as pd
+
+    from xutil_spark.kernels.rounding import round_half_away
+
+    seg_pd = (segments.select(seg_id, ax, ay, bx, by).toPandas()
+              .sort_values(seg_id, kind="stable"))
+    segs_np = (seg_pd[seg_id].to_numpy(),
+               seg_pd[ax].to_numpy(np.float64),
+               seg_pd[ay].to_numpy(np.float64),
+               seg_pd[bx].to_numpy(np.float64),
+               seg_pd[by].to_numpy(np.float64))
+    bc = points.sparkSession.sparkContext.broadcast(segs_np)
+
+    out_schema = T.StructType([
+        points.schema[point_id],
+        *[points.schema[c] for c in extra_cols],
+        points.schema[lon],
+        points.schema[lat],
+        T.StructField(seg_id, segments.schema[seg_id].dataType, True),
+        T.StructField("dist_m", T.DoubleType(), True),
+        T.StructField("t", T.DoubleType(), True),
+        T.StructField("snap_lon", T.DoubleType(), True),
+        T.StructField("snap_lat", T.DoubleType(), True),
+        T.StructField("rank", T.IntegerType(), True),
+    ])
+    kc = _M_PER_DEG
+    radius = float(radius_m)
+    topk = int(k)
+
+    def run(it):
+        sid, sax, say, sbx, sby = bc.value
+        ns = len(sid)
+        if ns == 0:
+            return
+        chunk = max(1, pair_chunk // ns)
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            plon = pdf[lon].to_numpy(np.float64)
+            plat = pdf[lat].to_numpy(np.float64)
+            parts = []
+            for s in range(0, n, chunk):
+                e = min(n, s + chunk)
+                lo = plon[s:e, None]
+                la = plat[s:e, None]
+                kx = kc * np.cos(np.radians(la))
+                axm = (sax[None, :] - lo) * kx
+                aym = (say[None, :] - la) * kc
+                uxm = (sbx[None, :] - lo) * kx - axm
+                uym = (sby[None, :] - la) * kc - aym
+                len2 = uxm * uxm + uym * uym
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    t = np.clip(-(axm * uxm + aym * uym) / len2, 0.0, 1.0)
+                t = np.where(len2 == 0.0, 0.0, t)
+                qx = axm + t * uxm
+                qy = aym + t * uym
+                dist_r = round_half_away(np.sqrt(qx * qx + qy * qy), 3)
+                # stable sort on the ROUNDED distance = the cell path's
+                # (dist_m, seg_id) order, since columns are id-sorted
+                order = np.argsort(dist_r, axis=1, kind="stable")[:, :topk]
+                rows = np.arange(e - s)[:, None]
+                dk = dist_r[rows, order]
+                keep = dk <= radius              # (chunk, topk) mask
+                if not keep.any():
+                    continue
+                ri, rj = np.nonzero(keep)        # row, rank index
+                jj = order[ri, rj]
+                kxk = kx[ri, 0]
+                part = pd.DataFrame({
+                    point_id: pdf[point_id].to_numpy()[s:e][ri],
+                    lon: plon[s:e][ri],
+                    lat: plat[s:e][ri],
+                    seg_id: sid[jj],
+                    "dist_m": dk[ri, rj],
+                    "t": round_half_away(t[ri, jj], 6),
+                    "snap_lon": round_half_away(
+                        plon[s:e][ri] + qx[ri, jj] / kxk, 6),
+                    "snap_lat": round_half_away(
+                        plat[s:e][ri] + qy[ri, jj] / kc, 6),
+                    "rank": (rj + 1).astype(np.int32),
+                })
+                for c in extra_cols:
+                    part[c] = pdf[c].to_numpy()[s:e][ri]
+                parts.append(part[[point_id, *extra_cols, lon, lat, seg_id,
+                                   "dist_m", "t", "snap_lon", "snap_lat",
+                                   "rank"]])
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    src = points
+    par = points.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    return src.mapInPandas(run, out_schema)
+
+
 def hmm_map_match(
     points: DataFrame,
     segments: DataFrame,
@@ -174,24 +308,44 @@ def hmm_map_match(
     bx: str = "bx",
     by: str = "by",
     max_abs_lat: float = 60.0,
+    strategy: str = "auto",
+    np_max_segs: int = 16384,
 ) -> DataFrame:
     """Viterbi-matched segment per track point: ``(track_id, point_id,
     seg_id, dist_m, t, snap_lon, snap_lat)``.  Points with no candidate
     inside ``radius_m`` drop out and the chain bridges the gap (the
     transition then spans the skipped point — Newson-Krumm's broken-
-    track simplification).  Track/point ids must be integral."""
-    cand = candidate_segments(
-        points.select(
-            F.col(track).alias("_trk"),
-            F.col(point_id).cast("long").alias("_pid"),
-            F.col(ts).cast("long").alias("_ep"),
-            F.col(lon).alias(lon), F.col(lat).alias(lat),
-        ),
-        segments, radius_m, k=k, zoom=zoom,
-        point_id="_pid", seg_id=seg_id, lon=lon, lat=lat,
-        ax=ax, ay=ay, bx=bx, by=by, max_abs_lat=max_abs_lat,
-        extra_cols=("_trk", "_ep"),
+    track simplification).  Track/point ids must be integral.
+
+    ``strategy``: "auto" routes dim-scale networks (≤ ``np_max_segs``
+    segments) to the broadcast-numpy exhaustive candidate pass
+    (``candidate_segments_np`` — immune to the cell join's
+    long-segment candidate blow-up); larger networks take the cell
+    equi-join.  "np"/"cells" force."""
+    pts = points.select(
+        F.col(track).alias("_trk"),
+        F.col(point_id).cast("long").alias("_pid"),
+        F.col(ts).cast("long").alias("_ep"),
+        F.col(lon).alias(lon), F.col(lat).alias(lat),
     )
+    if strategy == "auto":
+        strategy = (
+            "np"
+            if segments.limit(np_max_segs + 1).count() <= np_max_segs
+            else "cells")
+    if strategy == "np":
+        cand = candidate_segments_np(
+            pts, segments, radius_m, k=k,
+            point_id="_pid", seg_id=seg_id, lon=lon, lat=lat,
+            ax=ax, ay=ay, bx=bx, by=by, extra_cols=("_trk", "_ep"),
+        )
+    else:
+        cand = candidate_segments(
+            pts, segments, radius_m, k=k, zoom=zoom,
+            point_id="_pid", seg_id=seg_id, lon=lon, lat=lat,
+            ax=ax, ay=ay, bx=bx, by=by, max_abs_lat=max_abs_lat,
+            extra_cols=("_trk", "_ep"),
+        )
     sig2 = 2.0 * float(sigma_m) * float(sigma_m)
     beta = float(beta_m)
     kc = _M_PER_DEG
