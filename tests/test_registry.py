@@ -101,6 +101,8 @@ REGISTERED_ROUND = {
     "hmm_match_tracks": 4,
     "image_color_hist": 4,
     "traj_hausdorff": 4,
+    "traj_frechet": 4,
+    "seg_crossings": 4,
     "caption_bigram_lm": 4,
     "image_entropy": 4,
 }

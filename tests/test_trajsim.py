@@ -175,3 +175,76 @@ def test_color_entropy_rejects_bad_bins(spark):
 
     with pytest.raises(ValueError):
         color_entropy(images_table(spark, 1), 3)
+
+
+# ---------------------------------------------------------- Fréchet
+
+
+def _seq_df(spark, tracks):
+    rows = [
+        Row(user_id=t, ts=i, lon=float(lo), lat=float(la))
+        for t, pts in tracks.items()
+        for i, (lo, la) in enumerate(pts)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_frechet_matches_scalar_replay(spark):
+    from xutil_spark.operators.trajsim import frechet_join, scalar_frechet
+
+    tracks = {}
+    for t in range(5):
+        pts = []
+        for i in range(10):
+            h = (t * 9176 + i * 2654435761) % 1048576
+            pts.append((100.0 + h / 1048576.0 * 2.0,
+                        30.0 + (h * 13 % 1048576) / 1048576.0 * 1.5))
+        tracks[t] = pts
+    tau = 200_000.0
+    got = {
+        (r.track_a, r.track_b): r.frechet_m
+        for r in frechet_join(_seq_df(spark, tracks), tau_m=tau,
+                              track="user_id", ts="ts").collect()
+    }
+    ids = sorted(tracks)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            f = scalar_frechet(tracks[a], tracks[b])
+            if f <= tau:
+                want[(a, b)] = f
+    assert want and got == want
+
+
+def test_frechet_order_sensitive_hausdorff_is_not(spark):
+    from xutil_spark.operators.trajsim import (
+        frechet_join,
+        hausdorff_join,
+        scalar_frechet,
+    )
+
+    # same road, opposite directions: Hausdorff 0, Fréchet = road length
+    road = [(100.0 + 0.01 * i, 30.0) for i in range(8)]
+    tracks = {1: road, 2: road[::-1]}
+    df = _seq_df(spark, tracks)
+    h = hausdorff_join(df, tau_m=100_000.0, track="user_id").collect()
+    assert len(h) == 1 and h[0].hausdorff_m == 0.0
+    f = frechet_join(df, tau_m=100_000.0, track="user_id", ts="ts").collect()
+    assert len(f) == 1
+    assert f[0].frechet_m == scalar_frechet(road, road[::-1])
+    assert f[0].frechet_m > 6000.0  # ~7 km of road
+
+
+def test_frechet_planetary_tau_all_pairs_fallback(spark):
+    from xutil_spark.operators.trajsim import frechet_join, scalar_frechet
+
+    # tau forces zoom <= 1 -> the all-pairs candidate fallback
+    tracks = {1: [(0.0, 0.0), (10.0, 0.0)],
+              2: [(170.0, 0.0), (-170.0, 0.0)]}
+    out = frechet_join(_seq_df(spark, tracks), tau_m=4.0e6,
+                       track="user_id", ts="ts").collect()
+    want = scalar_frechet(tracks[1], tracks[2])
+    if want <= 4.0e6:
+        assert len(out) == 1 and out[0].frechet_m == want
+    else:
+        assert out == []

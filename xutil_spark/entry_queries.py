@@ -1071,16 +1071,16 @@ ORACLES.update(ORACLES20)
 # since they last went green).
 #
 # r05 WINDOW CONSTRUCTION (for the session that sees CORRECTNESS_r04):
-# the must-include set is (a) the 45 REGISTERED_ROUND=4 additions
+# the must-include set is (a) the 47 REGISTERED_ROUND=4 additions
 # (never driver-evaluated — see tests/test_registry.py), (b) any r04
 # window row that did NOT come back green, (c) queries whose code
-# changes in r05.  With 137 contract queries the arithmetic is exact:
-# if r04 comes back all-green, the r05 window = the 45 never-greens +
-# 5 of the 42 r03-green rotated-out queries, and the remaining 37 ride
-# the overflow budget (len(QUERIES)-100 = 37, all r03-green as the
+# changes in r05.  With 139 contract queries the arithmetic is exact:
+# if r04 comes back all-green, the r05 window = the 47 never-greens +
+# 3 of the 42 r03-green rotated-out queries, and the remaining 39 ride
+# the overflow budget (len(QUERIES)-100 = 39, all r03-green as the
 # three-round cap requires) — so do NOT register new queries in r05
 # before CORRECTNESS_r04 lands, and front-load any r04 red rows by
-# swapping them against the 5 discretionary slots.  test_registry.py
+# swapping them against the 3 discretionary slots.  test_registry.py
 # enforces all of this mechanically; build the window, run pytest,
 # fix what it names.
 _DRIVER_WINDOW = [

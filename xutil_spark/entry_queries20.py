@@ -105,6 +105,159 @@ FROM (VALUES {vals})
 """
 
 
+_FR_TAU_M = 3_000_000.0
+
+
+def q_traj_frechet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-AWARE trajectory-similarity join: sampled user tracks in
+    (ts, event_id) sequence paired when their discrete Fréchet distance
+    ≤ 3,000 km.  τ is at planetary scale here, so the candidate stage
+    takes the documented all-pairs fallback at TRACK cardinality (a
+    broadcast nested-loop over track ids, never over points); the DP
+    kernel is the cost driver either way."""
+    _utc(spark)
+    from xutil_spark.entry_queries12 import _located_events
+    from xutil_spark.operators.trajsim import frechet_join
+
+    ev = _located_events(spark, sf_dir).filter(
+        F.col("user_id") % _TRK_MOD == 0)
+    return frechet_join(ev, tau_m=_FR_TAU_M, track="user_id",
+                        ts="ts", tiebreak="event_id")
+
+
+def _scalar_pair_f(a: list, b: list) -> float:
+    """Independent scalar discrete-Fréchet DP (mirrors the documented
+    kernel: min/max only over the same equirectangular distances)."""
+    def d(p, q):
+        kx = _K_M * math.cos(math.radians((p[1] + q[1]) * 0.5))
+        dx = (q[0] - p[0]) * kx
+        dy = (q[1] - p[1]) * _K_M
+        return math.sqrt(dx * dx + dy * dy)
+
+    nb = len(b)
+    ca = [0.0] * nb
+    ca[0] = d(a[0], b[0])
+    for j in range(1, nb):
+        ca[j] = max(ca[j - 1], d(a[0], b[j]))
+    for i in range(1, len(a)):
+        prev = ca
+        ca = [0.0] * nb
+        ca[0] = max(prev[0], d(a[i], b[0]))
+        for j in range(1, nb):
+            ca[j] = max(min(prev[j], prev[j - 1], ca[j - 1]), d(a[i], b[j]))
+    return round(ca[-1], 3)
+
+
+def o_traj_frechet() -> str:
+    import duckdb as _dd
+
+    con = _dd.connect()
+    ev = con.execute(
+        "SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) FROM "
+        "read_parquet('/root/testdata/sf0.01/events.parquet') "
+        f"WHERE user_id % {_TRK_MOD} = 0"
+    ).fetchall()
+    con.close()
+    tracks: dict = {}
+    for uid, eid, ep in ev:
+        lon = 73.5 + (eid * 2654435761 % 1048576) / 1048576.0 * 61.0
+        lat = 18.2 + (eid * 1597334677 % 1048576) / 1048576.0 * 35.3
+        tracks.setdefault(uid, []).append((ep, eid, lon, lat))
+    # sequence order = (epoch, event_id), matching the engine's
+    # array_sort on struct(struct(ts, event_id), lon, lat)
+    seqs = {u: [(lo, la) for _, _, lo, la in sorted(v)]
+            for u, v in tracks.items()}
+    uids = sorted(seqs)
+    rows = []
+    for i, ua in enumerate(uids):
+        for ub in uids[i + 1:]:
+            f = _scalar_pair_f(seqs[ua], seqs[ub])
+            if f <= _FR_TAU_M:
+                rows.append(f"({ua},{ub},{_fmt_f(f)})")
+    vals = ",".join(rows)
+    return f"""
+SELECT CAST(track_a AS BIGINT) AS track_a,
+       CAST(track_b AS BIGINT) AS track_b,
+       CAST(frechet_m AS DOUBLE) AS frechet_m
+FROM (VALUES {vals}) AS s(track_a, track_b, frechet_m)
+"""
+
+
+# --------------------------------------------- segment crossings
+
+_XC_ZOOM = 6
+_XC_MOD = 5  # user subset: user_id % 5 == 0
+
+
+def q_seg_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line×line spatial join (operators/intersections.py): how many
+    sampled-user trail segments properly CROSS each supplier-chain
+    road segment, plus how many distinct users.  Supercover-blocked
+    equi-join + IEEE-exact orientation signs — no rounding contract
+    needed anywhere."""
+    _utc(spark)
+    from pyspark.sql.window import Window
+
+    from xutil_spark.entry_queries10 import _segments
+    from xutil_spark.entry_queries12 import _located_events
+    from xutil_spark.operators.intersections import (
+        crossing_counts,
+        crossing_pairs,
+    )
+
+    ev = _located_events(spark, sf_dir).filter(
+        F.col("user_id") % _XC_MOD == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tseg = (
+        ev.select(
+            "user_id", F.col("event_id").alias("a_eid"), "lon", "lat",
+            F.lead("lon").over(w).alias("nlon"),
+            F.lead("lat").over(w).alias("nlat"),
+        )
+        .filter(F.col("nlon").isNotNull())
+    )
+    roads = _segments(spark, sf_dir)
+    pairs = crossing_pairs(
+        tseg, roads, zoom=_XC_ZOOM, a_id="a_eid", b_id="seg_id",
+        a_cols=("lon", "lat", "nlon", "nlat"),
+        b_cols=("ax", "ay", "bx", "by2"),
+    )
+    with_user = pairs.join(
+        tseg.select("a_eid", "user_id"), on="a_eid", how="inner")
+    return crossing_counts(with_user, b_id="seg_id", group_a="user_id")
+
+
+def o_seg_crossings() -> str:
+    from xutil_spark.entry_queries3 import _EV_LAT, _EV_LON
+    from xutil_spark.entry_queries10 import _SEGS_SQL
+
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id, ts, {_EV_LON} AS lon, {_EV_LAT} AS lat
+  FROM events WHERE user_id % {_XC_MOD} = 0
+),
+tseg AS (
+  SELECT user_id, event_id AS a_eid, lon, lat,
+         LEAD(lon) OVER w AS nlon, LEAD(lat) OVER w AS nlat
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+roads AS ({_SEGS_SQL}),
+x AS (
+  SELECT t.user_id, t.a_eid, r.seg_id
+  FROM tseg t CROSS JOIN roads r
+  WHERE t.nlon IS NOT NULL
+    AND ((t.nlon - t.lon) * (r.ay - t.lat) - (t.nlat - t.lat) * (r.ax - t.lon))
+      * ((t.nlon - t.lon) * (r.by2 - t.lat) - (t.nlat - t.lat) * (r.bx - t.lon)) < 0
+    AND ((r.bx - r.ax) * (t.lat - r.ay) - (r.by2 - r.ay) * (t.lon - r.ax))
+      * ((r.bx - r.ax) * (t.nlat - r.ay) - (r.by2 - r.ay) * (t.nlon - r.ax)) < 0
+)
+SELECT seg_id,
+       CAST(COUNT(*) AS BIGINT) AS n_crossings,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_groups
+FROM x GROUP BY seg_id
+"""
+
+
 # ------------------------------------------------------- bigram LM
 
 
@@ -210,12 +363,16 @@ FROM (VALUES {vals}) AS s(image_id, n_bins, n_px, entropy_bits)
 
 QUERIES20 = {
     "traj_hausdorff": q_traj_hausdorff,
+    "traj_frechet": q_traj_frechet,
+    "seg_crossings": q_seg_crossings,
     "caption_bigram_lm": q_caption_bigram_lm,
     "image_entropy": q_image_entropy,
 }
 
 ORACLES20 = {
     "traj_hausdorff": o_traj_hausdorff(),
+    "traj_frechet": o_traj_frechet(),
+    "seg_crossings": o_seg_crossings(),
     "caption_bigram_lm": o_caption_bigram_lm(),
     "image_entropy": o_image_entropy(),
 }
