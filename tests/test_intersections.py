@@ -86,3 +86,29 @@ def test_crossing_counts_groups(spark):
     out = {r.bid: (r.n_crossings, r.n_groups)
            for r in crossing_counts(pairs, b_id="bid", group_a="user").collect()}
     assert out == {10: (3, 2), 11: (1, 1)}
+
+
+def test_emit_point_exact_crossing(spark):
+    # vertical x=0.5 crosses horizontal y=0.25 at (0.5, 0.25)
+    A = [(1, (0.5, 0.0, 0.5, 1.0))]
+    B = [(10, (0.0, 0.25, 2.0, 0.25))]
+    out = crossing_pairs(
+        _df(spark, A, "aid"), _df(spark, B, "bid"), zoom=8,
+        a_cols=_COLS, b_cols=_COLS, emit_point=True).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.aid, r.bid) == (1, 10)
+    assert (r.t_a, r.px, r.py) == (0.25, 0.5, 0.25)
+
+
+def test_emit_point_on_both_segments(spark):
+    # the emitted point must lie inside both segments' bboxes
+    A = [(1, (100.0, 30.0, 103.0, 32.0))]
+    B = [(10, (100.0, 32.0, 103.0, 30.0))]
+    out = crossing_pairs(
+        _df(spark, A, "aid"), _df(spark, B, "bid"), zoom=8,
+        a_cols=_COLS, b_cols=_COLS, emit_point=True).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert 0.0 < r.t_a < 1.0
+    assert 100.0 <= r.px <= 103.0 and 30.0 <= r.py <= 32.0

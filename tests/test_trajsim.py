@@ -248,3 +248,45 @@ def test_frechet_planetary_tau_all_pairs_fallback(spark):
         assert len(out) == 1 and out[0].frechet_m == want
     else:
         assert out == []
+
+
+# ------------------------------------------------- co-route clusters
+
+
+def test_co_route_clusters_hausdorff(spark):
+    from xutil_spark.operators.trajsim import co_route_clusters
+
+    base = [(100.0 + 0.01 * i, 30.0) for i in range(6)]
+    shift = [(lo, la + 0.001) for lo, la in base]      # ~111 m away
+    far = [(110.0 + 0.01 * i, 40.0) for i in range(6)]
+    tracks = {1: base, 2: shift, 3: base[::-1], 4: far}
+    df = _seq_df(spark, tracks)
+    out = {r.id: r.cluster_id
+           for r in co_route_clusters(df, tau_m=1000.0,
+                                      track="user_id").collect()}
+    # Hausdorff ignores direction: 1, 2, 3 cluster; 4 is a singleton
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4}
+
+
+def test_co_route_clusters_frechet_direction_matters(spark):
+    from xutil_spark.operators.trajsim import co_route_clusters
+
+    base = [(100.0 + 0.01 * i, 30.0) for i in range(6)]
+    shift = [(lo, la + 0.001) for lo, la in base]
+    tracks = {1: base, 2: shift, 3: base[::-1]}
+    df = _seq_df(spark, tracks)
+    out = {r.id: r.cluster_id
+           for r in co_route_clusters(df, tau_m=1000.0, metric="frechet",
+                                      track="user_id", ts="ts").collect()}
+    # same direction clusters; the reversed track does not
+    assert out == {1: 1, 2: 1, 3: 3}
+
+
+def test_co_route_clusters_bad_metric(spark):
+    import pytest as _pt
+
+    from xutil_spark.operators.trajsim import co_route_clusters
+
+    with _pt.raises(ValueError):
+        co_route_clusters(_seq_df(spark, {1: [(0.0, 0.0)]}), 10.0,
+                          metric="dtw")

@@ -58,11 +58,18 @@ def crossing_pairs(
     b_id: str = "bid",
     a_cols: tuple = ("ax", "ay", "bx", "by"),
     b_cols: tuple = ("ax", "ay", "bx", "by"),
+    emit_point: bool = False,
 ) -> DataFrame:
     """Distinct ``(a_id, b_id)`` pairs of properly crossing segments.
 
     ``a_cols``/``b_cols`` name each table's (x1, y1, x2, y2) endpoint
-    columns.  Ids must be unique per segment within their table."""
+    columns.  Ids must be unique per segment within their table.
+
+    ``emit_point=True`` adds the crossing location: ``t_a`` (A's
+    parametric position, 6 dp) and ``(px, py)`` (6 dp) from the
+    one-division closed form ``t_a = d3 / (d3 − d4)`` — well-defined
+    exactly because proper crossings have d3, d4 of opposite sign; the
+    expression transcribes verbatim to SQL/scalar replays."""
     A = (
         _segments_with_cells(segs_a, zoom, a_id, *a_cols)
         .select(F.col("_sid").alias("_aid"),
@@ -85,10 +92,27 @@ def crossing_pairs(
               F.col("_a1x"), F.col("_a1y"))
     d4 = _ccw(F.col("_b1x"), F.col("_b1y"), F.col("_b2x"), F.col("_b2y"),
               F.col("_a2x"), F.col("_a2y"))
-    return (
+    joined = (
         A.join(B, on="_scell", how="inner")
         .filter((d1 * d2 < 0) & (d3 * d4 < 0))
-        .select(F.col("_aid").alias(a_id), F.col("_bid").alias(b_id))
+    )
+    if not emit_point:
+        return (
+            joined
+            .select(F.col("_aid").alias(a_id), F.col("_bid").alias(b_id))
+            .distinct()
+        )
+    ta = d3 / (d3 - d4)
+    return (
+        joined
+        .select(
+            F.col("_aid").alias(a_id), F.col("_bid").alias(b_id),
+            F.round(ta, 6).alias("t_a"),
+            F.round(F.col("_a1x") + ta * (F.col("_a2x") - F.col("_a1x")), 6)
+            .alias("px"),
+            F.round(F.col("_a1y") + ta * (F.col("_a2y") - F.col("_a1y")), 6)
+            .alias("py"),
+        )
         .distinct()
     )
 

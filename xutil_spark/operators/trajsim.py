@@ -304,7 +304,6 @@ def _pair_frechet_udf(tau_m: float, cell_budget: int = 3_000_000):
                 d = np.sqrt(dx * dx + dy * dy)      # (P, na_max, nb_max)
                 p, mna, mnb = d.shape
                 pa, pb = na[s:e], nb[s:e]
-                pr = np.arange(p)
                 out = np.empty(p)
                 # row 0: running max along j == the scalar max chain
                 ca = np.maximum.accumulate(d[:, 0, :], axis=1)
@@ -423,3 +422,50 @@ def scalar_frechet(a: list, b: list) -> float:
         for j in range(1, nb):
             ca[j] = max(min(prev[j], prev[j - 1], ca[j - 1]), d(a[i], b[j]))
     return round(ca[-1], 3)
+
+
+def co_route_clusters(
+    points: DataFrame,
+    tau_m: float,
+    metric: str = "hausdorff",
+    zoom: int | None = None,
+    track: str = "user_id",
+    ts: str = "ts",
+    lon: str = "lon",
+    lat: str = "lat",
+    tiebreak: str | None = None,
+    max_abs_lat: float = 60.0,
+) -> DataFrame:
+    """Co-route clustering: connected components over the τ-similarity
+    graph — ``(id, cluster_id)`` with cluster_id the smallest member
+    track id (``operators/dedup.py connected_components``'s canonical-
+    survivor convention, shared with the image/document dedup stack).
+
+    ``metric="hausdorff"`` clusters by shape proximity regardless of
+    travel direction; ``metric="frechet"`` additionally requires the
+    same traversal order (commute-pattern mining vs corridor mining).
+    Tracks with no ≤ τ partner form singleton clusters (id == cluster).
+
+    Scale shape = the similarity join's + CC's: near-route edges are
+    sparse (edges ∝ co-routed pairs, not tracks²), so the dim-scale
+    union-find gate almost always applies.
+    """
+    if metric == "hausdorff":
+        pairs = hausdorff_join(points, tau_m, zoom, track, lon, lat,
+                               max_abs_lat)
+    elif metric == "frechet":
+        pairs = frechet_join(points, tau_m, zoom, track, ts, lon, lat,
+                             tiebreak, max_abs_lat)
+    else:
+        raise ValueError("metric must be 'hausdorff' or 'frechet'")
+    from xutil_spark.operators.dedup import connected_components
+
+    edges = pairs.select(F.col("track_a").alias("a"),
+                         F.col("track_b").alias("b"))
+    comp = connected_components(edges)
+    all_tracks = points.select(
+        F.col(track).cast("long").alias("id")).distinct()
+    return (
+        all_tracks.join(comp, on="id", how="left")
+        .select("id", F.coalesce("cluster_id", "id").alias("cluster_id"))
+    )
