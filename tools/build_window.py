@@ -1,0 +1,113 @@
+"""Construct the next round's 50-row driver window from the evidence
+ledger — the mechanical companion to tests/test_registry.py.
+
+Usage: python tools/build_window.py [touched_query ...]
+
+Reads CORRECTNESS_r*.json (the committed ledger), the registry order
+and REGISTERED_ROUND, then emits the recommended ``_DRIVER_WINDOW``
+literal for the NEXT round, built as:
+
+1. never-green queries (no fully-green row in any recorded round) —
+   these cannot ride the overflow budget, so they must all fit;
+2. queries whose code was touched this round (command-line args);
+3. red rows from the latest round (they are also never/stale green);
+4. remaining slots filled by stale greens, OLDEST last-green first —
+   ties broken by registry order;
+5. overflow check: everything left out must have been green in the
+   latest round or the round before (the three-round cap), and the
+   leftover count must fit ``len(QUERIES) - 100``.
+
+Exits non-zero with a diagnosis when the window is infeasible (more
+never-greens + touched than 50 slots).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WINDOW = 50
+
+
+def last_green() -> tuple[dict, int]:
+    last: dict = {}
+    latest = 0
+    for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        latest = max(latest, rnd)
+        with open(path) as fh:
+            for q, rec in json.load(fh).items():
+                if (rec.get("rows_match") and rec.get("schema_match")
+                        and rec.get("hash_match") and not rec.get("err")):
+                    last[q] = max(last.get(q, 0), rnd)
+    return last, latest
+
+
+def main() -> int:
+    touched = set(sys.argv[1:])
+    from xutil_spark.entry_queries import QUERIES
+
+    last, latest = last_green()
+    names = list(QUERIES)
+    unknown = touched - set(names)
+    if unknown:
+        print(f"unknown touched queries: {sorted(unknown)}", file=sys.stderr)
+        return 2
+
+    never = [q for q in names if last.get(q, 0) == 0]
+    window: list = []
+
+    def take(qs):
+        for q in qs:
+            if q not in window and len(window) < WINDOW:
+                window.append(q)
+
+    take(never)
+    if len(never) > WINDOW:
+        from xutil_spark.entry_queries import _DRIVER_WINDOW
+
+        in_window = [q for q in never if q in _DRIVER_WINDOW]
+        print(f"INFEASIBLE: {len(never)} never-green queries exceed the "
+              f"{WINDOW}-row window; they cannot use the overflow budget.\n"
+              f"{len(in_window)} of them sit in the CURRENT window "
+              f"({in_window}) — if this round's CORRECTNESS_r*.json has "
+              "not landed yet, wait for it (they will go green) and "
+              "re-run.", file=sys.stderr)
+        return 1
+    take(sorted(touched, key=names.index))
+    # stale greens, oldest evidence first, registry order on ties
+    stale = [q for q in names
+             if q not in window and last.get(q, 0) < latest]
+    stale.sort(key=lambda q: (last.get(q, 0), names.index(q)))
+    take(stale)
+    # latest-green fill if slots remain (keeps headline queries fresh)
+    fresh = [q for q in names if q not in window]
+    take(fresh)
+
+    out = [q for q in names if q not in window and last.get(q, 0) < latest]
+    budget = max(0, len(names) - 2 * WINDOW)
+    too_stale = [q for q in out if last.get(q, 0) < latest - 1]
+    print(f"# next-round window ({len(window)} rows); ledger latest=r"
+          f"{latest:02d}; {len(out)} stale-green overflow "
+          f"(budget {budget}); too-stale overflow: {too_stale or 'none'}")
+    if len(out) > budget or too_stale:
+        print("# WARNING: overflow violates the registry invariants — "
+              "trim additions or accept staleness", file=sys.stderr)
+    print("_DRIVER_WINDOW = [")
+    for i in range(0, len(window), 3):
+        print("    " + ", ".join(repr(q) for q in window[i:i + 3]) + ",")
+    print("]")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

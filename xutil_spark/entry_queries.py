@@ -1082,7 +1082,9 @@ ORACLES.update(ORACLES20)
 # before CORRECTNESS_r04 lands, and front-load any r04 red rows by
 # swapping them against the 3 discretionary slots.  test_registry.py
 # enforces all of this mechanically; build the window, run pytest,
-# fix what it names.
+# fix what it names.  `python tools/build_window.py [touched ...]`
+# constructs the window from the ledger (validated against a simulated
+# all-green r04: 50 rows, 39 overflow = budget, none too-stale).
 _DRIVER_WINDOW = [
     # --- round 4: never driver-green — the 4 formerly rows-only/
     #     no-oracle entries (now computed-VALUES-oracled) + the new
