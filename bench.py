@@ -305,7 +305,8 @@ def run_queries() -> dict:
     return timings
 
 
-def write_bench_md(timings, p2, p8, p32, eff, pooled_eff, pooled_n, pooled):
+def write_bench_md(timings, p2, p8, p32, eff, pooled_eff, pooled_n, pooled,
+                   pooled_q):
     sf = SF_DIR.rstrip("/").split("/")[-1]
     lines = [
         "# BENCH — measured numbers (this round)",
@@ -428,13 +429,20 @@ def write_bench_md(timings, p2, p8, p32, eff, pooled_eff, pooled_n, pooled):
         "query's first heavy run; a long-lived cluster JVM runs hot),",
         "then MIN over two timed passes — the shared VM's noise epochs",
         "last minutes and can inflate a single sample 3-5×; the passes",
-        "sit a full sweep apart, sampling different epochs.",
+        "sit a full sweep apart, sampling different epochs.  The pooled",
+        "column is the min over every stamped same-pipeline-version round",
+        "that recorded per-query timings (same estimator philosophy as",
+        "the headline: epochs add noise, never speed — the pooled min is",
+        "the steady-state capacity number; a whole ROUND can land in a",
+        "slow epoch, which single-round tables would misreport as",
+        "regressions).",
         "",
-        "| query | sec |",
-        "|---|---|",
+        "| query | this run (s) | pooled best (s) | rounds |",
+        "|---|---|---|---|",
     ]
     for k, v in timings.items():
-        lines.append(f"| {k} | {v} |")
+        pv, pn = pooled_q.get(k, (v, 1))
+        lines.append(f"| {k} | {v} | {pv} | {pn} |")
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
 
@@ -506,7 +514,8 @@ def main():
     entry = {"images": BENCH_IMAGES,
              "pipeline_version": PIPELINE_VERSION,
              "commit": commit,
-             "walls": {m: [r["wall_sec"] for r in trials[m]] for m in masters}}
+             "walls": {m: [r["wall_sec"] for r in trials[m]] for m in masters},
+             "queries": timings}
     with open(hist_path, "a") as fh:
         fh.write(json.dumps(entry) + "\n")
     # STRICT pooling predicate (claims-audited in BENCH.md): a history
@@ -534,11 +543,26 @@ def main():
     # capacity (identical predicate, every wall published)
     pooled_thr32 = round(p32["images"] / min(pooled["local[32]"]), 2)
 
+    # per-query pooled minima over the SAME strict predicate, from the
+    # rounds that recorded per-query timings (added later than the wall
+    # pool — the rounds column makes the pool depth per query explicit)
+    pooled_q: dict = {}
+    with open(hist_path) as fh:
+        for line in fh:
+            rec = json.loads(line)
+            if (rec.get("images") == BENCH_IMAGES
+                    and rec.get("pipeline_version") == PIPELINE_VERSION
+                    and rec.get("commit") and rec.get("queries")):
+                for q, v in rec["queries"].items():
+                    pv, pn = pooled_q.get(q, (v, 0))
+                    pooled_q[q] = (min(pv, v), pn + 1)
+
     queries = dict(timings)
     queries["pipeline_local2"] = p2["wall_sec"]
     queries["pipeline_local8"] = p8["wall_sec"]
     queries["pipeline_local32"] = p32["wall_sec"]
-    write_bench_md(timings, p2, p8, p32, eff, pooled_eff, pooled_n, pooled)
+    write_bench_md(timings, p2, p8, p32, eff, pooled_eff, pooled_n, pooled,
+                   pooled_q)
 
     print(json.dumps({
         "metric": "spatial_join_tile_assign_throughput",
