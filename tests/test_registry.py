@@ -102,6 +102,7 @@ REGISTERED_ROUND = {
     "image_color_hist": 4,
     "traj_hausdorff": 4,
     "traj_frechet": 4,
+    "traj_dtw": 4,
     "seg_crossings": 4,
     "caption_bigram_lm": 4,
     "image_entropy": 4,

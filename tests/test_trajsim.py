@@ -290,3 +290,58 @@ def test_co_route_clusters_bad_metric(spark):
     with _pt.raises(ValueError):
         co_route_clusters(_seq_df(spark, {1: [(0.0, 0.0)]}), 10.0,
                           metric="dtw")
+
+
+# --------------------------------------------------------------- DTW
+
+
+def test_dtw_matches_scalar_replay(spark):
+    from xutil_spark.operators.trajsim import dtw_join, scalar_dtw
+
+    tracks = {}
+    for t in range(5):
+        pts = []
+        for i in range(9):
+            h = (t * 33757 + i * 2654435761) % 1048576
+            pts.append((100.0 + h / 1048576.0 * 1.0,
+                        30.0 + (h * 11 % 1048576) / 1048576.0 * 0.8))
+        tracks[t] = pts
+    tau = 60_000.0
+    got = {
+        (r.track_a, r.track_b): (r.dtw_mm_total, r.dtw_norm_m)
+        for r in dtw_join(_seq_df(spark, tracks), tau_norm_m=tau,
+                          track="user_id", ts="ts").collect()
+    }
+    ids = sorted(tracks)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            total, norm = scalar_dtw(tracks[a], tracks[b])
+            if norm <= tau:
+                want[(a, b)] = (total, norm)
+    assert want and got == want
+
+
+def test_dtw_tolerates_pace_frechet_style_warping(spark):
+    from xutil_spark.operators.trajsim import dtw_join, scalar_dtw
+
+    # same route, one track dwells (repeats points): DTW warps cheaply
+    route = [(100.0 + 0.01 * i, 30.0) for i in range(6)]
+    slow = [p for p in route for _ in (0, 1)]  # every point twice
+    tracks = {1: route, 2: slow}
+    out = dtw_join(_seq_df(spark, tracks), tau_norm_m=1000.0,
+                   track="user_id", ts="ts").collect()
+    assert len(out) == 1
+    total, norm = scalar_dtw(route, slow)
+    assert (out[0].dtw_mm_total, out[0].dtw_norm_m) == (total, norm)
+    assert total == 0  # repeats warp onto the same points at zero cost
+
+
+def test_dtw_identical_zero(spark):
+    from xutil_spark.operators.trajsim import dtw_join
+
+    pts = [(10.0, 20.0), (10.5, 20.2), (11.0, 20.4)]
+    out = dtw_join(_seq_df(spark, {1: pts, 2: pts}), tau_norm_m=100.0,
+                   track="user_id", ts="ts").collect()
+    assert len(out) == 1
+    assert out[0].dtw_mm_total == 0 and out[0].dtw_norm_m == 0.0

@@ -1071,13 +1071,13 @@ ORACLES.update(ORACLES20)
 # since they last went green).
 #
 # r05 WINDOW CONSTRUCTION (for the session that sees CORRECTNESS_r04):
-# the must-include set is (a) the 47 REGISTERED_ROUND=4 additions
+# the must-include set is (a) the 48 REGISTERED_ROUND=4 additions
 # (never driver-evaluated — see tests/test_registry.py), (b) any r04
 # window row that did NOT come back green, (c) queries whose code
-# changes in r05.  With 139 contract queries the arithmetic is exact:
-# if r04 comes back all-green, the r05 window = the 47 never-greens +
-# 3 of the 42 r03-green rotated-out queries, and the remaining 39 ride
-# the overflow budget (len(QUERIES)-100 = 39, all r03-green as the
+# changes in r05.  With 140 contract queries the arithmetic is exact:
+# if r04 comes back all-green, the r05 window = the 48 never-greens +
+# 2 of the 42 r03-green rotated-out queries, and the remaining 40 ride
+# the overflow budget (len(QUERIES)-100 = 40, all r03-green as the
 # three-round cap requires) — so do NOT register new queries in r05
 # before CORRECTNESS_r04 lands, and front-load any r04 red rows by
 # swapping them against the 3 discretionary slots.  test_registry.py

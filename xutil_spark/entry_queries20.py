@@ -25,6 +25,14 @@ Oracle strategy:
 - ``image_entropy``: computed-VALUES golden replaying the synthetic
   pixel generator + the SEQUENTIAL ascending-bin entropy accumulation
   (the same contract pinned by ``image_color_hist``).
+- ``traj_dtw``: computed-VALUES golden from an independent pure-Python
+  all-pairs DTW replay (math.*, no numpy, no engine imports).  The
+  engine quantizes every step cost to INTEGER MILLIMETERS before the
+  summing DP, so the minimum-cost total is exact integer arithmetic —
+  numpy and the scalar replay agree digit-for-digit — and the cell
+  block is complete for dtw_norm ≤ τ (norm ≥ min-pair-distance / 2,
+  block sized to 2·τ), so the replay brute-forces every sampled pair
+  without modeling the prefilter.
 """
 
 from __future__ import annotations
@@ -180,6 +188,85 @@ SELECT CAST(track_a AS BIGINT) AS track_a,
        CAST(track_b AS BIGINT) AS track_b,
        CAST(frechet_m AS DOUBLE) AS frechet_m
 FROM (VALUES {vals}) AS s(track_a, track_b, frechet_m)
+"""
+
+
+_DTW_TAU_M = 900_000.0
+
+
+def q_traj_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-time-warping trajectory join: sampled user tracks in
+    (ts, event_id) sequence paired when their length-normalized DTW
+    cost ≤ 900 km — the pace-tolerant third metric next to Hausdorff
+    (set) and Fréchet (order).  Engine: the 2·τ-sized cell block for
+    candidates, then one pair-batched integer-millimeter DP kernel."""
+    _utc(spark)
+    from xutil_spark.entry_queries12 import _located_events
+    from xutil_spark.operators.trajsim import dtw_join
+
+    ev = _located_events(spark, sf_dir).filter(
+        F.col("user_id") % _TRK_MOD == 0)
+    return dtw_join(ev, tau_norm_m=_DTW_TAU_M, track="user_id",
+                    ts="ts", tiebreak="event_id")
+
+
+def _scalar_pair_dtw(a: list, b: list) -> tuple[int, float]:
+    """Independent scalar DTW replay (mirrors the documented kernel:
+    each step cost = equirectangular meters at the pair-mean latitude,
+    rounded HALF-AWAY to integer millimeters BEFORE the DP, so the
+    minimum-cost sum is exact integer arithmetic)."""
+    def dmm(p, q):
+        kx = _K_M * math.cos(math.radians((p[1] + q[1]) * 0.5))
+        dx = (q[0] - p[0]) * kx
+        dy = (q[1] - p[1]) * _K_M
+        return int(math.floor(math.sqrt(dx * dx + dy * dy) * 1000.0 + 0.5))
+
+    nb = len(b)
+    ca = [0] * nb
+    ca[0] = dmm(a[0], b[0])
+    for j in range(1, nb):
+        ca[j] = ca[j - 1] + dmm(a[0], b[j])
+    for i in range(1, len(a)):
+        prev = ca
+        ca = [0] * nb
+        ca[0] = prev[0] + dmm(a[i], b[0])
+        for j in range(1, nb):
+            ca[j] = dmm(a[i], b[j]) + min(prev[j], prev[j - 1], ca[j - 1])
+    total = ca[-1]
+    return total, round(total / 1000.0 / (len(a) + len(b)), 6)
+
+
+def o_traj_dtw() -> str:
+    import duckdb as _dd
+
+    con = _dd.connect()
+    ev = con.execute(
+        "SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) FROM "
+        "read_parquet('/root/testdata/sf0.01/events.parquet') "
+        f"WHERE user_id % {_TRK_MOD} = 0"
+    ).fetchall()
+    con.close()
+    tracks: dict = {}
+    for uid, eid, ep in ev:
+        lon = 73.5 + (eid * 2654435761 % 1048576) / 1048576.0 * 61.0
+        lat = 18.2 + (eid * 1597334677 % 1048576) / 1048576.0 * 35.3
+        tracks.setdefault(uid, []).append((ep, eid, lon, lat))
+    seqs = {u: [(lo, la) for _, _, lo, la in sorted(v)]
+            for u, v in tracks.items()}
+    uids = sorted(seqs)
+    rows = []
+    for i, ua in enumerate(uids):
+        for ub in uids[i + 1:]:
+            total, norm = _scalar_pair_dtw(seqs[ua], seqs[ub])
+            if norm <= _DTW_TAU_M:
+                rows.append(f"({ua},{ub},{total},{_fmt_f(norm)})")
+    vals = ",".join(rows)
+    return f"""
+SELECT CAST(track_a AS BIGINT) AS track_a,
+       CAST(track_b AS BIGINT) AS track_b,
+       CAST(dtw_mm_total AS BIGINT) AS dtw_mm_total,
+       CAST(dtw_norm_m AS DOUBLE) AS dtw_norm_m
+FROM (VALUES {vals}) AS s(track_a, track_b, dtw_mm_total, dtw_norm_m)
 """
 
 
@@ -364,6 +451,7 @@ FROM (VALUES {vals}) AS s(image_id, n_bins, n_px, entropy_bits)
 QUERIES20 = {
     "traj_hausdorff": q_traj_hausdorff,
     "traj_frechet": q_traj_frechet,
+    "traj_dtw": q_traj_dtw,
     "seg_crossings": q_seg_crossings,
     "caption_bigram_lm": q_caption_bigram_lm,
     "image_entropy": q_image_entropy,
@@ -372,6 +460,7 @@ QUERIES20 = {
 ORACLES20 = {
     "traj_hausdorff": o_traj_hausdorff(),
     "traj_frechet": o_traj_frechet(),
+    "traj_dtw": o_traj_dtw(),
     "seg_crossings": o_seg_crossings(),
     "caption_bigram_lm": o_caption_bigram_lm(),
     "image_entropy": o_image_entropy(),

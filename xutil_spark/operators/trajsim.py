@@ -469,3 +469,165 @@ def co_route_clusters(
         all_tracks.join(comp, on="id", how="left")
         .select("id", F.coalesce("cluster_id", "id").alias("cluster_id"))
     )
+
+
+DTW_SCHEMA = T.StructType([
+    T.StructField("track_a", T.LongType(), False),
+    T.StructField("track_b", T.LongType(), False),
+    T.StructField("dtw_mm_total", T.LongType(), False),
+    T.StructField("dtw_norm_m", T.DoubleType(), False),
+])
+
+
+def _pair_dtw_udf(tau_norm_m: float, cell_budget: int = 3_000_000):
+    """PAIR-BATCHED DTW DP over INTEGER-MILLIMETER step costs.
+
+    DTW sums along the warping path — a float sum would break the
+    bit-exact replay contract the other metrics get for free from
+    min/max — so every pairwise distance is quantized to int64
+    millimeters BEFORE the DP: the minimum-cost sum is then exact
+    integer arithmetic, order-independent, and a pure-Python replay
+    (``scalar_dtw``) reproduces it digit-for-digit (the same
+    quantize-before-reduce idea as the HMM scores and the bigram LM
+    micro-nats).  Same padded-tensor batching as the Fréchet kernel;
+    padding never contaminates a pair's own (na−1, nb−1) snapshot."""
+    from xutil_spark.kernels.rounding import round_half_away
+
+    big = np.int64(2 ** 62)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows: dict = {k.name: [] for k in DTW_SCHEMA}
+            if len(b) == 0:
+                yield pd.DataFrame(rows)
+                continue
+            alon, na = _pad(b["alon"])
+            alat, _ = _pad(b["alat"])
+            blon, nb = _pad(b["blon"])
+            blat, _ = _pad(b["blat"])
+            ta = b["track_a"].to_numpy()
+            tb = b["track_b"].to_numpy()
+            chunk = max(1, cell_budget // int(alon.shape[1] * blon.shape[1]))
+            for s in range(0, len(b), chunk):
+                e = min(len(b), s + chunk)
+                kx = _M_PER_DEG * np.cos(np.radians(
+                    (alat[s:e, :, None] + blat[s:e, None, :]) * 0.5))
+                dx = (blon[s:e, None, :] - alon[s:e, :, None]) * kx
+                dy = (blat[s:e, None, :] - alat[s:e, :, None]) * _M_PER_DEG
+                d = round_half_away(
+                    np.sqrt(dx * dx + dy * dy) * 1000.0, 0).astype(np.int64)
+                p, mna, mnb = d.shape
+                pa, pb = na[s:e], nb[s:e]
+                out = np.empty(p, dtype=np.int64)
+                # row 0: prefix sums along j (the only admissible path)
+                ca = np.cumsum(d[:, 0, :], axis=1)
+                done = pa - 1 == 0
+                if done.any():
+                    out[done] = ca[done, pb[done] - 1]
+                for i in range(1, mna):
+                    prev = ca
+                    ca = np.empty_like(prev)
+                    ca[:, 0] = prev[:, 0] + d[:, i, 0]
+                    # min(vertical, diagonal) has no in-row dependency
+                    best = np.minimum(prev[:, 1:], prev[:, :-1])
+                    row = d[:, i, :]
+                    for j in range(1, mnb):
+                        ca[:, j] = row[:, j] + np.minimum(
+                            best[:, j - 1], ca[:, j - 1])
+                    done = pa - 1 == i
+                    if done.any():
+                        out[done] = ca[done, pb[done] - 1]
+                norm = out / 1000.0 / (pa + pb)
+                keep = norm <= tau_norm_m
+                rows["track_a"].extend(int(x) for x in ta[s:e][keep])
+                rows["track_b"].extend(int(x) for x in tb[s:e][keep])
+                rows["dtw_mm_total"].extend(int(x) for x in out[keep])
+                rows["dtw_norm_m"].extend(round(float(x), 6)
+                                          for x in norm[keep])
+            yield pd.DataFrame(rows)
+
+    return run
+
+
+def dtw_join(
+    points: DataFrame,
+    tau_norm_m: float,
+    zoom: int | None = None,
+    track: str = "user_id",
+    ts: str = "ts",
+    lon: str = "lon",
+    lat: str = "lat",
+    tiebreak: str | None = None,
+    max_abs_lat: float = 60.0,
+) -> DataFrame:
+    """Dynamic-time-warping trajectory join: track pairs whose
+    LENGTH-NORMALIZED DTW cost ≤ ``tau_norm_m`` meters — ``(track_a,
+    track_b, dtw_mm_total, dtw_norm_m)``, ``track_a < track_b``.
+
+    DTW tolerates speed variation Fréchet punishes: two traversals of
+    the same route at different paces warp onto each other cheaply.
+    ``dtw_norm_m = total / (|A| + |B|)`` (the standard symmetric
+    normalizer); the total is an EXACT integer-millimeter sum (see
+    ``_pair_dtw_udf``).
+
+    Candidate completeness: any warping path has ≥ max(|A|, |B|) ≥
+    (|A|+|B|)/2 steps, each costing ≥ the minimum cross-track pair
+    distance, so ``dtw_norm ≥ min_pair / 2`` — the cell block is sized
+    to cover **2·τ** and never loses a qualifying pair.
+    """
+    if zoom is None:
+        zoom = pick_hausdorff_zoom(2.0 * tau_norm_m, max_abs_lat)
+    if _ring_guarantee_m(zoom, 1, max_abs_lat=max_abs_lat) < 2.0 * tau_norm_m:
+        raise ValueError("ring-1 guarantee below 2*tau at this zoom: "
+                         "lower the zoom")
+    order_cols = [ts] + ([tiebreak] if tiebreak else [])
+    pts = points.select(
+        F.col(track).cast("long").alias("_trk"),
+        F.col(lon).alias("_lon"),
+        F.col(lat).alias("_lat"),
+        F.struct(*[F.col(c) for c in order_cols]).alias("_ord"),
+    )
+    cells = (
+        with_cell(pts, zoom, "_lon", "_lat")
+        .select("_trk", "cell").distinct()
+    )
+    pairs = _candidate_pairs(cells, zoom)
+    arrs = (
+        pts.groupBy("_trk")
+        .agg(F.array_sort(F.collect_list(F.struct(
+            F.col("_ord"), F.col("_lon"), F.col("_lat")))).alias("_a"))
+        .select(
+            "_trk",
+            F.transform("_a", lambda s: s["_lon"]).alias("lons"),
+            F.transform("_a", lambda s: s["_lat"]).alias("lats"),
+        )
+    )
+    return _pair_arrays(pairs, arrs).mapInPandas(
+        _pair_dtw_udf(float(tau_norm_m)), schema=DTW_SCHEMA)
+
+
+def scalar_dtw(a: list, b: list) -> tuple[int, float]:
+    """Pure-Python replay of the DTW kernel: returns (total int-mm
+    cost, normalized meters rounded to 6 dp) — exact vs the numpy
+    kernel because every step cost is an integer."""
+    from xutil_spark.kernels.rounding import round_half_away
+
+    def dmm(p, q):
+        kx = _M_PER_DEG * math.cos(math.radians((p[1] + q[1]) * 0.5))
+        dx = (q[0] - p[0]) * kx
+        dy = (q[1] - p[1]) * _M_PER_DEG
+        return int(round_half_away(math.sqrt(dx * dx + dy * dy) * 1000.0, 0))
+
+    nb = len(b)
+    ca = [0] * nb
+    ca[0] = dmm(a[0], b[0])
+    for j in range(1, nb):
+        ca[j] = ca[j - 1] + dmm(a[0], b[j])
+    for i in range(1, len(a)):
+        prev = ca
+        ca = [0] * nb
+        ca[0] = prev[0] + dmm(a[i], b[0])
+        for j in range(1, nb):
+            ca[j] = dmm(a[i], b[j]) + min(prev[j], prev[j - 1], ca[j - 1])
+    total = ca[-1]
+    return total, round(total / 1000.0 / (len(a) + len(b)), 6)
