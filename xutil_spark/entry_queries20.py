@@ -308,10 +308,11 @@ def q_seg_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
         tseg, roads, zoom=_XC_ZOOM, a_id="a_eid", b_id="seg_id",
         a_cols=("lon", "lat", "nlon", "nlat"),
         b_cols=("ax", "ay", "bx", "by2"),
+        a_extra=("user_id",),  # a_eid → user_id, so the pair distinct
+        # cardinality is unchanged and no fact-scale join back (which
+        # would recompute the whole window lineage) is needed
     )
-    with_user = pairs.join(
-        tseg.select("a_eid", "user_id"), on="a_eid", how="inner")
-    return crossing_counts(with_user, b_id="seg_id", group_a="user_id")
+    return crossing_counts(pairs, b_id="seg_id", group_a="user_id")
 
 
 def o_seg_crossings() -> str:

@@ -59,11 +59,19 @@ def crossing_pairs(
     a_cols: tuple = ("ax", "ay", "bx", "by"),
     b_cols: tuple = ("ax", "ay", "bx", "by"),
     emit_point: bool = False,
+    a_extra: tuple = (),
 ) -> DataFrame:
     """Distinct ``(a_id, b_id)`` pairs of properly crossing segments.
 
     ``a_cols``/``b_cols`` name each table's (x1, y1, x2, y2) endpoint
     columns.  Ids must be unique per segment within their table.
+
+    ``a_extra`` names A-side columns to carry through onto the output
+    (e.g. the track/user that owns each A segment).  They must be
+    FUNCTIONALLY DETERMINED by ``a_id`` (one value per segment id), so
+    including them in the pair ``distinct`` cannot change its
+    cardinality — this is how callers get owner columns without a
+    second fact-scale join back (which would recompute the A lineage).
 
     ``emit_point=True`` adds the crossing location: ``t_a`` (A's
     parametric position, 6 dp) and ``(px, py)`` (6 dp) from the
@@ -71,11 +79,11 @@ def crossing_pairs(
     exactly because proper crossings have d3, d4 of opposite sign; the
     expression transcribes verbatim to SQL/scalar replays."""
     A = (
-        _segments_with_cells(segs_a, zoom, a_id, *a_cols)
+        _segments_with_cells(segs_a, zoom, a_id, *a_cols, extra=a_extra)
         .select(F.col("_sid").alias("_aid"),
                 F.col("_sax").alias("_a1x"), F.col("_say").alias("_a1y"),
                 F.col("_sbx").alias("_a2x"), F.col("_sby").alias("_a2y"),
-                "_scell")
+                "_scell", *a_extra)
     )
     B = (
         _segments_with_cells(segs_b, zoom, b_id, *b_cols)
@@ -99,7 +107,8 @@ def crossing_pairs(
     if not emit_point:
         return (
             joined
-            .select(F.col("_aid").alias(a_id), F.col("_bid").alias(b_id))
+            .select(F.col("_aid").alias(a_id), F.col("_bid").alias(b_id),
+                    *a_extra)
             .distinct()
         )
     ta = d3 / (d3 - d4)
@@ -112,6 +121,7 @@ def crossing_pairs(
             .alias("px"),
             F.round(F.col("_a1y") + ta * (F.col("_a2y") - F.col("_a1y")), 6)
             .alias("py"),
+            *a_extra,
         )
         .distinct()
     )

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1001,11 +1002,14 @@ _M_PER_DEG = 111194.92664455873
 
 
 def _segments_with_cells(segments: DataFrame, zoom: int, seg_id: str,
-                         ax: str, ay: str, bx: str, by: str) -> DataFrame:
+                         ax: str, ay: str, bx: str, by: str,
+                         extra: tuple = ()) -> DataFrame:
     """Explode the (dim-scale) segment table to its exact supercover
     cells at ``zoom`` (kernels.tiles.segment_cells — every tile the
     segment touches, no sampling gaps).  One mapInPandas over the dim;
-    output rows ≈ Σ segment-length / tile-size."""
+    output rows ≈ Σ segment-length / tile-size.  ``extra`` names
+    passthrough columns replicated onto every cover row (kept under
+    their own names)."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -1018,6 +1022,7 @@ def _segments_with_cells(segments: DataFrame, zoom: int, seg_id: str,
         T.StructField("_sbx", T.DoubleType(), False),
         T.StructField("_sby", T.DoubleType(), False),
         T.StructField("_scell", T.LongType(), False),
+        *[segments.schema[c] for c in extra],
     ])
 
     src = segments.select(
@@ -1026,6 +1031,7 @@ def _segments_with_cells(segments: DataFrame, zoom: int, seg_id: str,
         F.col(ay).cast("double").alias("_say"),
         F.col(bx).cast("double").alias("_sbx"),
         F.col(by).cast("double").alias("_sby"),
+        *extra,
     )
     # road tables often arrive in 1-2 partitions; the per-segment python
     # cover loop is the cost, so spread it before exploding
@@ -1036,19 +1042,25 @@ def _segments_with_cells(segments: DataFrame, zoom: int, seg_id: str,
     def run(batches):
         for b in batches:
             sids, axs, ays, bxs, bys, cells = [], [], [], [], [], []
+            reps = []  # per-input-row cover sizes, for extra replication
             # name=None: itertuples would mangle the _-prefixed columns
             cols = ["_sid", "_sax", "_say", "_sbx", "_sby"]
             for sid, sax, say, sbx, sby in b[cols].itertuples(
                     index=False, name=None):
+                n0 = len(cells)
                 for c in K_tiles.segment_cells(sax, say, sbx, sby, zoom):
                     sids.append(sid)
                     axs.append(sax); ays.append(say)
                     bxs.append(sbx); bys.append(sby)
                     cells.append(int(c))
-            yield pd.DataFrame({
+                reps.append(len(cells) - n0)
+            out = pd.DataFrame({
                 "_sid": sids, "_sax": axs, "_say": ays,
                 "_sbx": bxs, "_sby": bys, "_scell": cells,
             }).astype({"_scell": "int64"})
+            for c in extra:
+                out[c] = np.repeat(b[c].to_numpy(), reps)
+            yield out
 
     return src.mapInPandas(run, out_schema)
 
