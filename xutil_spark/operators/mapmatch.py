@@ -356,62 +356,110 @@ def hmm_map_match(
         dy = (lat2 - lat1) * kc
         return np.hypot(dx, dy)
 
-    def decode(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["_ep", "_pid", "dist_m", seg_id],
-                              kind="mergesort").reset_index(drop=True)
-        out = {c: [] for c in ("track_id", "point_id", "seg_id", "dist_m",
-                               "t", "snap_lon", "snap_lat")}
-        # group candidate rows per point, in (ts, pid) order
-        steps = []
-        for pid_, g in pdf.groupby("_pid", sort=False):
-            steps.append(g.reset_index(drop=True))
-        prev = None          # (frame, scores, backpointer list chain)
-        chains: list = []    # per step: array of backpointers
-        frames: list = []
-        scores_hist: list = []
-        for g in steps:
-            emit = np.round(-(g["dist_m"].to_numpy(float) ** 2) / sig2, 6)
-            if prev is None:
-                scores = emit.copy()
-                back = np.full(len(g), -1, dtype=np.int64)
-            else:
-                pg, pscores = prev
-                route = _planar_m(
-                    pg["snap_lon"].to_numpy(float)[:, None],
-                    pg["snap_lat"].to_numpy(float)[:, None],
-                    g["snap_lon"].to_numpy(float)[None, :],
-                    g["snap_lat"].to_numpy(float)[None, :],
-                )
-                direct = _planar_m(
-                    float(pg[lon].iloc[0]), float(pg[lat].iloc[0]),
-                    float(g[lon].iloc[0]), float(g[lat].iloc[0]),
-                )
-                trans = np.round(-np.abs(route - direct) / beta, 6)
-                tot = pscores[:, None] + trans        # (prev, cur)
-                back = np.argmax(tot, axis=0)          # first max wins
-                scores = tot[back, np.arange(len(g))] + emit
-            frames.append(g)
-            chains.append(back)
-            scores_hist.append(scores)
-            prev = (g, scores)
-        if not frames:
-            return pd.DataFrame(out)
-        # backtrack from the best final state (first max on ties)
-        j = int(np.argmax(scores_hist[-1]))
-        picks = [0] * len(frames)
-        for s in range(len(frames) - 1, -1, -1):
-            picks[s] = j
-            j = int(chains[s][j])
-        trk = int(key[0])
-        for s, g in enumerate(frames):
-            r = g.iloc[picks[s]]
-            out["track_id"].append(trk)
-            out["point_id"].append(int(r["_pid"]))
-            out["seg_id"].append(int(r[seg_id]))
-            out["dist_m"].append(float(r["dist_m"]))
-            out["t"].append(float(r["t"]))
-            out["snap_lon"].append(float(r["snap_lon"]))
-            out["snap_lat"].append(float(r["snap_lat"]))
-        return pd.DataFrame(out)
+    kmax = int(k)
 
-    return cand.groupBy("_trk").applyInPandas(decode, schema=MATCH_SCHEMA)
+    def decode_batch(batches) -> pd.DataFrame:
+        """TRACK-BATCHED Viterbi: every track in the partition is
+        packed into ONE padded (B, S_max, K) tensor and the DP walks
+        the step axis once with B-wide elementwise ops — the same
+        pair-batching trick as the Fréchet/DTW kernels (a per-track
+        python loop costs ~250 µs/point in pandas overhead; this is
+        ~60 numpy ops per step for ALL tracks).  Per-value float ops
+        and their order are IDENTICAL to the scalar chain (emission
+        round, _planar_m hypot, tot=score+trans then +emit, first-max
+        argmax), so the decode stays bit-reproducible vs _scalar_hmm;
+        padded candidate slots carry −inf scores (never argmax-won
+        while a real candidate exists) and padded steps are ignored
+        via each track's own final-step snapshot."""
+        chunks = [b for b in batches if len(b)]
+        if not chunks:
+            yield pd.DataFrame(
+                {f.name: pd.Series(dtype="float64") for f in MATCH_SCHEMA})
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        pdf = pdf.sort_values(["_trk", "_ep", "_pid", "dist_m", seg_id],
+                              kind="mergesort").reset_index(drop=True)
+        n = len(pdf)
+        trk = pdf["_trk"].to_numpy()
+        pid = pdf["_pid"].to_numpy()
+        new_trk = np.empty(n, dtype=bool)
+        new_trk[0] = True
+        new_trk[1:] = trk[1:] != trk[:-1]
+        new_step = new_trk.copy()
+        new_step[1:] |= pid[1:] != pid[:-1]
+        gstep = np.cumsum(new_step) - 1            # global step index
+        b_of_step = np.cumsum(new_trk[new_step]) - 1
+        bidx = b_of_step[gstep]                    # track index per row
+        B = int(b_of_step[-1]) + 1
+        n_steps = len(b_of_step)
+        # b_of_step / gstep are non-decreasing: first occurrences via
+        # searchsorted (a zero-init minimum.at would stick at 0)
+        first_step_of_trk = np.searchsorted(b_of_step, np.arange(B))
+        sidx = gstep - first_step_of_trk[bidx]     # step within track
+        first_row_of_step = np.searchsorted(gstep, np.arange(n_steps))
+        cidx = np.arange(n) - first_row_of_step[gstep]  # cand within step
+        St = np.bincount(b_of_step, minlength=B)   # steps per track
+        S = int(St.max())
+
+        def tens(vals, fill=0.0):
+            t = np.full((B, S, kmax), fill)
+            t[bidx, sidx, cidx] = vals
+            return t
+
+        dist = tens(pdf["dist_m"].to_numpy(float))
+        slon = tens(pdf["snap_lon"].to_numpy(float))
+        slat = tens(pdf["snap_lat"].to_numpy(float))
+        flat = np.full((B, S, kmax), -1, dtype=np.int64)
+        flat[bidx, sidx, cidx] = np.arange(n)
+        valid = flat >= 0
+        plon = np.zeros((B, S))
+        plat = np.zeros((B, S))
+        plon[bidx, sidx] = pdf[lon].to_numpy(float)
+        plat[bidx, sidx] = pdf[lat].to_numpy(float)
+
+        emit = np.round(-(dist ** 2) / sig2, 6)
+        NEG = -np.inf
+        scores = np.where(valid[:, 0, :], emit[:, 0, :], NEG)
+        back = np.full((B, S, kmax), -1, dtype=np.int64)
+        final = np.where(St[:, None] == 1, scores, NEG)
+        for s in range(1, S):
+            route = _planar_m(
+                slon[:, s - 1, :, None], slat[:, s - 1, :, None],
+                slon[:, s, None, :], slat[:, s, None, :],
+            )
+            direct = _planar_m(plon[:, s - 1], plat[:, s - 1],
+                               plon[:, s], plat[:, s])
+            trans = np.round(-np.abs(route - direct[:, None, None]) / beta, 6)
+            tot = scores[:, :, None] + trans       # (B, prev, cur)
+            bk = np.argmax(tot, axis=1)            # first max wins
+            sc = (np.take_along_axis(tot, bk[:, None, :], axis=1)[:, 0, :]
+                  + emit[:, s, :])
+            scores = np.where(valid[:, s, :], sc, NEG)
+            back[:, s, :] = bk
+            snap = St - 1 == s
+            if snap.any():
+                final[snap] = scores[snap]
+        # backtrack every track from ITS OWN last step (first max on ties)
+        picks = np.zeros((B, S), dtype=np.int64)
+        j = np.argmax(final, axis=1)
+        for s in range(S - 1, -1, -1):
+            act = s <= St - 1
+            picks[act, s] = j[act]
+            j = np.where(act, back[np.arange(B), s, j], j)
+        rows = flat[np.repeat(np.arange(B), St),
+                    np.concatenate([np.arange(c) for c in St]),
+                    picks[np.repeat(np.arange(B), St),
+                          np.concatenate([np.arange(c) for c in St])]]
+        yield pd.DataFrame({
+            "track_id": trk[rows].astype(np.int64),
+            "point_id": pid[rows].astype(np.int64),
+            "seg_id": pdf[seg_id].to_numpy()[rows].astype(np.int64),
+            "dist_m": pdf["dist_m"].to_numpy(float)[rows],
+            "t": pdf["t"].to_numpy(float)[rows],
+            "snap_lon": pdf["snap_lon"].to_numpy(float)[rows],
+            "snap_lat": pdf["snap_lat"].to_numpy(float)[rows],
+        })
+
+    par = points.sparkSession.sparkContext.defaultParallelism
+    return cand.repartition(par, "_trk").mapInPandas(
+        decode_batch, schema=MATCH_SCHEMA)
