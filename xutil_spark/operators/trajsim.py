@@ -149,7 +149,15 @@ def _candidate_pairs(cells: DataFrame, zoom: int) -> DataFrame:
 
 def _pair_arrays(pairs: DataFrame, arrs: DataFrame) -> DataFrame:
     """Attach both tracks' point arrays to each candidate pair:
-    ``arrs`` carries (``_trk``, ``lons``, ``lats``)."""
+    ``arrs`` carries (``_trk``, ``lons``, ``lats``).
+
+    The result feeds a Python DP stage whose cost is pairs × |A|·|B|,
+    while its own byte size is tiny — exactly the shape AQE's
+    partition coalescing mis-sizes (it targets bytes, so the whole
+    pair stream lands in 1-2 partitions and the DP runs nearly
+    serial).  Pin the DP's parallelism with an explicit repartition:
+    one extra shuffle of skinny pair rows, full-width Python stage."""
+    par = pairs.sparkSession.sparkContext.defaultParallelism
     return (
         pairs
         .join(arrs.select(F.col("_trk").alias("track_a"),
@@ -159,6 +167,7 @@ def _pair_arrays(pairs: DataFrame, arrs: DataFrame) -> DataFrame:
                           F.col("lons").alias("blon"),
                           F.col("lats").alias("blat")), on="track_b")
         .select("track_a", "track_b", "alon", "alat", "blon", "blat")
+        .repartition(par)
     )
 
 
