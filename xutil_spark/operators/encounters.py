@@ -152,6 +152,15 @@ def encounter_join(
         F.col("_lat").alias("_rlat"),
         F.col("cell").alias("_jcell"), F.col("_bkt").alias("_jbkt"),
     )
+    # exact pre-filter ordered cheapest-first (codegen'd And
+    # short-circuits): entity order, integer Δt, then |Δlat| — the
+    # great-circle central angle is ≥ |Δφ| (hav(c) = hav(Δφ) +
+    # cos·cos·hav(Δλ) ≥ hav(Δφ)), so d ≥ _M_PER_DEG·|Δlat°| and the
+    # guard can never drop a true pair; it spares the 10-trig
+    # haversine on the bulk of the candidate stream (ring cells span
+    # several degrees of latitude at coarse zooms)
+    from xutil_spark.operators.spatial_join import _M_PER_DEG
+
     pairs = (
         left.join(right, on=["_jcell", "_jbkt"], how="inner")
         .filter(
@@ -160,6 +169,8 @@ def encounter_join(
             F.when(F.col("_self"), F.col("_lent") < F.col("_rent"))
             .otherwise(F.col("_lent") != F.col("_rent"))
             & (F.abs(F.col("_lep") - F.col("_rep")) <= F.lit(int(window_s)))
+            & (F.abs(F.col("_rlat") - F.col("_llat")) * F.lit(_M_PER_DEG)
+               <= F.lit(float(radius_m)))
         )
         .withColumn("_d", native.haversine_m("_llon", "_llat", "_rlon", "_rlat"))
         .filter(F.col("_d") <= F.lit(float(radius_m)))
