@@ -307,6 +307,46 @@ def test_dedup_by_clusters_keeps_min_per_component(spark):
     assert sorted(kept["doc_id"]) == [1, 7, 9]
 
 
+def test_dedup_by_fingerprint_equals_pairwise_path(spark):
+    """The fingerprint-collapsed dedup must keep EXACTLY the rows the
+    row-pair path keeps: same-print rows collapse to one node (clique
+    edges never materialize) yet stay one component, cross-print edges
+    are the same hamming test.  Corpus mixes an identical-print clique,
+    a hamming-1 chain across prints, and unpaired singletons."""
+    fps = [0, 0, 0, 1, 1 << 63, 255, 254, 1 << 40]
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": list(range(len(fps))),
+        "fp": np.array(fps, dtype=np.uint64).astype(np.int64),
+    }))
+    pairs = D.hamming_near_dup_pairs(df, "fp", "doc_id",
+                                     max_hamming=3, bands=4)
+    want = sorted(
+        D.dedup_by_clusters(df, pairs, id_col="doc_id")
+        .toPandas()["doc_id"])
+    got = sorted(
+        D.dedup_by_fingerprint(df, "fp", id_col="doc_id",
+                               max_hamming=3, bands=4)
+        .toPandas()["doc_id"])
+    assert got == want
+
+
+def test_dedup_by_fingerprint_expected_survivors(spark):
+    # 0,0,0,1: identical-print clique + hamming-1 neighbor;
+    # 255/254: hamming-1 pair; 0xFFFF and 0xFFFF0000 are ≥16 bits
+    # from everything else — genuinely unpaired singletons
+    fps = [0, 0, 0, 1, 0xFFFF, 255, 254, 0xFFFF0000]
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": list(range(len(fps))),
+        "fp": np.array(fps, dtype=np.int64),
+    }))
+    got = sorted(
+        D.dedup_by_fingerprint(df, "fp", id_col="doc_id",
+                               max_hamming=3, bands=4)
+        .toPandas()["doc_id"])
+    # {0,1,2,3} one cluster -> 0; {5,6} -> 5; 4 and 7 unpaired
+    assert got == [0, 4, 5, 7]
+
+
 def test_cosine_topk_ivf_exact_mode_equals_brute(emb, emb_pd):
     """nprobe = n_lists probes every inverted list — must equal the
     brute path exactly (ranks, scores, tie order)."""

@@ -427,6 +427,51 @@ def dedup_by_clusters(
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def dedup_by_fingerprint(
+    df: DataFrame, fp_col: str, id_col: str = "doc_id",
+    max_hamming: int = 3, bands: int = 4,
+) -> DataFrame:
+    """``hamming_near_dup_pairs`` + ``dedup_by_clusters`` fused for the
+    case where the pair predicate is a function of the 64-bit
+    fingerprint alone — with the pair graph built over **DISTINCT
+    fingerprint values**, never over rows.
+
+    Why: real corpora contain large cliques of byte-identical prints
+    (c copies of one print ⇒ c·(c−1)/2 row-level pairs — the quadratic
+    blow-up that makes emit-pairs-then-cluster collapse at 10^12
+    rows), yet every row sharing a print is connected by definition.
+    Collapsing first bounds the graph by DISTINCT prints: c identical
+    prints contribute 1 node and 0 edges.  Row-level reachability is
+    preserved exactly — same-print rows share every band bucket, so
+    they were one clique in the row graph; cross-print edges are the
+    same hamming test either way — hence the survivor set (min row id
+    per component, every unpaired row kept) is identical to
+    ``dedup_by_clusters(df, hamming_near_dup_pairs(df, ...))``
+    (pytest-pinned).
+
+    Plan: one distinct at print cardinality, the banded bucket join
+    over prints, CC at print cardinality, one fact-side equi-join on
+    the print + one min-per-cluster aggregation."""
+    prints = (
+        df.select(F.col(fp_col).alias("_fp")).distinct()
+        .withColumn("_nid", F.col("_fp"))
+    )
+    fp_pairs = hamming_near_dup_pairs(
+        prints, "_fp", "_nid", max_hamming=max_hamming, bands=bands)
+    comp = connected_components(fp_pairs)
+    lab = (
+        prints.join(comp, prints["_nid"] == comp["id"], "left")
+        .select("_fp", F.coalesce("cluster_id", "_fp").alias("_lbl"))
+    )
+    survivors = (
+        df.select(F.col(id_col), F.col(fp_col).alias("_fp"))
+        .join(lab, on="_fp")
+        .groupBy("_lbl").agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(survivors, on=id_col, how="left_semi")
+
+
 # ------------------------------------------------------------------ simhash
 
 
