@@ -265,12 +265,15 @@ def _jaccard_verify_np(sets: DataFrame, pairs: DataFrame, id_col: str,
 
     schema = f"a {a_t}, b {a_t}, jaccard double"
     src = pairs.select("a", "b")
-    # the candidate-pair table often arrives single-partition (distinct
-    # of a small self-join) — spread it or the vectorized pass serializes
+    # the candidate-pair table often arrives AQE-coalesced to 1-2
+    # partitions (byte-targeted coalescing vs a compute-heavy Python
+    # stage) — spread it UNCONDITIONALLY: probing
+    # ``src.rdd.getNumPartitions()`` first would force AQE to
+    # materialize every upstream stage (re-running the whole candidate
+    # join) just to count partitions, while the repartition itself is
+    # one shuffle of skinny pair rows
     par = spark.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < par:
-        src = src.repartition(par)
-    return src.mapInPandas(verify, schema=schema)
+    return src.repartition(par).mapInPandas(verify, schema=schema)
 
 
 def _unionfind_driver(spark, edges_pd: pd.DataFrame, id_type: str) -> DataFrame:
