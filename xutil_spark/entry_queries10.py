@@ -56,12 +56,17 @@ def q_snap_nearest_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     from xutil_spark.operators.spatial_join import snap_to_segments
 
-    # lineitem carries exact duplicate rows → per DISTINCT point
-    pts = _points(spark, sf_dir).select("pid", "lon", "lat").dropDuplicates(["pid"])
+    # lineitem carries exact duplicate rows → per DISTINCT point.
+    # Pre-spread to defaultParallelism: the snap kernel's partition
+    # probe on a shuffle-fed input would otherwise force AQE to run
+    # the dedup stage once extra just to count partitions.
+    par = spark.sparkContext.defaultParallelism
+    pts = (_points(spark, sf_dir).select("pid", "lon", "lat")
+           .repartition(par, "pid").dropDuplicates(["pid"]))
     segs = _segments(spark, sf_dir)
     out = snap_to_segments(
         pts, segs, radius_m=_SNAP_RADIUS_M, zoom=_SNAP_ZOOM,
-        point_id="pid", seg_id="seg_id", by="by2",
+        point_id="pid", seg_id="seg_id", by="by2", spread_input=False,
     )
     return out.select("pid", "seg_id", "dist_m", "t", "snap_lon", "snap_lat")
 

@@ -1171,6 +1171,7 @@ def snap_to_segments_np(
     bx: str = "bx",
     by: str = "by",
     pair_chunk: int = 524_288,
+    spread_input: bool = True,
 ) -> DataFrame:
     """Exact snap against a **dim-sized** segment table with ZERO
     shuffles — the ``knn_join_np`` pattern applied to map matching.
@@ -1281,7 +1282,12 @@ def snap_to_segments_np(
 
     src = points
     par = points.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < par:
+    # the partition probe is free on scan-only inputs, but when the
+    # points carry an upstream shuffle (e.g. a dedup) it forces AQE to
+    # materialize that stage once extra just to count partitions —
+    # such callers pre-spread the points themselves and pass
+    # ``spread_input=False`` to skip the probe entirely
+    if spread_input and src.rdd.getNumPartitions() < par:
         src = src.repartition(par)
     return src.mapInPandas(run, out_schema)
 
@@ -1304,6 +1310,7 @@ def snap_to_segments(
     fine_zoom: int | str | None = "auto",
     strategy: str = "auto",
     np_max_segs: int = 4096,
+    spread_input: bool = True,
 ) -> DataFrame:
     """Snap each point to its nearest segment within ``radius_m`` — the
     map-matching primitive (point → road).  Inner semantics: points
@@ -1353,7 +1360,8 @@ def snap_to_segments(
     ):
         return snap_to_segments_np(
             points, segments, radius_m, point_id=point_id, seg_id=seg_id,
-            lon=lon, lat=lat, ax=ax, ay=ay, bx=bx, by=by)
+            lon=lon, lat=lat, ax=ax, ay=ay, bx=bx, by=by,
+            spread_input=spread_input)
 
     ring = 1
     while _ring_guarantee_m(zoom, ring, max_abs_lat=max_abs_lat) < radius_m * 1.05:
