@@ -41,7 +41,7 @@ def q_hmm_match_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
     Viterbi-decoded onto the supplier-chain road network (top-3 snap
     candidates within 50 km; quantized Newson-Krumm scores).  Engine:
     one broadcast supercover candidate join + per-point top-K window +
-    one applyInPandas at track cardinality."""
+    one track-keyed shuffle into a partition-batched tensor Viterbi."""
     _utc(spark)
     from xutil_spark.entry_queries10 import _segments
     from xutil_spark.entry_queries12 import _located_events

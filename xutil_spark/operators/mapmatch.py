@@ -30,9 +30,12 @@ emission`` left to right — so the decode is bit-reproducible.
 
 Engine shape: candidate generation is one broadcast supercover
 equi-join + a per-point top-K window (fact side: 1 cell encode + ring
-explode, 1 shuffle for the rank); the Viterbi is one
-``groupBy(track).applyInPandas`` at track cardinality — per-track cost
-O(points · K²) numpy, no Python in the candidate hot path.
+explode, 1 shuffle for the rank); the Viterbi is ONE shuffle keyed by
+track + a ``mapInPandas`` that packs every track in the partition
+into a single padded (tracks, steps, K) tensor and walks the step
+axis once with partition-wide elementwise ops — per-partition cost
+O(points · K²) numpy with no per-track pandas overhead, no Python in
+the candidate hot path.
 
 100-TB story: identical to the snap join's (the candidate stage IS the
 snap join minus the final min), plus one shuffle keyed by track id;
