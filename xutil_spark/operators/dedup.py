@@ -355,12 +355,18 @@ def connected_components(
     spark = pairs.sparkSession
     id_type = [f.dataType.simpleString() for f in pairs.schema.fields
                if f.name == "a"][0]
-    und = _ckpt(pairs.select("a", "b").distinct())
-    n_edges = und.count()
-    if n_edges <= driver_edge_gate:
+    und = pairs.select("a", "b").distinct()
+    # gate probe and driver fetch in ONE job: limit(gate+1) returns the
+    # complete distinct edge set whenever it fits the gate (a limit
+    # larger than the data is a full scan), and exactly gate+1 rows —
+    # dropped, never used — when it does not; the old count() + full
+    # toPandas() pair cost two extra passes over the edge lineage
+    head = und.limit(driver_edge_gate + 1).toPandas()
+    if len(head) <= driver_edge_gate:
         return _unionfind_driver(
-            spark, und.toDF("src", "dst").toPandas(), id_type
+            spark, head.rename(columns={"a": "src", "b": "dst"}), id_type
         )
+    und = _ckpt(und)
 
     edges = _ckpt(
         und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
