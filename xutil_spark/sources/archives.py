@@ -395,3 +395,56 @@ def write_csv_split(
         .option("maxRecordsPerFile", max_records_per_file)
         .csv(path)
     )
+
+
+def file_copy(src: str, dest: str) -> None:
+    """Recursive copy preserving modes and symlinks (file.go:323-396
+    ``FileCopy``/``filecopy``/``dircopy``/``linkcopy``): symlinks are
+    re-created pointing at the same target, directories copy
+    recursively and restore the original dir mode afterwards, plain
+    files create parent dirs and carry the source mode."""
+    import shutil
+
+    st = os.lstat(src)
+    if os.path.islink(src):
+        os.symlink(os.readlink(src), dest)
+        return
+    if os.path.isdir(src):
+        os.makedirs(dest, exist_ok=True)
+        try:
+            for name in sorted(os.listdir(src)):
+                file_copy(os.path.join(src, name), os.path.join(dest, name))
+        finally:
+            os.chmod(dest, st.st_mode)
+        return
+    os.makedirs(os.path.dirname(dest) or ".", exist_ok=True)
+    shutil.copyfile(src, dest)
+    os.chmod(dest, st.st_mode)
+
+
+def is_files_exist(paths: list) -> None:
+    """Validate that every path is an existing regular FILE; raises
+    ``FileNotFoundError`` naming all offenders, joined with "," and
+    suffixed " HasError" (file.go:61-76 ``IsFilesExist``)."""
+    bad = [p for p in paths if not os.path.isfile(p)]
+    if bad:
+        raise FileNotFoundError(",".join(bad) + " HasError")
+
+
+def is_dirs_exist(paths: list, create: bool = False) -> None:
+    """Validate that every path is an existing DIRECTORY; with
+    ``create=True`` missing ones are created (mkdir -p) and only
+    creation failures count (file.go:78-98 ``IsDirsExist``)."""
+    bad = []
+    for p in paths:
+        if os.path.isdir(p):
+            continue
+        if create:
+            try:
+                os.makedirs(p, exist_ok=True)
+            except OSError:
+                bad.append(p)
+        else:
+            bad.append(p)
+    if bad:
+        raise FileNotFoundError(",".join(bad) + " HasError")
