@@ -244,3 +244,27 @@ def test_is_files_and_dirs_exist(tmp_path):
         is_dirs_exist([str(tmp_path / "nodir")], create=False)
     is_dirs_exist([str(tmp_path / "made" / "deep")], create=True)
     assert (tmp_path / "made" / "deep").is_dir()
+
+
+def test_ftp_file_list_remote_pipeline(spark):
+    """Remote FtpFileList = connector info_list -> regex on the NAME
+    field -> TimeParse -> full info string emitted (sftp.go:299-329)."""
+    tree = {
+        "LIST:/pm/k.csv": [
+            "-rw-r--r--    1 u  g   10 Oct 09 17:23 K_20260820121314.csv"],
+        "LIST:/pm/skip.txt": [
+            "-rw-r--r--    1 u  g   10 Oct 09 17:23 nodate.txt"],
+    }
+    from xutil_spark.sources.remote import ftp_file_list
+
+    conn = XFtp("h:21", "u", "p", transport=FakeTransport(tree), now=_NOW)
+    out = ftp_file_list(
+        spark, conn,
+        [((["/pm/k.csv", "/pm/skip.txt"]),
+          {"kpi": r"K_(\d{14})\.csv"})],
+    ).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["rule_id"] == "kpi"
+    assert r["dtime"] == "2026-08-20 12:13:14"
+    assert r["fname"].startswith("/pm/K_20260820121314.csv,file,10,")

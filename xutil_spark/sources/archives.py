@@ -345,13 +345,17 @@ def file_head(spark: SparkSession, path: str, sep: str = ",") -> list[str]:
 
 def file_list_pattern(
     listing: DataFrame, rules: list[tuple[str, str]], fname_col: str = "fname",
+    emit_col: str | None = None,
 ) -> DataFrame:
     """FTP-listing pattern match + embedded-timestamp extraction
     (``FtpFileList``, ftp.go:287-319): for each (rule_id, regex) rule,
     keep files whose name captures ONE group, parse the capture with the
     TimeParse ladder; unparseable timestamps yield '' (the reference's
     error branch).  Output: (rule_id, dtime, fname) — one row per
-    (rule, matching file)."""
+    (rule, matching file).  ``emit_col`` names the column emitted as
+    ``fname`` when it differs from the matched one (the remote variant
+    matches on the NAME field but emits the full info string,
+    sftp.go:317-323)."""
     from xutil_spark.operators.relational import time_parse
 
     parts = []
@@ -364,7 +368,7 @@ def file_list_pattern(
                 F.coalesce(
                     F.date_format(parsed, "yyyy-MM-dd HH:mm:ss"), F.lit("")
                 ).alias("dtime"),
-                F.col(fname_col).alias("fname"),
+                F.col(emit_col or fname_col).alias("fname"),
             )
         )
     out = parts[0]

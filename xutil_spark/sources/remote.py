@@ -367,6 +367,37 @@ class _ParamikoTransport:
         self._client.close()
 
 
+def ftp_file_list(spark, conn, rules: list):
+    """Remote ``FtpFileList`` (sftp.go:299-329): for each (patterns,
+    {rule_id: regex}) rule set, run the connector's ``info_list`` and
+    push the rows through the same regex+TimeParse pipeline as the
+    LOCAL listing variant (``archives.file_list_pattern``) — one Spark
+    path for both local and remote listings, so the incremental-ingest
+    anti-join composes unchanged.  ``conn`` is a connected
+    :class:`XFtp` / :class:`XSFtp`.
+
+    The regex matches the NAME field (before the first comma) but the
+    emitted ``fname`` is the full ``"dir/name,type,size,time"`` info
+    string, as in the reference.  Output: (rule_id, dtime, fname)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from xutil_spark.sources.archives import file_list_pattern
+
+    rows: list = []
+    flat_rules: list = []
+    for patterns, ids in rules:
+        conn.file_patterns = list(patterns)
+        rows.extend(conn.info_list())
+        flat_rules.extend(ids.items())
+    listing = spark.createDataFrame(
+        pd.DataFrame({"_info": pd.Series(rows, dtype="object")}),
+        schema="_info string",
+    ).withColumn("_name", F.split("_info", ",")[0])
+    return file_list_pattern(listing, flat_rules,
+                             fname_col="_name", emit_col="_info")
+
+
 # --------------------------------------------------------------- sqlldr
 
 
