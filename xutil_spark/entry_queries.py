@@ -1080,7 +1080,13 @@ ORACLES.update(ORACLES20)
 # the overflow budget (len(QUERIES)-100 = 40, all r03-green as the
 # three-round cap requires) — so do NOT register new queries in r05
 # before CORRECTNESS_r04 lands, and front-load any r04 red rows by
-# swapping them against the 3 discretionary slots.  test_registry.py
+# swapping them against the 3 discretionary slots.  Spare-slot
+# priority if r04 is all-green: (1) file_list_pattern — its operator
+# gained a default-preserving emit_col parameter late in r04 (the
+# existing query's plan and values are bit-identical, locally
+# re-verified vs the oracle, but fresh driver evidence is cheap);
+# (2) ngram_jaccard — its verify path's partition handling changed
+# late in r04 (locally re-verified green).  test_registry.py
 # enforces all of this mechanically; build the window, run pytest,
 # fix what it names.  `python tools/build_window.py [touched ...]`
 # constructs the window from the ledger (validated against a simulated
