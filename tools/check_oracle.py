@@ -8,6 +8,7 @@ Usage: python tools/check_oracle.py [sf_dir] [name ...]
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 
 import duckdb
@@ -48,11 +49,17 @@ def value_hash(pdf: pd.DataFrame) -> str:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = sys.argv[1:]
+    ledger_path = None
+    if "--ledger" in args:
+        i = args.index("--ledger")
+        ledger_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     from xutil_spark.entry_queries import ORACLES, QUERIES
     from xutil_spark.session import get_session
 
-    names = sys.argv[2:] or [n for n in QUERIES if n in ORACLES]
+    names = args[1:] or [n for n in QUERIES if n in ORACLES]
 
     spark = get_session(master="local[8]", shuffle_partitions=16)
     con = duckdb.connect()
@@ -62,6 +69,7 @@ def main():
         )
 
     failures = []
+    ledger: dict = {}
     for name in names:
         try:
             sdf = QUERIES[name](spark, sf_dir).toPandas()
@@ -69,6 +77,10 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"[ERROR] {name}: {type(e).__name__}: {str(e)[:300]}")
             failures.append(name)
+            ledger[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": None,
+                            "oracle_rows": None,
+                            "err": f"{type(e).__name__}: {str(e)[:200]}"}
             continue
         ok_rows = len(sdf) == len(odf)
         ok_cols = sorted(map(str.lower, sdf.columns)) == sorted(map(str.lower, odf.columns))
@@ -77,6 +89,9 @@ def main():
         h1 = value_hash(sdf) if ok_cols else "-"
         h2 = value_hash(odf) if ok_cols else "-"
         ok = ok_rows and ok_cols and h1 == h2
+        ledger[name] = {"rows_match": ok_rows, "schema_match": ok_cols,
+                        "hash_match": h1 == h2, "spark_rows": len(sdf),
+                        "oracle_rows": len(odf), "err": None}
         print(f"[{'OK' if ok else 'FAIL'}] {name}: rows {len(sdf)}/{len(odf)}"
               f" cols={'ok' if ok_cols else (list(sdf.columns), list(odf.columns))}"
               f" hash={'match' if h1 == h2 else 'MISMATCH'}")
@@ -89,6 +104,16 @@ def main():
                 print("  spark:", m.to_dict("records"))
                 print("  duck :", o.to_dict("records"))
     print(f"\n{len(names) - len(failures)}/{len(names)} queries match")
+    if ledger_path:
+        import json
+        merged: dict = {}
+        if os.path.exists(ledger_path):
+            with open(ledger_path) as fh:
+                merged = json.load(fh)
+        merged.update(ledger)
+        with open(ledger_path, "w") as fh:
+            json.dump(merged, fh, indent=1, sort_keys=True)
+        print(f"ledger: {len(merged)} entries -> {ledger_path}")
     return 1 if failures else 0
 
 
