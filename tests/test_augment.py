@@ -32,7 +32,8 @@ def _expected(px, op):
         return np.rot90(px, k=-1)
     h, w = px.shape[0], px.shape[1]
     crop = px[h // 4:h // 4 + h // 2, w // 4:w // 4 + w // 2]
-    return crop[np.arange(h) // 2][:, np.arange(w) // 2]
+    ch, cw = h // 2, w // 2
+    return crop[np.arange(h) * ch // h][:, np.arange(w) * cw // w]
 
 
 def test_augment_ops_bit_exact(spark):
@@ -84,3 +85,22 @@ def test_augment_rot90_swaps_dims_and_sum_invariant(spark):
     gotc = K_codec.decode_image(bytes(out["crop2x"].bytes), 10, 6, "raw")
     assert int(gotc.astype(np.int64).sum()) == 4 * int(
         crop.astype(np.int64).sum())
+
+
+def test_augment_odd_dimensions_no_index_error(spark):
+    """Regression: crop2x's nearest-resize used arange(h)//2, which
+    indexes row h//2 (out of bounds on the h//2-row crop) for odd h —
+    an IndexError that killed the Spark task.  Odd widths and heights
+    must round-trip through every op."""
+    arrays = [_rand(5, 7, s) for s in range(12)] + [_rand(9, 4, 77)]
+    out = {r.image_id: r for r in augment(_img_df(spark, arrays)).collect()}
+    assert len(out) == len(arrays)
+    seen = set()
+    for i, px in enumerate(arrays):
+        r = out[f"t{i:03d}"]
+        op = AUGMENT_OPS[_fnv1a64(f"t{i:03d}") % 4]
+        seen.add(op)
+        exp = _expected(px, op)
+        got = K_codec.decode_image(bytes(r.bytes), r.w, r.h, "raw")
+        assert np.array_equal(got, exp), (i, op)
+    assert "crop2x" in seen  # the regression op actually ran

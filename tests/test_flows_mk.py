@@ -537,3 +537,21 @@ def test_gravity_expected_sums_to_total(spark):
     total = sum(pairs.values())
     # the total-flow constraint: Σ expected = T up to quantization
     assert sum(r.expected for r in rows) == pytest.approx(total, rel=1e-6)
+
+
+def test_gravity_flows_self_loop_yields_null_not_ansi_error(spark):
+    """Regression: a from_cell == to_cell flow has d_km = 0; the
+    gravity division must produce NULL (try_divide), not a
+    DIVIDE_BY_ZERO abort under Spark's default ANSI mode."""
+    from xutil_spark.kernels.tiles import cell_pack
+    from xutil_spark.operators.flows import gravity_flows
+
+    z = 5
+    A = int(cell_pack(10, 10, z))
+    B = int(cell_pack(11, 10, z))
+    df = spark.createDataFrame(
+        [(A, A, 4), (A, B, 6)],
+        "from_cell long, to_cell long, n_moves long")
+    got = {(r.from_cell, r.to_cell): r for r in gravity_flows(df, z).collect()}
+    assert got[(A, A)].expected is None and got[(A, A)].ratio is None
+    assert got[(A, B)].expected is not None

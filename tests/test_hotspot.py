@@ -96,3 +96,11 @@ def test_radius_two_ring(spark):
     # (22,20)'s Chebyshev-2 ring holds itself and (20,20) — (23,23)
     # is Chebyshev 3 away: wn=2
     assert got[int(cell_pack(22, 20, z))][1] == 2
+
+
+def test_single_occupied_cell_yields_null_z_not_ansi_error(spark):
+    """Regression: n = 1 makes the Gi* variance term divide by n−1 = 0;
+    it must yield NULL z (try_divide), not a DIVIDE_BY_ZERO abort under
+    Spark's default ANSI mode."""
+    rows = _run(spark, {(100, 100): 7}, 8)
+    assert list(rows.values()) == [(7, 1, None)]

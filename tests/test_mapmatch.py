@@ -129,3 +129,31 @@ def test_hmm_strategies_agree(spark):
     out_np = _match(spark, _PTS, _SEGS, strategy="np")
     out_cells = _match(spark, _PTS, _SEGS, strategy="cells")
     pd.testing.assert_frame_equal(out_np, out_cells)
+
+
+def test_candidate_segments_shuffle_join_path_matches_broadcast(spark):
+    """broadcast_segs=False (the >500k-segment network route) must
+    produce the identical candidate set via the shuffle join."""
+    segs = pd.DataFrame({
+        "seg_id": [1, 2, 3],
+        "ax": [0.00, 0.00, 0.05],
+        "ay": [0.010, -0.010, 0.030],
+        "bx": [0.10, 0.10, 0.05],
+        "by": [0.010, -0.010, -0.030],
+    })
+    pts = pd.DataFrame({
+        "pid": list(range(25)),
+        "lon": [0.004 * i - 0.03 for i in range(25)],
+        "lat": [0.002 * ((i * 5) % 7) - 0.006 for i in range(25)],
+    })
+    kw = dict(radius_m=4_000.0, k=2, point_id="pid", zoom=10)
+    cols = ["pid", "rank", "seg_id", "dist_m", "t", "snap_lon", "snap_lat"]
+    a = candidate_segments(
+        spark.createDataFrame(pts), spark.createDataFrame(segs),
+        broadcast_segs=True, **kw).toPandas()
+    b = candidate_segments(
+        spark.createDataFrame(pts), spark.createDataFrame(segs),
+        broadcast_segs=False, **kw).toPandas()
+    a = a[cols].sort_values(["pid", "rank"]).reset_index(drop=True)
+    b = b[cols].sort_values(["pid", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

@@ -71,3 +71,10 @@ def test_nn_vertical_pair_uses_lat_units(spark):
     df = spark.createDataFrame(rows, "event_id long, lon double, lat double")
     r = nn_stats_cells(df, _Z).collect()[0]
     assert (r.n, r.mean_nn_u) == (2, 400.0)
+
+
+def test_ce_se_const_is_the_textbook_value():
+    """Regression: an earlier revision halved √((4−π)/(4π)) to 0.13068,
+    doubling every z_ce — borderline cells (true z≈1.2) read as
+    significant (z≈2.4)."""
+    assert CE_SE_CONST == pytest.approx(0.26136, abs=5e-6)

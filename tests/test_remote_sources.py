@@ -268,3 +268,30 @@ def test_ftp_file_list_remote_pipeline(spark):
     assert r["rule_id"] == "kpi"
     assert r["dtime"] == "2026-08-20 12:13:14"
     assert r["fname"].startswith("/pm/K_20260820121314.csv,file,10,")
+
+
+def test_ftp_file_list_scopes_regexes_to_their_own_rule_set(spark):
+    """Regression: rule sets were pooled — every set's regexes ran over
+    every set's listings, emitting phantom rows whenever a regex
+    matched the OTHER set's files.  The reference scopes each set's
+    Info regexes to that set's own InfoList (sftp.go:307-316)."""
+    tree = {
+        "LIST:/a/K_1.csv": [
+            "-rw-r--r--    1 u  g   10 Oct 09 17:23 K_20260101000000.csv"],
+        "LIST:/b/K_2.csv": [
+            "-rw-r--r--    1 u  g   10 Oct 09 17:23 K_20260202000000.csv"],
+    }
+    from xutil_spark.sources.remote import ftp_file_list
+
+    conn = XFtp("h:21", "u", "p", transport=FakeTransport(tree), now=_NOW)
+    # both rule sets' regexes match ANY K_<14 digits>.csv name — only
+    # the set's own listing may produce rows
+    out = ftp_file_list(
+        spark, conn,
+        [((["/a/K_1.csv"]), {"ra": r"K_(\d{14})\.csv"}),
+         ((["/b/K_2.csv"]), {"rb": r"K_(\d{14})\.csv"})],
+    ).toPandas().sort_values("rule_id").reset_index(drop=True)
+    assert len(out) == 2
+    assert list(out["rule_id"]) == ["ra", "rb"]
+    assert out.loc[0, "fname"].startswith("/a/K_20260101000000.csv,")
+    assert out.loc[1, "fname"].startswith("/b/K_20260202000000.csv,")

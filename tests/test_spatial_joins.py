@@ -343,3 +343,73 @@ def test_fused_tile_stats_matches_plain_agg(spark):
     assert (plain["n"].values == agg["n"].values).all()
     assert np.allclose(plain["ar"], agg["ar"], atol=1e-6)
     assert np.allclose(plain["ad"], agg["ad"], atol=1e-6)
+
+
+def test_ring_guarantee_expr_polar_points_never_exceed_true_distance(spark):
+    """Regression: the linear span·cos(φ_far) bound with φ_far capped at
+    85° INFLATED above the true unsearched-region distance for points
+    poleward of the cap (φ=89°, zoom 6: 54.5 km claimed vs 21.8 km
+    actual) — a resolved-with-wrong-neighbors hazard.  The cross-track
+    form must lower-bound the haversine distance to every ref ≥ 2 tile
+    spans away in longitude, at any latitude."""
+    import math
+
+    zoom, ring = 6, 1
+    span = 360.0 / (2 ** zoom)
+    lats = [0.0, 30.0, 60.0, 84.9, 85.5, 89.0, -89.0]
+    df = spark.createDataFrame(pd.DataFrame({"lat": lats}))
+    got = (
+        df.select(SJ._ring_guarantee_expr(F.col("lat"), zoom, ring)
+                  .alias("g"), "lat")
+        .toPandas().set_index("lat")["g"]
+    )
+    for lat in lats:
+        # nearest possibly-unsearched ref: one full span over in lon
+        # (point on its cell's left boundary), same latitude
+        d_true = K_dist.point_dist_haversine(
+            np.array([0.0]), np.array([lat]),
+            np.array([span]), np.array([lat]))[0]
+        assert got[lat] <= d_true + 1e-6, (lat, got[lat], d_true)
+        # and sanity: positive and within the meridian cross-track cap
+        cap = 6371000.0 * math.asin(
+            math.cos(math.radians(abs(lat)))
+            * math.sin(math.radians(min(ring * span, 90.0))))
+        assert 0.0 < got[lat] <= cap + 1e-6
+
+
+def test_ring_guarantee_m_wide_span_stays_below_true_minimum():
+    """Regression: at zoom 3, ring 3 (ring span 135°) the linear form
+    claimed 3.75e6 m while the true minimum distance from a 60°-lat
+    point to the unsearched region (over the pole) is 3.34e6 m.  And a
+    ring that covers every cell leaves nothing unsearched → inf."""
+    g = SJ._ring_guarantee_m(3, 3, max_abs_lat=60.0)
+    d_pole = K_dist.point_dist_haversine(
+        np.array([0.0]), np.array([60.0]),
+        np.array([0.0]), np.array([90.0]))[0]
+    assert 0.0 < g <= d_pole
+    assert SJ._ring_guarantee_m(1, 1) == float("inf")
+
+
+def test_knn_searcher_polar_wide_grid_matches_brute(spark):
+    """Grid-index kNN over refs reaching ±89° latitude and a wide
+    longitude span: the ring-1 guarantee must stay a true lower bound
+    (arcsin cross-track), so results equal brute force exactly."""
+    rng = np.random.default_rng(42)
+    n_refs, n_pts, k = 900, 250, 3
+    refs_pd = pd.DataFrame({
+        "ref_id": [f"r{i}" for i in range(n_refs)],
+        "lon": rng.uniform(-88.0, 88.0, n_refs).round(6),
+        "lat": rng.uniform(-89.0, 89.0, n_refs).round(6),
+    })
+    pts_pd = pd.DataFrame({
+        "image_id": [f"p{i}" for i in range(n_pts)],
+        "lon": rng.uniform(-88.0, 88.0, n_pts).round(6),
+        "lat": rng.uniform(-89.0, 89.0, n_pts).round(6),
+    })
+    refs = spark.createDataFrame(refs_pd)
+    pts = spark.createDataFrame(pts_pd)
+    got = SJ.knn_join_np(pts, refs, k=k).toPandas()
+    exp = _brute_knn(pts_pd, refs_pd, k)
+    assert set(got["image_id"]) == set(exp.keys())
+    for pid, grp in got.groupby("image_id"):
+        assert list(grp.sort_values("rank")["ref_id"]) == exp[pid], pid

@@ -1086,7 +1086,23 @@ ORACLES.update(ORACLES20)
 # existing query's plan and values are bit-identical, locally
 # re-verified vs the oracle, but fresh driver evidence is cheap);
 # (2) ngram_jaccard — its verify path's partition handling changed
-# late in r04 (locally re-verified green).  test_registry.py
+# late in r04 (locally re-verified green).
+#
+# LATE-r04 CODE-TOUCHED (self-review fix batch; every one locally
+# re-verified green vs its oracle after the change, ledger refreshed
+# in CORRECTNESS_LOCAL_r04.json): the ring-guarantee bounds moved to
+# the exact cross-track form (touches knn_k3*, knn_images_refs,
+# range_count_50km, snap_nearest_segment, encounters_z6,
+# traj_hausdorff/frechet/dtw, seg_crossings, hmm_match_tracks),
+# gravity_flows_z5 + hotspot_gistar gained try_divide degenerate-input
+# guards (values unchanged on contract data), nn_index_z8's
+# CE_SE_CONST was corrected to the textbook 0.26136 (VALUES CHANGED —
+# engine and oracle together), image_augment's crop2x is odd-dim safe
+# (even-dim values unchanged), idcard_pipeline* keys its /tmp dim
+# cache by content hash (values unchanged).  Queries marked * are in
+# the r04 window and were re-verified green under the new code; the
+# rest are REGISTERED_ROUND=4 and get their first driver row in r05
+# with this code already in place.  test_registry.py
 # enforces all of this mechanically; build the window, run pytest,
 # fix what it names.  `python tools/build_window.py [touched ...]`
 # constructs the window from the ledger (validated against a simulated

@@ -234,15 +234,23 @@ def q_idcard_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # write the dim as JSON and load through load_region_dim — the
     # reference's ChinaAddr.json route (idcard.go:40-53) at full
     # cardinality, not a toy in-memory frame
+    import hashlib
     import json
     import os
     import tempfile
 
-    path = os.path.join(tempfile.gettempdir(), "xutil_region_dim.json")
+    # key the cache file by content hash: a bare exists() check would
+    # silently reuse a stale dim written by an older code version (or
+    # another process on shared /tmp) after _REGIONS changes, making
+    # the join diverge from the in-memory oracle
+    payload = json.dumps(dict(_REGIONS), sort_keys=True)
+    digest = hashlib.md5(payload.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(),
+                        f"xutil_region_dim_{digest}.json")
     if not os.path.exists(path):
         tmp = f"{path}.{os.getpid()}.tmp"
         with open(tmp, "w", encoding="utf-8") as fh:
-            json.dump(dict(_REGIONS), fh)
+            fh.write(payload)
         os.replace(tmp, path)  # atomic: concurrent query runs see whole files
     from xutil_spark.operators.relational import load_region_dim
 

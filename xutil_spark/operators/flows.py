@@ -131,9 +131,11 @@ def gravity_flows(
     from xutil_spark.functions import native
 
     d_km = native.haversine_m(flon, flat, tlon, tlat) / F.lit(1000.0)
-    g = (
-        F.col("out_o").cast("double") * F.col("in_d").cast("double")
-        / (d_km * d_km)
+    # try_divide: a self-loop flow (from_cell == to_cell, d_km = 0)
+    # must yield NULL gravity, not an ANSI DIVIDE_BY_ZERO abort
+    g = F.try_divide(
+        F.col("out_o").cast("double") * F.col("in_d").cast("double"),
+        d_km * d_km,
     )
     j = j.withColumn("_gq", F.round(g * F.lit(float(q_scale)), 0).cast("long"))
     tot = j.agg(

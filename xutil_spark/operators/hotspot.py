@@ -77,8 +77,14 @@ def gi_star(counts: DataFrame, zoom: int, radius: int = 1) -> DataFrame:
     # the SQL oracle so both sides do the identical float64 ops
     xbar = F.col("sx").cast("double") / F.col("n")
     svar = (F.col("sxx").cast("double") / F.col("n")) - (xbar * xbar)
-    u = (F.col("n") * F.col("wn") - F.col("wn") * F.col("wn")).cast(
-        "double") / (F.col("n") - F.lit(1))
+    # try_divide: a surface with exactly one occupied cell (n = 1)
+    # must yield NULL z, not an ANSI DIVIDE_BY_ZERO abort — the
+    # when(denom > 0) guard below does not stop the division itself
+    # from being evaluated
+    u = F.try_divide(
+        (F.col("n") * F.col("wn") - F.col("wn") * F.col("wn")).cast("double"),
+        (F.col("n") - F.lit(1)).cast("double"),
+    )
     denom = F.sqrt(svar) * F.sqrt(u)
     num = F.col("gsum").cast("double") - (xbar * F.col("wn").cast("double"))
     z = F.when(denom > 0.0, F.round(num / denom, 6) + F.lit(0.0))

@@ -63,6 +63,10 @@ from xutil_spark.operators.spatial_join import (
     with_cell,
 )
 
+# largest segment count whose exploded supercover is still safely
+# broadcastable (~500k segs × ~3 cells × ~60 B ≈ 90 MB)
+_BCAST_MAX_SEGS = 500_000
+
 MATCH_SCHEMA = T.StructType([
     T.StructField("track_id", T.LongType(), False),
     T.StructField("point_id", T.LongType(), False),
@@ -90,12 +94,19 @@ def candidate_segments(
     by: str = "by",
     max_abs_lat: float = 60.0,
     extra_cols: tuple = (),
+    broadcast_segs: bool = True,
 ) -> DataFrame:
     """Top-``k`` segments within ``radius_m`` of each point, scored by
     the snap projection: ``(point_id, [extra_cols...], rank, seg_id,
     dist_m, t, snap_lon, snap_lat)``.  Exact: the ring is sized so the
     static guarantee covers the radius (the snap coarse-pass bound).
-    ``extra_cols`` (e.g. track id / timestamp) pass through."""
+    ``extra_cols`` (e.g. track id / timestamp) pass through.
+
+    ``broadcast_segs=False`` switches the supercover join to a shuffle
+    join — required when the exploded segment×cell table is not
+    dim-sized (e.g. a 10^7-segment road network would blow the
+    broadcast limit); same knob and reasoning as
+    ``snap_to_segments``."""
     ring = 1
     while _ring_guarantee_m(zoom, ring, max_abs_lat=max_abs_lat) < radius_m * 1.05:
         ring += 1
@@ -104,9 +115,10 @@ def candidate_segments(
 
     segs = _segments_with_cells(segments, zoom, seg_id, ax, ay, bx, by)
     pc = with_cell(points, zoom, lon, lat, out="_ccell")
+    seg_dim = F.broadcast(segs) if broadcast_segs else segs
     cand = (
         _explode_neighbors(pc, F.col("_ccell"), zoom, ring, out="_cncell")
-        .join(F.broadcast(segs), F.col("_cncell") == F.col("_scell"), "inner")
+        .join(seg_dim, F.col("_cncell") == F.col("_scell"), "inner")
     )
     kc = F.lit(_M_PER_DEG)
     kx = kc * F.cos(F.radians(F.col(lat)))
@@ -313,6 +325,7 @@ def hmm_map_match(
     max_abs_lat: float = 60.0,
     strategy: str = "auto",
     np_max_segs: int = 16384,
+    broadcast_segs: bool | str = "auto",
 ) -> DataFrame:
     """Viterbi-matched segment per track point: ``(track_id, point_id,
     seg_id, dist_m, t, snap_lon, snap_lat)``.  Points with no candidate
@@ -343,11 +356,20 @@ def hmm_map_match(
             ax=ax, ay=ay, bx=bx, by=by, extra_cols=("_trk", "_ep"),
         )
     else:
+        if broadcast_segs == "auto":
+            # broadcast only a provably dim-sized supercover: the
+            # exploded segment×cell table must fit the driver and every
+            # executor — a 10^7-segment network would blow the
+            # broadcast limit, so route it to the shuffle join
+            broadcast_segs = (
+                segments.limit(_BCAST_MAX_SEGS + 1).count()
+                <= _BCAST_MAX_SEGS)
         cand = candidate_segments(
             pts, segments, radius_m, k=k, zoom=zoom,
             point_id="_pid", seg_id=seg_id, lon=lon, lat=lat,
             ax=ax, ay=ay, bx=bx, by=by, max_abs_lat=max_abs_lat,
             extra_cols=("_trk", "_ep"),
+            broadcast_segs=bool(broadcast_segs),
         )
     sig2 = 2.0 * float(sigma_m) * float(sigma_m)
     beta = float(beta_m)

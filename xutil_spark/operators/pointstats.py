@@ -37,10 +37,12 @@ from pyspark.sql import functions as F
 
 from xutil_spark.functions import native
 
-# Clark & Evans (1954) standard-error constant √((4−π)/(4π))·2 ≈ the
-# textbook 0.26136, kept at full double precision and mirrored verbatim
-# (repr) in the oracle
-CE_SE_CONST = math.sqrt((4.0 - math.pi) / (4.0 * math.pi)) / 2.0
+# Clark & Evans (1954) standard-error constant √((4−π)/(4π)) — the
+# textbook 0.26136 — kept at full double precision and mirrored
+# verbatim (repr) in the oracle.  (An earlier revision divided this by
+# 2, which doubled every z_ce score: SE of the mean NN distance under
+# CSR is σ/√n = √((4−π)/(4πλ))/√n = 0.26136·√A/n, no extra factor.)
+CE_SE_CONST = math.sqrt((4.0 - math.pi) / (4.0 * math.pi))
 
 
 def nn_stats_cells(

@@ -172,6 +172,7 @@ def _explode_neighbors(df: DataFrame, cell_col: Column, zoom: int, ring: int,
 
 
 _M_PER_DEG_HAV = 111194.9  # π/180 × 6,371,000 — meters/deg under our haversine
+_R_HAV = 6371000.0  # sphere radius shared with the haversine kernels
 
 # fitted-grid density target: ~this×k refs per cell (3×3 block ≈ 9×
 # this×k candidates per point).  Lower = fewer haversine pairs but more
@@ -199,26 +200,49 @@ def _refs_with_cell(refs: DataFrame, zoom: int, ref_id: str, ref_lon: str,
 def _ring_guarantee_m(zoom: int, ring: int, max_abs_lat: float = 60.0) -> float:
     """Static lower bound on the distance from any point in the center
     cell to the nearest *unsearched* cell beyond ``ring`` (used by
-    distance_join's ring sizing).  Conservative (worst latitude)."""
+    distance_join's ring sizing).  Conservative (worst latitude).
+    The longitude direction uses the exact cross-track minimum
+    R·asin(cosφ·sin(Δλ)) rather than the linear Δλ·cosφ·m/deg form —
+    the linear bound exceeds the true haversine minimum once
+    ring·span is wide (e.g. zoom ≤ 2), which would overstate how far
+    the unsearched region is."""
     span_deg = 360.0 / (2 ** zoom)
-    return ring * span_deg * math.cos(math.radians(max_abs_lat)) * _M_PER_DEG_HAV * 0.5
+    if 2 * ring + 1 >= 2 ** zoom:
+        # the block covers every cell on both axes — nothing is
+        # unsearched, so any radius is guaranteed
+        return float("inf")
+    dl = math.radians(min(ring * span_deg, 90.0))
+    gx = _R_HAV * math.asin(math.cos(math.radians(max_abs_lat)) * math.sin(dl))
+    phi_far = min(max_abs_lat + (ring + 1) * span_deg, 85.06)
+    gy = ring * span_deg * _M_PER_DEG_HAV * math.cos(math.radians(phi_far))
+    return 0.5 * min(gx, gy)
 
 
 def _ring_guarantee_expr(lat_col: Column, zoom: int, ring: int = 1) -> Column:
     """PER-POINT guarantee: the searched block spans ``ring`` full tiles
-    beyond the point's cell in every direction.  In Web-Mercator a
-    tile's latitude span at latitude φ is ≥ span_lon·cos(φ_far) for any
-    φ_far ≥ the block's farthest |latitude|, and the longitude distance
-    of a tile is span_lon·cos(φ)·m/deg — so
-    ``ring · span · cos(|lat| + (ring+1)·span) · m_per_deg`` lower-bounds
-    the distance to anything unsearched.  Much tighter than the static
-    cos(60°) bound at low latitudes → most points resolve in round 1."""
+    beyond the point's cell in every direction.  Longitude direction:
+    the exact cross-track minimum R·asin(cos|φ|·sin(ring·span)) — a
+    true lower bound at ANY latitude and span (the linear
+    span·cosφ_far·m/deg form both overshoots wide spans and, with the
+    φ_far cap at 85°, inflates above the true minimum for |φ| > 85°).
+    Latitude direction: in Web-Mercator a tile's latitude span at
+    latitude φ is ≥ span_lon·cos(φ_far) for any φ_far ≥ the block's
+    farthest |latitude|, and a meridional arc lower-bounds haversine —
+    so ring·span·cos(φ_far)·m_per_deg holds.  The binding direction is
+    the minimum.  Much tighter than the static cos(60°) bound at low
+    latitudes → most points resolve in round 1."""
     span = 360.0 / (2 ** zoom)
-    phi_far = F.least(F.abs(lat_col) + F.lit((ring + 1) * span), F.lit(85.0))
-    return (
+    dl = math.radians(min(ring * span, 90.0))
+    gx = F.lit(_R_HAV) * F.asin(F.cos(F.radians(F.abs(lat_col)))
+                                * F.lit(math.sin(dl)))
+    # cap at the Web-Mercator tile limit (85.051°), rounded UP so the
+    # cos stays a lower bound for rows hugging the limit
+    phi_far = F.least(F.abs(lat_col) + F.lit((ring + 1) * span), F.lit(85.06))
+    gy = (
         F.lit(float(ring * span * _M_PER_DEG_HAV))
         * F.cos(F.radians(phi_far))
     )
+    return F.least(gx, gy)
 
 
 def pick_knn_zoom(refs: DataFrame, k: int,
@@ -532,13 +556,18 @@ def knn_searcher(rlon, rlat, k: int):
         kth_d = np.full(b, np.inf)
         at_k = pos == (kk - 1)
         kth_d[spt[at_k]] = sd[at_k]
-        # ring-1 guarantee: the unsearched region is ≥ one cell span
-        # away in x (scaled by cos at the farthest block latitude) and
-        # ≥ one span in y — the binding direction is the minimum
-        phi_far = np.minimum(np.abs(plat) + 2.0 * span_y, 85.0)
-        guarantee = _M_PER_DEG_HAV * np.minimum(
-            span_x * np.cos(phi_far * rad), span_y
-        )
+        # ring-1 guarantee: every unsearched ref is ≥ one cell span
+        # away in lon OR lat.  lat: d ≥ R·span_y (meridional arc is a
+        # true lower bound on haversine).  lon: the linear
+        # span_x·cosφ·m/deg bound OVERSHOOTS the haversine for wide
+        # cells (at span_x=90°, φ=60° it reads 5.00e6 m where the true
+        # minimum is 4.61e6 m), so use the exact min distance from the
+        # point to the meridian band Δλ ≥ span_x — the cross-track
+        # R·asin(cosφ·sin(Δλ)), flat beyond Δλ=90° where the nearest
+        # unsearched point is the pole.
+        sx = math.sin(min(span_x, 90.0) * rad)
+        gx = _R_HAV * np.arcsin(np.cos(plat * rad) * sx)
+        guarantee = np.minimum(gx, _M_PER_DEG_HAV * span_y)
         resolved = (cnt >= kk) & (kth_d <= guarantee)
         take = (pos < kk) & resolved[spt]
         return (spt[take], sref[take], sd[take]), ~resolved
@@ -932,10 +961,34 @@ def clip_polygons_to_cells(
                 g = K_geom.from_wkt(r[wkt])
                 all_rings = [rg for poly in K_geom.polygon_rings(g)
                              for rg in poly]
-                # coarsest ancestor level with a <=2x2 bbox cover, so the
-                # expensive full-edge clips happen at most ~4x per level
+                # coarsest ancestor level with a <=4-cell bbox cover, so
+                # the expensive full-edge clips happen at most ~4x per
+                # level.  The level is derived from the corner tile
+                # coords at the TARGET zoom by binary shifts (tile x at
+                # z = tile x at zoom >> (zoom-z)) — materializing the
+                # full covering list per candidate level would allocate
+                # O(cells) (10^5-10^6 for a country at z12) just to
+                # take len().
+                minx, miny, maxx, maxy = K_geom.geo_box(g)
+                cl = 85.05112878
+                n_ax = 1 << zoom
+                tx1, ty1 = K_tiles.wgs2tile(
+                    np.float64(minx), np.float64(max(min(maxy, cl), -cl)),
+                    zoom)
+                tx2, ty2 = K_tiles.wgs2tile(
+                    np.float64(maxx), np.float64(max(min(miny, cl), -cl)),
+                    zoom)
+                tx1 = int(np.clip(tx1, 0, n_ax - 1))
+                tx2 = int(np.clip(tx2, 0, n_ax - 1))
+                ty1 = int(np.clip(ty1, 0, n_ax - 1))
+                ty2 = int(np.clip(ty2, 0, n_ax - 1))
                 z0 = zoom
-                while z0 > 0 and len(K_geom.covering_cells(g, z0)) > 4:
+                while z0 > 0:
+                    sh = zoom - z0
+                    cnt = (((tx2 >> sh) - (tx1 >> sh) + 1)
+                           * ((ty2 >> sh) - (ty1 >> sh) + 1))
+                    if cnt <= 4:
+                        break
                     z0 -= 1
                 frags: list = []
                 for cell in K_geom.covering_cells(g, z0):

@@ -502,8 +502,6 @@ def _pair_dtw_udf(tau_norm_m: float, cell_budget: int = 3_000_000):
     padding never contaminates a pair's own (na−1, nb−1) snapshot."""
     from xutil_spark.kernels.rounding import round_half_away
 
-    big = np.int64(2 ** 62)
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows: dict = {k.name: [] for k in DTW_SCHEMA}

@@ -317,8 +317,12 @@ def augment(images: DataFrame, id_col: str = "image_id",
                     out = np.rot90(px, k=-1)
                 else:  # crop2x
                     y0, x0 = h // 4, w // 4
-                    crop = px[y0:y0 + h // 2, x0:x0 + w // 2]
-                    out = crop[np.arange(h) // 2][:, np.arange(w) // 2]
+                    ch, cw = h // 2, w // 2
+                    crop = px[y0:y0 + ch, x0:x0 + cw]
+                    # nearest-resize back to h×w; arange//2 would index
+                    # row ch (out of bounds) when h is odd — the
+                    # *(ch)//h form reduces to //2 for even dims
+                    out = crop[np.arange(h) * ch // h][:, np.arange(w) * cw // w]
                 oh, ow = out.shape[0], out.shape[1]
                 rows["image_id"].append(getattr(r, id_col))
                 rows["op"].append(op)

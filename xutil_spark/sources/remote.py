@@ -378,24 +378,31 @@ def ftp_file_list(spark, conn, rules: list):
 
     The regex matches the NAME field (before the first comma) but the
     emitted ``fname`` is the full ``"dir/name,type,size,time"`` info
-    string, as in the reference.  Output: (rule_id, dtime, fname)."""
+    string, as in the reference.  Output: (rule_id, dtime, fname).
+
+    Each rule set's regexes apply ONLY to that set's own listing —
+    the reference iterates ``rawftpfiles = InfoList()`` per rule set
+    (sftp.go:307-316); pooling every set's rows under every set's
+    regexes would emit extra (rule_id, dtime, fname) rows whenever a
+    regex happens to match another set's files, corrupting the
+    incremental-ingest anti-join downstream."""
     import pandas as pd
     from pyspark.sql import functions as F
 
     from xutil_spark.sources.archives import file_list_pattern
 
-    rows: list = []
-    flat_rules: list = []
+    out = None
     for patterns, ids in rules:
         conn.file_patterns = list(patterns)
-        rows.extend(conn.info_list())
-        flat_rules.extend(ids.items())
-    listing = spark.createDataFrame(
-        pd.DataFrame({"_info": pd.Series(rows, dtype="object")}),
-        schema="_info string",
-    ).withColumn("_name", F.split("_info", ",")[0])
-    return file_list_pattern(listing, flat_rules,
-                             fname_col="_name", emit_col="_info")
+        rows = conn.info_list()
+        listing = spark.createDataFrame(
+            pd.DataFrame({"_info": pd.Series(rows, dtype="object")}),
+            schema="_info string",
+        ).withColumn("_name", F.split("_info", ",")[0])
+        part = file_list_pattern(listing, list(ids.items()),
+                                 fname_col="_name", emit_col="_info")
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 # --------------------------------------------------------------- sqlldr
