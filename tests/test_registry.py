@@ -106,6 +106,7 @@ REGISTERED_ROUND = {
     "seg_crossings": 4,
     "caption_bigram_lm": 4,
     "image_entropy": 4,
+    "poly_overlay_z6": 4,
 }
 
 

@@ -981,6 +981,7 @@ from xutil_spark.entry_queries17 import ORACLES17, QUERIES17  # noqa: E402
 from xutil_spark.entry_queries18 import ORACLES18, QUERIES18  # noqa: E402
 from xutil_spark.entry_queries19 import ORACLES19, QUERIES19  # noqa: E402
 from xutil_spark.entry_queries20 import ORACLES20, QUERIES20  # noqa: E402
+from xutil_spark.entry_queries21 import ORACLES21, QUERIES21  # noqa: E402
 
 QUERIES.update(QUERIES2)
 QUERIES.update(QUERIES3)
@@ -1001,6 +1002,7 @@ QUERIES.update(QUERIES17)
 QUERIES.update(QUERIES18)
 QUERIES.update(QUERIES19)
 QUERIES.update(QUERIES20)
+QUERIES.update(QUERIES21)
 
 ORACLES = {
     "tile_assign_z15": o_tile_assign_z15(),
@@ -1045,6 +1047,7 @@ ORACLES.update(ORACLES17)
 ORACLES.update(ORACLES18)
 ORACLES.update(ORACLES19)
 ORACLES.update(ORACLES20)
+ORACLES.update(ORACLES21)
 
 # ------------------------------------------------------------ registry order
 #

@@ -1,0 +1,247 @@
+"""Contract queries, round-4 fourteenth batch: polygon×polygon
+overlay-area join (operators/overlay.py — the vector×vector primitive
+that completes the spatial-join matrix).
+
+Same conventions as every entry_queries*.py.  Registered BEHIND the
+frozen 50-row r04 driver window; the REGISTERED_ROUND ledger forces
+them into the round-5 window.
+
+Oracle strategy — ``poly_overlay_z6``: computed-VALUES golden from an
+independent pure-Python (math.*, no numpy, no engine imports) replay of
+the documented kernel.  The kernel quantizes every sub-segment cross
+product HALF-UP to integer 1e-12-deg² units before summation, so
+``area_q`` is exact integer arithmetic and order-independent; the cell
+block is complete (overlapping polygons have overlapping bboxes, hence
+share a bbox-cover cell), so the replay brute-forces every
+hexagon×zone pair without modeling the prefilter.  Polygon vertices
+are built from SHARED module constants (the unit-ring tables below) by
+plain double mul/add on both sides — no trig crosses the JVM/Python
+boundary."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xutil_spark.entry_queries import _H1_LIN, _MASK20, _refs, _utc
+from xutil_spark.entry_queries6 import _fmt_f
+
+# unit rings (CCW), 4 hexagon + 3 octagon rotation variants — computed
+# ONCE here and used as literals by BOTH the Spark query and the
+# oracle replay, so no trig function is ever evaluated on two runtimes
+_HEX_PHASES = (0.15, 0.55, 0.95, 1.35)
+_OCT_PHASES = (0.3, 0.7, 1.1)
+_HEX_U = [[(math.cos(p + k * math.pi / 3.0), math.sin(p + k * math.pi / 3.0))
+           for k in range(6)] for p in _HEX_PHASES]
+_OCT_U = [[(math.cos(p + k * math.pi / 4.0), math.sin(p + k * math.pi / 4.0))
+           for k in range(8)] for p in _OCT_PHASES]
+
+_OVL_ZOOM = 6
+_QUANT = 1e12
+_M_PER_DEG = 111194.92664455873
+
+
+def _hex_polys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier service hexagon: center = the shared ref derivation,
+    radius 0.5-2.0° and rotation variant hashed off the key — all pure
+    integer/double arithmetic inside codegen."""
+    refs = _refs(spark, sf_dir)
+    ux = F.array(*[F.array(*[F.lit(u[0]) for u in tab]) for tab in _HEX_U])
+    uy = F.array(*[F.array(*[F.lit(u[1]) for u in tab]) for tab in _HEX_U])
+    rr = (F.lit(0.5)
+          + ((F.col("ref_id") * F.lit(_H1_LIN)) % F.lit(_MASK20))
+          / F.lit(float(_MASK20)) * F.lit(1.5))
+    ridx = (F.col("ref_id") % F.lit(4) + F.lit(1)).cast("int")
+    return refs.select(
+        F.col("ref_id").alias("supp_id"),
+        F.transform(F.element_at(ux, ridx),
+                    lambda u: F.col("lon") + rr * u).alias("xs"),
+        F.transform(F.element_at(uy, ridx),
+                    lambda u: F.col("lat") + rr * u).alias("ys"),
+    )
+
+
+def _zone_polys(spark: SparkSession) -> DataFrame:
+    """20 octagonal analysis zones on a fixed 5×4 grid over the event
+    domain, radius 4.0-7.0°, rotation variant cycling."""
+    ox = F.array(*[F.array(*[F.lit(u[0]) for u in tab]) for tab in _OCT_U])
+    oy = F.array(*[F.array(*[F.lit(u[1]) for u in tab]) for tab in _OCT_U])
+    z = spark.range(20).select(F.col("id").alias("zone_id"))
+    cx = F.lit(78.0) + (F.col("zone_id") % F.lit(5)) * F.lit(12.0)
+    cy = F.lit(22.0) + F.floor(F.col("zone_id") / F.lit(5)) * F.lit(9.0)
+    rz = F.lit(4.0) + (F.col("zone_id") % F.lit(3)) * F.lit(1.5)
+    oidx = (F.col("zone_id") % F.lit(3) + F.lit(1)).cast("int")
+    return z.select(
+        "zone_id",
+        F.transform(F.element_at(ox, oidx), lambda u: cx + rz * u).alias("xs"),
+        F.transform(F.element_at(oy, oidx), lambda u: cy + rz * u).alias("ys"),
+    )
+
+
+def q_poly_overlay_z6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlay-area join: which supplier service hexagons intersect
+    which analysis zones, with exact quantized intersection areas and
+    areal-interpolation fractions.  Engine: one JVM bbox-cover explode
+    per side, one cell equi-join + pair distinct, one vectorized
+    mapInPandas Green's-theorem kernel."""
+    _utc(spark)
+    from xutil_spark.operators.overlay import overlay_area_join
+
+    out = overlay_area_join(
+        _hex_polys(spark, sf_dir), _zone_polys(spark),
+        zoom=_OVL_ZOOM, a_id="supp_id", b_id="zone_id")
+    return out.select("supp_id", "zone_id", "area_q", "area_deg2",
+                      "frac_a", "frac_b", "area_m2")
+
+
+# ------------------------- pure-Python scalar replay (oracle side)
+
+
+def _sc_even_odd(mx: float, my: float, ring: list) -> bool:
+    inside = False
+    m = len(ring)
+    for j in range(m):
+        x1, y1 = ring[j]
+        x2, y2 = ring[(j + 1) % m]
+        if (y1 > my) != (y2 > my):
+            x_int = x1 + (my - y1) / (y2 - y1) * (x2 - x1)
+            if mx < x_int:
+                inside = not inside
+    return inside
+
+
+def _sc_on_edge(mx: float, my: float, ring: list) -> bool:
+    m = len(ring)
+    for j in range(m):
+        x1, y1 = ring[j]
+        x2, y2 = ring[(j + 1) % m]
+        cr = (x2 - x1) * (my - y1) - (y2 - y1) * (mx - x1)
+        if cr == 0.0 and min(x1, x2) <= mx <= max(x1, x2) \
+                and min(y1, y2) <= my <= max(y1, y2):
+            return True
+    return False
+
+
+def _sc_side_sum(p: list, q: list, primary: bool) -> int:
+    total = 0
+    n, m = len(p), len(q)
+    for i in range(n):
+        px, py = p[i]
+        p2x, p2y = p[(i + 1) % n]
+        dpx, dpy = p2x - px, p2y - py
+        ts = []
+        for j in range(m):
+            qx, qy = q[j]
+            q2x, q2y = q[(j + 1) % m]
+            dqx, dqy = q2x - qx, q2y - qy
+            d1 = dpx * (qy - py) - dpy * (qx - px)
+            d2 = dpx * (q2y - py) - dpy * (q2x - px)
+            d3 = dqx * (py - qy) - dqy * (px - qx)
+            d4 = dqx * (p2y - qy) - dqy * (p2x - qx)
+            if d1 * d2 < 0.0 and d3 * d4 < 0.0:
+                ts.append(d3 / (d3 - d4))
+        bounds = [0.0] + sorted(ts) + [1.0]
+        sx = [px + t * dpx for t in bounds]
+        sy = [py + t * dpy for t in bounds]
+        for s in range(len(bounds) - 1):
+            mx = (sx[s] + sx[s + 1]) * 0.5
+            my = (sy[s] + sy[s + 1]) * 0.5
+            if _sc_on_edge(mx, my, q):
+                if not primary:
+                    continue
+                h = math.hypot(dpx, dpy)
+                keep = _sc_even_odd(mx - dpy / h * 1e-7,
+                                    my + dpx / h * 1e-7, q)
+            else:
+                keep = _sc_even_odd(mx, my, q)
+            if keep:
+                cross = sx[s] * sy[s + 1] - sx[s + 1] * sy[s]
+                total += int(math.floor(cross * _QUANT + 0.5))
+    return total
+
+
+def _sc_ccw(ring: list) -> list:
+    s = 0.0
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        s += x1 * y2 - x2 * y1
+    return ring[::-1] if s < 0.0 else ring
+
+
+def _sc_ring_area_q(ring: list) -> int:
+    n = len(ring)
+    t = 0
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        t += int(math.floor((x1 * y2 - x2 * y1) * _QUANT + 0.5))
+    return t
+
+
+def o_poly_overlay_z6() -> str:
+    import duckdb as _dd
+
+    from xutil_spark.entry_queries import _H1_MUL, _H2_MUL
+
+    con = _dd.connect()
+    keys = [r[0] for r in con.execute(
+        "SELECT s_suppkey FROM "
+        "read_parquet('/root/testdata/sf0.01/supplier.parquet')").fetchall()]
+    con.close()
+    hexes = {}
+    for k in keys:
+        lon = 73.5 + ((k * _H1_MUL) % _MASK20) / float(_MASK20) * 61.0
+        lat = 18.2 + ((k * _H2_MUL) % _MASK20) / float(_MASK20) * 35.3
+        rr = 0.5 + ((k * _H1_LIN) % _MASK20) / float(_MASK20) * 1.5
+        tab = _HEX_U[k % 4]
+        hexes[k] = [(lon + rr * u[0], lat + rr * u[1]) for u in tab]
+    zones = {}
+    for i in range(20):
+        cx = 78.0 + (i % 5) * 12.0
+        cy = 22.0 + float(math.floor(i / 5)) * 9.0
+        rz = 4.0 + (i % 3) * 1.5
+        tab = _OCT_U[i % 3]
+        zones[i] = [(cx + rz * u[0], cy + rz * u[1]) for u in tab]
+    rows = []
+    for k in sorted(hexes):
+        a = _sc_ccw(hexes[k])
+        for z in sorted(zones):
+            b = _sc_ccw(zones[z])
+            q = _sc_side_sum(a, b, True) + _sc_side_sum(b, a, False)
+            if q <= 0:
+                continue
+            fa, fb = _sc_ring_area_q(a), _sc_ring_area_q(b)
+            deg2 = q / (2.0 * _QUANT)
+            ays = [p[1] for p in a]
+            bys = [p[1] for p in b]
+            clat = ((min(ays) + max(ays)) * 0.5
+                    + (min(bys) + max(bys)) * 0.5) * 0.5
+            m2 = round(deg2 * (_M_PER_DEG * _M_PER_DEG)
+                       * math.cos(math.radians(clat)), 3)
+            rows.append(f"({k},{z},{q},{_fmt_f(deg2)},{_fmt_f(round(q / fa, 9))},"
+                        f"{_fmt_f(round(q / fb, 9))},{_fmt_f(m2)})")
+    vals = ",".join(rows)
+    return f"""
+SELECT CAST(supp_id AS BIGINT) AS supp_id,
+       CAST(zone_id AS BIGINT) AS zone_id,
+       CAST(area_q AS BIGINT) AS area_q,
+       CAST(area_deg2 AS DOUBLE) AS area_deg2,
+       CAST(frac_a AS DOUBLE) AS frac_a,
+       CAST(frac_b AS DOUBLE) AS frac_b,
+       CAST(area_m2 AS DOUBLE) AS area_m2
+FROM (VALUES {vals})
+  AS s(supp_id, zone_id, area_q, area_deg2, frac_a, frac_b, area_m2)
+"""
+
+
+QUERIES21 = {
+    "poly_overlay_z6": q_poly_overlay_z6,
+}
+
+ORACLES21 = {
+    "poly_overlay_z6": o_poly_overlay_z6(),
+}
