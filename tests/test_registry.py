@@ -107,6 +107,7 @@ REGISTERED_ROUND = {
     "caption_bigram_lm": 4,
     "image_entropy": 4,
     "poly_overlay_z6": 4,
+    "fp_containment": 4,
 }
 
 

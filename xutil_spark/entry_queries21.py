@@ -238,10 +238,85 @@ FROM (VALUES {vals})
 """
 
 
+# ------------------------------------------- fingerprint containment
+
+_FPC_TAU = 0.5
+_FPC_KEEP = 8
+
+
+def q_fp_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup pairs over the documents table
+    (operators/dedup.py fingerprint_containment): Broder bottom-k
+    estimators on the winnowing sketches, shared-print equi-join
+    candidates, pure-JVM array estimators."""
+    _utc(spark)
+    from xutil_spark.entry_queries import _read
+    from xutil_spark.operators.dedup import fingerprint_containment
+
+    docs = _read(spark, sf_dir, "documents")
+    return fingerprint_containment(docs, tau=_FPC_TAU, keep=_FPC_KEEP)
+
+
+def o_fp_containment() -> str:
+    """Independent pure-Python replay: unsigned big-int sketch sets
+    (the _winnow_py reimplementation), exact integer set estimators,
+    float division + 9-dp round only at the end."""
+    import duckdb as _dd
+
+    from xutil_spark.entry_queries import _winnow_py
+
+    docs = _dd.sql(
+        "SELECT doc_id, text FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet') "
+        "ORDER BY doc_id").fetchall()
+    sk = {}
+    for i, t in docs:
+        fp = _winnow_py(t)
+        if fp:
+            sk[i] = {x + (1 << 64) if x < 0 else x for x in fp}
+    inv: dict = {}
+    for i, s in sk.items():
+        for h in s:
+            inv.setdefault(h, []).append(i)
+    cand = set()
+    for ds in inv.values():
+        ds = sorted(ds)
+        for ia, a in enumerate(ds):
+            for b in ds[ia + 1:]:
+                cand.add((a, b))
+    rows = []
+    for a, b in sorted(cand):
+        sa, sb = sk[a], sk[b]
+        s = sorted(sa | sb)[:_FPC_KEEP]
+        ss = set(s)
+        num = len(ss & sa & sb)
+        den_a = len(ss & sa)
+        den_b = len(ss & sb)
+        c_ab = round(num / den_a, 9) if den_a else None
+        c_ba = round(num / den_b, 9) if den_b else None
+        best = max(v for v in (c_ab, c_ba) if v is not None) \
+            if (c_ab is not None or c_ba is not None) else None
+        if best is None or best < _FPC_TAU:
+            continue
+        j = round(num / len(s), 9)
+        fmt = lambda v: "NULL" if v is None else _fmt_f(v)
+        rows.append(f"({a},{b},{fmt(c_ab)},{fmt(c_ba)},{_fmt_f(j)})")
+    vals = ",".join(rows)
+    return f"""
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(contain_ab AS DOUBLE) AS contain_ab,
+       CAST(contain_ba AS DOUBLE) AS contain_ba,
+       CAST(jaccard_est AS DOUBLE) AS jaccard_est
+FROM (VALUES {vals}) AS s(a, b, contain_ab, contain_ba, jaccard_est)
+"""
+
+
 QUERIES21 = {
     "poly_overlay_z6": q_poly_overlay_z6,
+    "fp_containment": q_fp_containment,
 }
 
 ORACLES21 = {
     "poly_overlay_z6": o_poly_overlay_z6(),
+    "fp_containment": o_fp_containment(),
 }

@@ -611,3 +611,70 @@ def simhash_near_dup_pairs(
     # otherwise each re-execute the fingerprint UDF stage
     sh = simhash(df, text_col, id_col).localCheckpoint()
     return hamming_near_dup_pairs(sh, "simhash", id_col, max_hamming, bands)
+
+
+def fingerprint_containment(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    tau: float = 0.5, window: int = 16, keep: int = 8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Containment near-dup pairs from winnowing bottom-k sketches —
+    the asymmetric twin of the Jaccard/SimHash detectors: catches doc A
+    quoted or wrapped inside doc B, which resemblance metrics dilute.
+
+    Broder's bottom-k estimators on the rolling-fingerprint sketch
+    (``textops.rolling_fingerprints``, unsigned-order k smallest):
+    with S = k unsigned-smallest of sketch(A) ∪ sketch(B),
+
+      contain_ab = |S ∩ A ∩ B| / |S ∩ A|   (≈ |A∩B| / |A|)
+      contain_ba = |S ∩ A ∩ B| / |S ∩ B|
+      jaccard    = |S ∩ A ∩ B| / |S|
+
+    Pairs with max(contain_ab, contain_ba) ≥ ``tau`` are emitted; a
+    positive estimator requires a shared print, so the shared-print
+    equi-join candidate stage is COMPLETE for every tau > 0.
+
+    Scale shape (10^12 docs): the sketch is one Arrow pandas_udf pass;
+    candidates are one explode (k rows/doc) + one self-equi-join on the
+    64-bit print + one pair distinct; ``max_df`` drops prints occurring
+    in more than that many docs BEFORE the self-join (boilerplate
+    prints otherwise square: a print shared by c docs yields c(c−1)/2
+    candidate rows) — one extra print-cardinality count shuffle, the
+    same gate as the jaccard candidate stage.  The estimators
+    themselves are pure JVM array expressions on the two k-length
+    sketches (unsigned order via the sign-bit XOR trick), no Python.
+    """
+    from xutil_spark.operators.textops import rolling_fingerprints
+
+    fp = rolling_fingerprints(df, text_col, id_col, window, keep)
+    fp = fp.filter(F.size("fingerprint") > 0).localCheckpoint()
+
+    ex = fp.select(F.col(id_col), F.explode("fingerprint").alias("print"))
+    if max_df is not None:
+        hot = (ex.groupBy("print").agg(F.count(F.lit(1)).alias("df_"))
+               .filter(F.col("df_") > max_df).select("print"))
+        ex = ex.join(hot, "print", "left_anti")
+    a = ex.select(F.col(id_col).alias("a"), "print")
+    b = ex.select(F.col(id_col).alias("b"), "print")
+    cand = (a.join(b, "print").filter(F.col("a") < F.col("b"))
+            .select("a", "b").distinct())
+
+    fa = fp.select(F.col(id_col).alias("a"), F.col("fingerprint").alias("_fa"))
+    fb = fp.select(F.col(id_col).alias("b"), F.col("fingerprint").alias("_fb"))
+    pairs = cand.join(fa, "a").join(fb, "b")
+
+    sign = F.lit(-9223372036854775808).cast("long")
+    ua = F.transform("_fa", lambda x: x.bitwiseXOR(sign))
+    ub = F.transform("_fb", lambda x: x.bitwiseXOR(sign))
+    s = F.slice(F.array_sort(F.array_union(ua, ub)), 1, keep)
+    inter = F.array_intersect(ua, ub)
+    num = F.size(F.array_intersect(s, inter)).cast("double")
+    den_a = F.size(F.array_intersect(s, ua)).cast("double")
+    den_b = F.size(F.array_intersect(s, ub)).cast("double")
+    out = pairs.select(
+        "a", "b",
+        F.round(num / den_a, 9).alias("contain_ab"),
+        F.round(num / den_b, 9).alias("contain_ba"),
+        F.round(num / F.size(s).cast("double"), 9).alias("jaccard_est"),
+    )
+    return out.filter(F.greatest("contain_ab", "contain_ba") >= F.lit(tau))
