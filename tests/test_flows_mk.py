@@ -555,3 +555,21 @@ def test_gravity_flows_self_loop_yields_null_not_ansi_error(spark):
     got = {(r.from_cell, r.to_cell): r for r in gravity_flows(df, z).collect()}
     assert got[(A, A)].expected is None and got[(A, A)].ratio is None
     assert got[(A, B)].expected is not None
+
+
+def test_resample_duplicate_leading_timestamps_single_k0(spark):
+    """A duplicate timestamp at track start spans the empty interval
+    [t, t) and must not double-emit k=0 (the `div`-truncation trap)."""
+    import pandas as pd
+
+    from xutil_spark.operators.trajectory import resample_tracks
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "traj_id": [1, 1, 1],
+        "ts": pd.to_datetime([1000, 1000, 1600], unit="s"),
+        "lon": [10.0, 10.0, 11.0],
+        "lat": [20.0, 20.0, 21.0],
+    }))
+    rows = resample_tracks(df, interval_s=300).collect()
+    ks = sorted(r.k for r in rows)
+    assert ks == [0, 1, 2]

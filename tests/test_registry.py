@@ -108,6 +108,7 @@ REGISTERED_ROUND = {
     "image_entropy": 4,
     "poly_overlay_z6": 4,
     "fp_containment": 4,
+    "route_points_500km": 4,
 }
 
 

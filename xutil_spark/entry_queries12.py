@@ -198,7 +198,9 @@ w AS (
 ),
 b AS (
   SELECT *, (e - t0 + {dt} - 1) // {dt} AS klo,
-         CASE WHEN e2 IS NOT NULL THEN (e2 - t0 - 1) // {dt}
+         CASE WHEN e2 IS NOT NULL THEN
+                CASE WHEN e2 > e THEN (e2 - t0 - 1) // {dt}
+                     ELSE (e - t0 + {dt} - 1) // {dt} - 1 END
               WHEN (e - t0) % {dt} = 0 THEN (e - t0 + {dt} - 1) // {dt}
               ELSE (e - t0 + {dt} - 1) // {dt} - 1 END AS khi
   FROM w

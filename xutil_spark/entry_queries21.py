@@ -311,12 +311,94 @@ FROM (VALUES {vals}) AS s(a, b, contain_ab, contain_ba, jaccard_est)
 """
 
 
+# --------------------------------------- distance-domain resampling
+
+_RD_STEP_M = 500_000.0  # one sample every 500 km of chainage
+_RD_MOD = 7
+
+
+def q_route_points_500km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear referencing (operators/trajectory.py resample_by_distance):
+    one interpolated position every 500 km ALONG each sampled user's
+    route.  Integer-millimeter chainage ⇒ exact bracket arithmetic; the
+    oracle mirrors the whole pipeline in pure SQL."""
+    _utc(spark)
+    from xutil_spark.entry_queries12 import _located_events
+    from xutil_spark.operators.trajectory import resample_by_distance
+
+    ev = _located_events(spark, sf_dir).filter(
+        F.col("user_id") % _RD_MOD == 0)
+    return resample_by_distance(ev, step_m=_RD_STEP_M, traj_col="user_id",
+                                ts="ts", tiebreak="event_id")
+
+
+def o_route_points_500km() -> str:
+    from xutil_spark.entry_queries import _HAV_SQL
+    from xutil_spark.entry_queries3 import _EV_LAT, _EV_LON
+
+    step = int(round(_RD_STEP_M * 1000.0))
+    hav = _HAV_SQL.format(lon1="lon", lat1="lat", lon2="lon2", lat2="lat2")
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id, ts, {_EV_LON} AS lon, {_EV_LAT} AS lat
+  FROM events WHERE user_id % {_RD_MOD} = 0
+),
+w AS (
+  SELECT user_id, lon, lat,
+         LEAD(lon) OVER win AS lon2, LEAD(lat) OVER win AS lat2,
+         ts, event_id
+  FROM ev WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+seg AS (
+  SELECT *, CASE WHEN lon2 IS NOT NULL
+                 THEN CAST(ROUND(({hav}) * 1000.0, 0) AS BIGINT)
+                 ELSE 0 END AS dmm
+  FROM w
+),
+c AS (
+  SELECT *, CAST(SUM(dmm) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cend
+  FROM seg
+),
+b AS (
+  SELECT *, cend - dmm AS c0,
+         (cend - dmm + {step} - 1) // {step} AS klo,
+         CASE WHEN lon2 IS NOT NULL THEN
+                CASE WHEN dmm > 0 THEN (cend - 1) // {step}
+                     ELSE (cend - dmm + {step} - 1) // {step} - 1 END
+              WHEN (cend - dmm) % {step} = 0
+                THEN (cend - dmm + {step} - 1) // {step}
+              ELSE (cend - dmm + {step} - 1) // {step} - 1 END AS khi
+  FROM c
+),
+f AS (
+  SELECT *, UNNEST(generate_series(klo, khi)) AS k
+  FROM b WHERE khi >= klo
+),
+calc AS (
+  SELECT user_id, k, k * {step} AS s_mm,
+         CASE WHEN lon2 IS NOT NULL AND cend > c0
+              THEN CAST(k * {step} - c0 AS DOUBLE)
+                   / CAST(cend - c0 AS DOUBLE)
+              ELSE 0.0 END AS frac,
+         lon, lat, COALESCE(lon2, lon) AS l2, COALESCE(lat2, lat) AS a2
+  FROM f
+)
+SELECT user_id, k, s_mm,
+       ROUND(lon + (l2 - lon) * frac, 6) + 0.0 AS lon,
+       ROUND(lat + (a2 - lat) * frac, 6) + 0.0 AS lat
+FROM calc
+"""
+
+
 QUERIES21 = {
     "poly_overlay_z6": q_poly_overlay_z6,
     "fp_containment": q_fp_containment,
+    "route_points_500km": q_route_points_500km,
 }
 
 ORACLES21 = {
     "poly_overlay_z6": o_poly_overlay_z6(),
     "fp_containment": o_fp_containment(),
+    "route_points_500km": o_route_points_500km(),
 }

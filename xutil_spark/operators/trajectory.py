@@ -202,8 +202,14 @@ def resample_tracks(
     khi_pair = F.expr(f"(_e2 - _t0 - 1) div {dt}")
     # the final fix samples itself iff exactly on the grid
     on_grid = (F.col("_e") - F.col("_t0")) % dt == 0
-    khi = F.when(F.col("_e2").isNotNull(), khi_pair).otherwise(
-        F.when(on_grid, klo).otherwise(klo - 1))
+    # duplicate-timestamp pairs span the empty interval [t, t) and must
+    # emit nothing — spelled out because `div` truncates toward zero, so
+    # (e2-t0-1) div dt at e2 == t0 would otherwise be 0, not -1, and the
+    # leading fix would double-emit k=0
+    khi = F.when(
+        F.col("_e2").isNotNull(),
+        F.when(F.col("_e2") > F.col("_e"), khi_pair).otherwise(klo - 1),
+    ).otherwise(F.when(on_grid, klo).otherwise(klo - 1))
     fanned = (
         src.withColumn("_klo", klo).withColumn("_khi", khi)
         .filter(F.col("_khi") >= F.col("_klo"))
@@ -594,4 +600,95 @@ def track_bearing_stats(
             F.round(net_mm.cast("double")
                     / F.col("_pathmm").cast("double"), 6) + F.lit(0.0),
         ).alias("straightness"),
+    )
+
+
+def resample_by_distance(
+    df: DataFrame,
+    step_m: float,
+    traj_col: str = "traj_id",
+    ts: str = "ts",
+    lon: str = "lon",
+    lat: str = "lat",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Linear referencing: one interpolated position per track every
+    ``step_m`` meters ALONG the route — the distance-domain twin of
+    ``resample_tracks`` (uniform-Δs instead of uniform-Δt), the
+    classic ST_LineInterpolatePoint sweep for corridor profiling and
+    route tiling.
+
+    Exactness design (the track_speed_stats idea): every segment's
+    haversine length rounds to integer MILLIMETERS first, so the
+    running along-track chainage is exact integer arithmetic and the
+    sample bracketing reuses ``resample_tracks``'s integer floor-div
+    scheme verbatim — each consecutive fix pair emits the samples in
+    [cᵢ, cᵢ₊₁) of cumulative chainage, the final fix emits its own
+    sample iff the total lands exactly on the grid.  Fractions along a
+    segment are one integer-ratio double; positions interpolate
+    linearly in lon/lat (the engine-wide plate-carrée segment model).
+
+    ZERO Python: lead window + integer running sum + ``sequence``
+    explode + one interpolation float tree (mirrored verbatim in SQL).
+    100-TB shape: ONE shuffle (the per-track window layout); the
+    explode is output-proportional.  Zero-length segments (duplicate
+    fixes) emit nothing; their chainage is carried by the next segment.
+
+    Returns (traj_col, k, s_mm, lon, lat) with s_mm = k·step·1000.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from xutil_spark.functions import native
+
+    step_mm = int(round(step_m * 1000.0))
+    if step_mm <= 0:
+        raise ValueError("step_m must be positive")
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(traj_col).orderBy(*order)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    src = (
+        df.withColumn("_lon2", F.lead(lon).over(w))
+        .withColumn("_lat2", F.lead(lat).over(w))
+    )
+    d_mm = F.round(
+        native.haversine_m(F.col(lon), F.col(lat),
+                           F.col("_lon2"), F.col("_lat2")) * 1000.0, 0
+    ).cast("long")
+    src = (
+        src.withColumn("_dmm", F.coalesce(d_mm, F.lit(0).cast("long")))
+        .withColumn("_cend", F.sum("_dmm").over(wsum))
+        .withColumn("_c0", F.col("_cend") - F.col("_dmm"))
+    )
+    klo = F.expr(f"(_c0 + {step_mm} - 1) div {step_mm}")
+    khi_pair = F.expr(f"(_cend - 1) div {step_mm}")
+    on_grid = F.col("_c0") % step_mm == 0
+    # zero-length segments span the empty chainage range [c, c) and must
+    # emit nothing — spelled out because `div` truncates toward zero, so
+    # (cend-1) div step at cend == 0 would otherwise be 0, not -1
+    khi = F.when(
+        F.col("_lon2").isNotNull(),
+        F.when(F.col("_cend") > F.col("_c0"), khi_pair).otherwise(klo - 1),
+    ).otherwise(F.when(on_grid, klo).otherwise(klo - 1))
+    fanned = (
+        src.withColumn("_klo", klo).withColumn("_khi", khi)
+        .filter(F.col("_khi") >= F.col("_klo"))
+        .withColumn("_k", F.explode(F.sequence(F.col("_klo"), F.col("_khi"))))
+        .withColumn("_smm", F.col("_k") * step_mm)
+    )
+    frac = F.when(
+        F.col("_lon2").isNotNull() & (F.col("_cend") > F.col("_c0")),
+        (F.col("_smm") - F.col("_c0")).cast("double")
+        / (F.col("_cend") - F.col("_c0")).cast("double"),
+    ).otherwise(F.lit(0.0))
+    ilon = F.col(lon) + (F.coalesce(F.col("_lon2"), F.col(lon))
+                         - F.col(lon)) * frac
+    ilat = F.col(lat) + (F.coalesce(F.col("_lat2"), F.col(lat))
+                         - F.col(lat)) * frac
+    return fanned.select(
+        F.col(traj_col),
+        F.col("_k").alias("k"),
+        F.col("_smm").alias("s_mm"),
+        (F.round(ilon, 6) + F.lit(0.0)).alias(lon),
+        (F.round(ilat, 6) + F.lit(0.0)).alias(lat),
     )
