@@ -152,6 +152,45 @@ def test_kernel_matches_independent_convex_clip():
         assert got == pytest.approx(want, abs=1e-6), (ax, ay, bx, by)
 
 
+def test_batched_kernel_matches_scalar_mixed_sizes(spark):
+    """The padded batch kernel must equal the scalar reference bit for
+    bit, including mixed ring sizes in one batch (padding inertness)."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    pa, pb = [], []
+    for i in range(30):
+        cx, cy = rng.uniform(0, 40), rng.uniform(0, 40)
+        k = [3, 5, 6, 8][i % 4]
+        ang = rng.uniform(0, 2 * math.pi)
+        r = rng.uniform(2, 8)
+        pa.append((i, [cx + r * math.cos(ang + j * 2 * math.pi / k)
+                       for j in range(k)],
+                   [cy + r * math.sin(ang + j * 2 * math.pi / k)
+                    for j in range(k)]))
+    for i in range(10):
+        cx, cy = rng.uniform(0, 40), rng.uniform(0, 40)
+        k = [4, 7][i % 2]
+        r = rng.uniform(3, 10)
+        pb.append((100 + i, [cx + r * math.cos(0.2 + j * 2 * math.pi / k)
+                             for j in range(k)],
+                   [cy + r * math.sin(0.2 + j * 2 * math.pi / k)
+                    for j in range(k)]))
+    a, b = _df(spark, "za", pa), _df(spark, "zb", pb)
+    got = {(r.za, r.zb): r.area_q for r in
+           overlay_area_join(a, b, zoom=4, a_id="za", b_id="zb").collect()}
+    ring_a = {p[0]: (p[1], p[2]) for p in pa}
+    ring_b = {p[0]: (p[1], p[2]) for p in pb}
+    for ia, (axs, ays) in ring_a.items():
+        for ib, (bxs, bys) in ring_b.items():
+            want = pair_area_q(axs, ays, bxs, bys)
+            if want > 0:
+                assert got.get((ia, ib)) == want, (ia, ib)
+            else:
+                assert (ia, ib) not in got
+    assert len(got) > 10
+
+
 def test_id_name_collision_rejected(spark):
     a = _df(spark, "pid", [(1, [0, 1, 1], [0, 0, 1])])
     with pytest.raises(ValueError):

@@ -206,6 +206,118 @@ def _ring_area_q(x: np.ndarray, y: np.ndarray, quant: float) -> int:
     return int(np.floor(cross * quant + 0.5).astype(np.int64).sum())
 
 
+def _batch_even_odd(mx: np.ndarray, my: np.ndarray,
+                    qx: np.ndarray, qy: np.ndarray) -> np.ndarray:
+    """Even-odd test, batched: points (P, K) against per-pair rings
+    (P, m).  Same comparisons as ``_even_odd``; zero-length padding
+    edges never straddle, so ring padding is inert."""
+    x1, y1 = qx, qy
+    x2, y2 = np.roll(qx, -1, axis=1), np.roll(qy, -1, axis=1)
+    straddle = (y1[:, None, :] > my[:, :, None]) \
+        != (y2[:, None, :] > my[:, :, None])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        x_int = x1[:, None, :] + (my[:, :, None] - y1[:, None, :]) / (
+            y2[:, None, :] - y1[:, None, :]
+        ) * (x2[:, None, :] - x1[:, None, :])
+    crosses = straddle & (mx[:, :, None] < x_int)
+    return (np.sum(crosses, axis=2) % 2).astype(bool)
+
+
+def _batch_on_edge(mx: np.ndarray, my: np.ndarray,
+                   qx: np.ndarray, qy: np.ndarray) -> np.ndarray:
+    x1, y1 = qx, qy
+    x2, y2 = np.roll(qx, -1, axis=1), np.roll(qy, -1, axis=1)
+    cr = (x2 - x1)[:, None, :] * (my[:, :, None] - y1[:, None, :]) \
+        - (y2 - y1)[:, None, :] * (mx[:, :, None] - x1[:, None, :])
+    wx = (mx[:, :, None] >= np.minimum(x1, x2)[:, None, :]) \
+        & (mx[:, :, None] <= np.maximum(x1, x2)[:, None, :])
+    wy = (my[:, :, None] >= np.minimum(y1, y2)[:, None, :]) \
+        & (my[:, :, None] <= np.maximum(y1, y2)[:, None, :])
+    return ((cr == 0.0) & wx & wy).any(axis=2)
+
+
+def _batch_side_sum(px: np.ndarray, py: np.ndarray,
+                    qx: np.ndarray, qy: np.ndarray, quant: float,
+                    primary: bool) -> np.ndarray:
+    """Batched ``_side_sum_q``: P pairs at once, rings padded to
+    (P, n) / (P, m) by repeating each ring's last vertex.  Padding is
+    exact-invariant: zero-length edges make zero cross products (the
+    quantized contribution of an empty sub-segment is floor(0.5) = 0)
+    and never straddle or cross, and non-proper crossing slots take
+    t = 1.0, which only appends empty [1, 1] sub-segments after the
+    real ones — so every pair's total equals the scalar sum bit for
+    bit.  Returns (P,) int64 totals."""
+    P, n = px.shape
+    m = qx.shape[1]
+    p2x, p2y = np.roll(px, -1, axis=1), np.roll(py, -1, axis=1)
+    q2x, q2y = np.roll(qx, -1, axis=1), np.roll(qy, -1, axis=1)
+    dpx, dpy = p2x - px, p2y - py
+    dqx, dqy = q2x - qx, q2y - qy
+    pxe, pye = px[:, :, None], py[:, :, None]
+    p2xe, p2ye = p2x[:, :, None], p2y[:, :, None]
+    dpxe, dpye = dpx[:, :, None], dpy[:, :, None]
+    qxe, qye = qx[:, None, :], qy[:, None, :]
+    q2xe, q2ye = q2x[:, None, :], q2y[:, None, :]
+    dqxe, dqye = dqx[:, None, :], dqy[:, None, :]
+    d1 = dpxe * (qye - pye) - dpye * (qxe - pxe)
+    d2 = dpxe * (q2ye - pye) - dpye * (q2xe - pxe)
+    d3 = dqxe * (pye - qye) - dqye * (pxe - qxe)
+    d4 = dqxe * (p2ye - qye) - dqye * (p2xe - qxe)
+    proper = (d1 * d2 < 0.0) & (d3 * d4 < 0.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ts = np.where(proper, d3 / (d3 - d4), 1.0)
+    ts = np.sort(ts, axis=2)                       # (P, n, m)
+    shape = (P, n, 1)
+    bounds = np.concatenate(
+        [np.zeros(shape), ts, np.ones(shape)], axis=2)  # (P, n, m+2)
+    sx = px[:, :, None] + bounds * dpx[:, :, None]
+    sy = py[:, :, None] + bounds * dpy[:, :, None]
+    mx = (sx[:, :, :-1] + sx[:, :, 1:]) * 0.5      # (P, n, m+1)
+    my = (sy[:, :, :-1] + sy[:, :, 1:]) * 0.5
+    K = n * (m + 1)
+    mxf, myf = mx.reshape(P, K), my.reshape(P, K)
+    inside = _batch_even_odd(mxf, myf, qx, qy)
+    onb = _batch_on_edge(mxf, myf, qx, qy)
+    if onb.any():
+        if primary:
+            pi, ki = np.nonzero(onb)
+            ei = ki // (m + 1)                      # edge index of P
+            h = np.hypot(dpx[pi, ei], dpy[pi, ei])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ex = -dpy[pi, ei] / h * 1e-7
+                ey = dpx[pi, ei] / h * 1e-7
+            # zero-length (padding) edges have h == 0 → nan offsets →
+            # their contribution is 0 anyway; nudge real edges only
+            ok = h > 0.0
+            agree = np.zeros(len(pi), dtype=bool)
+            if ok.any():
+                sub = _batch_even_odd(
+                    (mxf[pi, ki] + ex)[:, None][ok],
+                    (myf[pi, ki] + ey)[:, None][ok],
+                    qx[pi[ok]], qy[pi[ok]])[:, 0]
+                agree[ok] = sub
+            inside = inside.copy()
+            inside[pi, ki] = agree
+        else:
+            inside = inside & ~onb
+    cross = sx[:, :, :-1] * sy[:, :, 1:] - sx[:, :, 1:] * sy[:, :, :-1]
+    cq = np.floor(cross * quant + 0.5).astype(np.int64)
+    return np.sum(np.where(inside.reshape(P, n, m + 1), cq, 0), axis=(1, 2))
+
+
+def _pad_rings(rings: list) -> tuple[np.ndarray, np.ndarray]:
+    """Open CCW rings → (P, nmax) x/y arrays, last vertex repeated."""
+    nmax = max(len(r[0]) for r in rings)
+    P = len(rings)
+    xs = np.empty((P, nmax), dtype=np.float64)
+    ys = np.empty((P, nmax), dtype=np.float64)
+    for i, (x, y) in enumerate(rings):
+        k = len(x)
+        xs[i, :k], ys[i, :k] = x, y
+        xs[i, k:], ys[i, k:] = x[-1], y[-1]
+    return xs, ys
+
+
 def pair_area_q(ax, ay, bx, by, quant: float = _QUANT) -> int:
     """Quantized twice-area of A ∩ B for two open rings (any winding)."""
     ax = np.asarray(ax, dtype=np.float64)
@@ -270,40 +382,43 @@ def overlay_area_join(
               f"frac_a double, frac_b double, area_m2 double")
     k2 = _M_PER_DEG * _M_PER_DEG
 
+    def _norm(xs, ys):
+        x = np.asarray(xs, dtype=np.float64)
+        y = np.asarray(ys, dtype=np.float64)
+        if len(x) >= 2 and x[0] == x[-1] and y[0] == y[-1]:
+            x, y = x[:-1], y[:-1]
+        return _ccw(x, y)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: dict = {a_id: [], b_id: [], "area_q": [], "area_deg2": [],
                          "frac_a": [], "frac_b": [], "area_m2": []}
-            for aid, bid, axs, ays, bxs, bys in zip(
-                    pdf[a_id], pdf[b_id], pdf["_axs"], pdf["_ays"],
-                    pdf["_bxs"], pdf["_bys"]):
-                ax = np.asarray(axs, dtype=np.float64)
-                ay = np.asarray(ays, dtype=np.float64)
-                bx = np.asarray(bxs, dtype=np.float64)
-                by = np.asarray(bys, dtype=np.float64)
-                if len(ax) >= 2 and ax[0] == ax[-1] and ay[0] == ay[-1]:
-                    ax, ay = ax[:-1], ay[:-1]
-                if len(bx) >= 2 and bx[0] == bx[-1] and by[0] == by[-1]:
-                    bx, by = bx[:-1], by[:-1]
-                ax, ay = _ccw(ax, ay)
-                bx, by = _ccw(bx, by)
-                q = _side_sum_q(ax, ay, bx, by, quant, primary=True) \
-                    + _side_sum_q(bx, by, ax, ay, quant, primary=False)
-                if q <= 0:
-                    continue
-                fa = _ring_area_q(ax, ay, quant)
-                fb = _ring_area_q(bx, by, quant)
-                deg2 = q / (2.0 * quant)
-                clat = ((float(np.min(ay)) + float(np.max(ay))) * 0.5
-                        + (float(np.min(by)) + float(np.max(by))) * 0.5) * 0.5
-                out[a_id].append(aid)
-                out[b_id].append(bid)
-                out["area_q"].append(q)
-                out["area_deg2"].append(deg2)
-                out["frac_a"].append(round(q / fa, 9))
-                out["frac_b"].append(round(q / fb, 9))
-                out["area_m2"].append(
-                    round(deg2 * k2 * math.cos(math.radians(clat)), 3))
+            if len(pdf):
+                aring = [_norm(x, y) for x, y in zip(pdf["_axs"], pdf["_ays"])]
+                bring = [_norm(x, y) for x, y in zip(pdf["_bxs"], pdf["_bys"])]
+                axp, ayp = _pad_rings(aring)
+                bxp, byp = _pad_rings(bring)
+                qs = _batch_side_sum(axp, ayp, bxp, byp, quant, True) \
+                    + _batch_side_sum(bxp, byp, axp, ayp, quant, False)
+                aids, bids = pdf[a_id].to_numpy(), pdf[b_id].to_numpy()
+                for i in np.nonzero(qs > 0)[0]:
+                    q = int(qs[i])
+                    ax, ay = aring[i]
+                    bx, by = bring[i]
+                    fa = _ring_area_q(ax, ay, quant)
+                    fb = _ring_area_q(bx, by, quant)
+                    deg2 = q / (2.0 * quant)
+                    clat = ((float(np.min(ay)) + float(np.max(ay))) * 0.5
+                            + (float(np.min(by)) + float(np.max(by))) * 0.5) \
+                        * 0.5
+                    out[a_id].append(aids[i])
+                    out[b_id].append(bids[i])
+                    out["area_q"].append(q)
+                    out["area_deg2"].append(deg2)
+                    out["frac_a"].append(round(q / fa, 9))
+                    out["frac_b"].append(round(q / fb, 9))
+                    out["area_m2"].append(
+                        round(deg2 * k2 * math.cos(math.radians(clat)), 3))
             yield pd.DataFrame(out)
 
     return pairs.mapInPandas(run, schema)
