@@ -39,7 +39,8 @@ AUDITED = [
     "image_patches", "image_sharpness", "seq_packing", "video_scene_cuts",
     "hmm_match_tracks", "image_color_hist",
     "traj_hausdorff", "caption_bigram_lm", "image_entropy",
-    "traj_frechet", "seg_crossings", "traj_dtw",
+    "traj_frechet", "seg_crossings", "traj_dtw", "poly_overlay_z6",
+    "fp_containment", "route_points_500km",
 ]
 
 
