@@ -109,6 +109,8 @@ REGISTERED_ROUND = {
     "poly_overlay_z6": 4,
     "fp_containment": 4,
     "route_points_500km": 4,
+    "dup_spans_20": 4,
+    "dup_coverage_20": 4,
 }
 
 

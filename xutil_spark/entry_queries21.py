@@ -391,14 +391,106 @@ FROM calc
 """
 
 
+# ------------------------------------------ exact duplicate spans
+
+_DS_N = 20
+
+_DS_EX_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS a
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(a[i:i + {m}], ' ')) AS span_hash
+  FROM d, unnest(generate_series(1, len(a) - {m})) AS g(i)
+  WHERE len(a) >= {n}
+)
+""".replace("{m}", str(_DS_N - 1)).replace("{n}", str(_DS_N))
+
+
+def q_dup_spans_20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate 20-token spans across the corpus
+    (operators/textops.py dup_token_spans) — the exact-substring dedup
+    signal; md5 span hashes make the oracle pure SQL."""
+    _utc(spark)
+    from xutil_spark.entry_queries import _read
+    from xutil_spark.operators.textops import dup_token_spans
+
+    return dup_token_spans(_read(spark, sf_dir, "documents"), n=_DS_N)
+
+
+def o_dup_spans_20() -> str:
+    return _DS_EX_SQL + """
+SELECT span_hash, CAST(COUNT(*) AS BIGINT) AS n_occ,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM ex GROUP BY span_hash HAVING COUNT(*) >= 2
+"""
+
+
+def q_dup_coverage_20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span coverage (operators/textops.py
+    dup_span_coverage): integer interval-union of corpus-duplicated
+    20-token spans per doc — the curation-threshold signal."""
+    _utc(spark)
+    from xutil_spark.entry_queries import _read
+    from xutil_spark.operators.textops import dup_span_coverage
+
+    return dup_span_coverage(_read(spark, sf_dir, "documents"), n=_DS_N)
+
+
+def o_dup_coverage_20() -> str:
+    n = _DS_N
+    return _DS_EX_SQL + f"""
+, dup AS (
+  SELECT span_hash FROM ex GROUP BY span_hash HAVING COUNT(*) >= 2
+),
+hits AS (
+  SELECT e.doc_id, e.pos FROM ex e JOIN dup USING (span_hash)
+),
+inc AS (
+  SELECT doc_id, pos,
+         GREATEST(0, (pos + {n}) - GREATEST(
+           pos, COALESCE(MAX(pos + {n}) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)))
+           AS c
+  FROM hits
+),
+cov AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+         CAST(SUM(c) AS BIGINT) AS covered_tokens
+  FROM inc GROUP BY doc_id
+),
+alln AS (
+  SELECT doc_id, CAST(len(a) AS INTEGER) AS n_tokens FROM d
+)
+SELECT a.doc_id, a.n_tokens,
+       COALESCE(c.n_dup_spans, 0) AS n_dup_spans,
+       COALESCE(c.covered_tokens, 0) AS covered_tokens,
+       CASE WHEN a.n_tokens > 0
+            THEN ROUND(CAST(COALESCE(c.covered_tokens, 0) AS DOUBLE)
+                       / a.n_tokens, 9) + 0.0
+            ELSE 0.0 END AS coverage
+FROM alln a LEFT JOIN cov c USING (doc_id)
+"""
+
+
 QUERIES21 = {
     "poly_overlay_z6": q_poly_overlay_z6,
     "fp_containment": q_fp_containment,
     "route_points_500km": q_route_points_500km,
+    "dup_spans_20": q_dup_spans_20,
+    "dup_coverage_20": q_dup_coverage_20,
 }
 
 ORACLES21 = {
     "poly_overlay_z6": o_poly_overlay_z6(),
     "fp_containment": o_fp_containment(),
     "route_points_500km": o_route_points_500km(),
+    "dup_spans_20": o_dup_spans_20(),
+    "dup_coverage_20": o_dup_coverage_20(),
 }

@@ -676,3 +676,108 @@ def bigram_lm_scores(
             ).alias("avg_ll"),
         )
     )
+
+
+def _span_hashes(text_col: str, n: int):
+    """(tokens, array of md5 hex per n-token span) column pair."""
+    toks = tokens(text_col)
+    # sequence(1, stop) DESCENDS when stop < 1 — short docs must give
+    # an empty index list, not [1, 0]
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    spans = F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))))
+    return toks, spans
+
+
+def dup_token_spans(
+    docs: DataFrame, n: int = 20, text_col: str = "text",
+    id_col: str = "doc_id", min_occ: int = 2,
+) -> DataFrame:
+    """Exact duplicate token-span detection — the exact-substring dedup
+    signal for LLM training corpora (the Lee et al. 2022 observation:
+    verbatim ≥50-token repeats dominate memorization; near-dup sketches
+    miss them when the surrounding documents differ).  Every n-token
+    window of every document is hashed (md5 of the space-joined
+    lowercase tokens — both engines agree byte-for-byte on md5 hex, so
+    the oracle is PURE SQL); spans occurring ``min_occ``+ times across
+    the corpus are reported with occurrence/document counts.
+
+    Scale shape (10^12 tokens): the explode is one row per token (the
+    honest cost — same as any token-level statistic); the single
+    aggregation map-side-combines to the duplicated-hash dim, which is
+    tiny by Zipf.  No joins, no Python.
+    """
+    toks, spans = _span_hashes(text_col, n)
+    ex = docs.select(
+        F.col(id_col), F.posexplode(spans).alias("pos", "span_hash"))
+    return (
+        ex.groupBy("span_hash")
+        .agg(F.count(F.lit(1)).alias("n_occ"),
+             F.countDistinct(id_col).alias("n_docs"),
+             F.min(id_col).alias("min_doc"),
+             F.max(id_col).alias("max_doc"))
+        .filter(F.col("n_occ") >= min_occ)
+    )
+
+
+def dup_span_coverage(
+    docs: DataFrame, n: int = 20, text_col: str = "text",
+    id_col: str = "doc_id", min_occ: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-span coverage — the curation-ready form
+    of ``dup_token_spans``: what fraction of each document's tokens sit
+    inside some corpus-duplicated n-token span (docs above a coverage
+    threshold get dropped or span-deduplicated).
+
+    Covered-token counting is the classic interval-union done as exact
+    integer arithmetic: per doc in span-position order, each hit
+    contributes ``max(0, (pos+n) − max(pos, runmax_prev))`` where
+    ``runmax_prev`` is the running max of previous span ends — the sum
+    telescopes to the union length, order-deterministic, no floats
+    until the final ratio.
+
+    Scale shape: the token-level explode + ONE count shuffle to the
+    duplicated-hash dim, one semi-join of hits against it (AQE
+    broadcasts the dim), one per-doc window — the same per-entity
+    layout every track/doc stage shares.
+    """
+    from pyspark.sql.window import Window
+
+    toks, spans = _span_hashes(text_col, n)
+    base = docs.select(
+        F.col(id_col), F.size(toks).alias("n_tokens"),
+        F.posexplode_outer(spans).alias("pos", "span_hash"))
+    dup = (base.groupBy("span_hash")
+           .agg(F.count(F.lit(1)).alias("_c"))
+           .filter(F.col("_c") >= min_occ)
+           .filter(F.col("span_hash").isNotNull())
+           .select("span_hash"))
+    hits = base.join(dup, "span_hash").select(id_col, "n_tokens", "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    inc = F.greatest(
+        F.lit(0),
+        (F.col("pos") + n) - F.greatest(
+            F.col("pos"),
+            F.coalesce(F.max(F.col("pos") + n).over(wprev), F.lit(0))),
+    )
+    cov = (
+        hits.withColumn("_inc", inc)
+        .groupBy(id_col, "n_tokens")
+        .agg(F.count(F.lit(1)).alias("n_dup_spans"),
+             F.sum("_inc").alias("covered_tokens"))
+    )
+    # docs with no duplicated span still report 0 coverage
+    alln = base.select(id_col, "n_tokens").distinct()
+    out = alln.join(cov, [id_col, "n_tokens"], "left")
+    return out.select(
+        F.col(id_col), "n_tokens",
+        F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+        F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+        F.when(F.col("n_tokens") > 0,
+               F.round(F.coalesce("covered_tokens", F.lit(0))
+                       .cast("double") / F.col("n_tokens"), 9) + F.lit(0.0))
+        .otherwise(F.lit(0.0)).alias("coverage"),
+    )
