@@ -40,7 +40,7 @@ AUDITED = [
     "hmm_match_tracks", "image_color_hist",
     "traj_hausdorff", "caption_bigram_lm", "image_entropy",
     "traj_frechet", "seg_crossings", "traj_dtw", "poly_overlay_z6",
-    "fp_containment", "route_points_500km",
+    "fp_containment", "route_points_500km", "dup_spans_20", "dup_coverage_20",
 ]
 
 

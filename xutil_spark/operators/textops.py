@@ -709,6 +709,11 @@ def dup_token_spans(
     aggregation map-side-combines to the duplicated-hash dim, which is
     tiny by Zipf.  No joins, no Python.
     """
+    # the span build is ~dl slices + md5s per row — a small-file scan
+    # (one split) would serialize it; no-op at scale
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     toks, spans = _span_hashes(text_col, n)
     ex = docs.select(
         F.col(id_col), F.posexplode(spans).alias("pos", "span_hash"))
@@ -745,6 +750,9 @@ def dup_span_coverage(
     """
     from pyspark.sql.window import Window
 
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     toks, spans = _span_hashes(text_col, n)
     base = docs.select(
         F.col(id_col), F.size(toks).alias("n_tokens"),
@@ -769,8 +777,9 @@ def dup_span_coverage(
         .agg(F.count(F.lit(1)).alias("n_dup_spans"),
              F.sum("_inc").alias("covered_tokens"))
     )
-    # docs with no duplicated span still report 0 coverage
-    alln = base.select(id_col, "n_tokens").distinct()
+    # docs with no duplicated span still report 0 coverage; computed
+    # straight from the doc row — no third pass over the span explode
+    alln = docs.select(F.col(id_col), F.size(toks).alias("n_tokens"))
     out = alln.join(cov, [id_col, "n_tokens"], "left")
     return out.select(
         F.col(id_col), "n_tokens",
