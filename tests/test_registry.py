@@ -111,6 +111,7 @@ REGISTERED_ROUND = {
     "route_points_500km": 4,
     "dup_spans_20": 4,
     "dup_coverage_20": 4,
+    "zone_interp": 4,
 }
 
 

@@ -479,12 +479,97 @@ FROM alln a LEFT JOIN cov c USING (doc_id)
 """
 
 
+# ------------------------------------------- areal interpolation
+
+
+def q_zone_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Areal interpolation on top of the overlay join: each supplier's
+    account balance spreads uniformly over its service hexagon, and
+    every analysis zone collects Σ frac_a · s_acctbal — the standard
+    polygon→polygon mass transfer.  Each term quantizes to integer
+    micro-units before the sum (order-independent, VALUES-oracle-able);
+    the weight dim joins broadcast."""
+    _utc(spark)
+    from xutil_spark.entry_queries import _read
+    from xutil_spark.operators.overlay import overlay_area_join
+
+    ov = overlay_area_join(
+        _hex_polys(spark, sf_dir), _zone_polys(spark),
+        zoom=_OVL_ZOOM, a_id="supp_id", b_id="zone_id")
+    sup = _read(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("supp_id"),
+        F.col("s_acctbal").cast("double").alias("_bal"))
+    term = F.round(F.col("frac_a") * F.col("_bal") * 1e6, 0).cast("long")
+    return (
+        ov.join(F.broadcast(sup), "supp_id")
+        .withColumn("_tq", term)
+        .groupBy("zone_id")
+        .agg(F.count(F.lit(1)).alias("n_hexes"),
+             F.sum("_tq").alias("mass_q"))
+        .select("zone_id", "n_hexes", "mass_q",
+                (F.round(F.col("mass_q").cast("double") / 1e6, 3)
+                 + F.lit(0.0)).alias("mass"))
+    )
+
+
+def o_zone_interp() -> str:
+    """Replay: the o_poly_overlay_z6 scalar overlay + exact integer
+    micro-unit aggregation (HALF-AWAY rounding mirrors Spark's
+    ROUND(x, 0) on doubles for either sign)."""
+    import duckdb as _dd
+
+    from xutil_spark.entry_queries import _H1_MUL, _H2_MUL
+
+    con = _dd.connect()
+    sup = con.execute(
+        "SELECT s_suppkey, CAST(s_acctbal AS DOUBLE) FROM "
+        "read_parquet('/root/testdata/sf0.01/supplier.parquet')").fetchall()
+    con.close()
+    zones = {}
+    for i in range(20):
+        cx = 78.0 + (i % 5) * 12.0
+        cy = 22.0 + float(math.floor(i / 5)) * 9.0
+        rz = 4.0 + (i % 3) * 1.5
+        zones[i] = _sc_ccw([(cx + rz * u[0], cy + rz * u[1])
+                            for u in _OCT_U[i % 3]])
+    agg = {z: [0, 0] for z in zones}
+    for k, bal in sorted(sup):
+        lon = 73.5 + ((k * _H1_MUL) % _MASK20) / float(_MASK20) * 61.0
+        lat = 18.2 + ((k * _H2_MUL) % _MASK20) / float(_MASK20) * 35.3
+        rr = 0.5 + ((k * _H1_LIN) % _MASK20) / float(_MASK20) * 1.5
+        a = _sc_ccw([(lon + rr * u[0], lat + rr * u[1])
+                     for u in _HEX_U[k % 4]])
+        fa = _sc_ring_area_q(a)
+        for z, b in zones.items():
+            q = _sc_side_sum(a, b, True) + _sc_side_sum(b, a, False)
+            if q <= 0:
+                continue
+            frac = round(q / fa, 9)
+            r = frac * bal * 1e6
+            tq = int(math.floor(abs(r) + 0.5)) * (1 if r >= 0 else -1)
+            agg[z][0] += 1
+            agg[z][1] += tq
+    rows = [
+        f"({z},{n},{mq},{_fmt_f(round(mq / 1e6, 3))})"
+        for z, (n, mq) in sorted(agg.items()) if n > 0
+    ]
+    vals = ",".join(rows)
+    return f"""
+SELECT CAST(zone_id AS BIGINT) AS zone_id,
+       CAST(n_hexes AS BIGINT) AS n_hexes,
+       CAST(mass_q AS BIGINT) AS mass_q,
+       CAST(mass AS DOUBLE) AS mass
+FROM (VALUES {vals}) AS s(zone_id, n_hexes, mass_q, mass)
+"""
+
+
 QUERIES21 = {
     "poly_overlay_z6": q_poly_overlay_z6,
     "fp_containment": q_fp_containment,
     "route_points_500km": q_route_points_500km,
     "dup_spans_20": q_dup_spans_20,
     "dup_coverage_20": q_dup_coverage_20,
+    "zone_interp": q_zone_interp,
 }
 
 ORACLES21 = {
@@ -493,4 +578,5 @@ ORACLES21 = {
     "route_points_500km": o_route_points_500km(),
     "dup_spans_20": o_dup_spans_20(),
     "dup_coverage_20": o_dup_coverage_20(),
+    "zone_interp": o_zone_interp(),
 }

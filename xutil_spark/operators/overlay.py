@@ -355,6 +355,12 @@ def overlay_area_join(
       latitude, rounded to 3 dp (planar deg² is latitude-distorted;
       this is the metric column, same scale model as the trajectory
       kernels).
+
+    Int64 headroom: individual quantized edge terms reach |lon·lat|·
+    quant ≈ 1.5e16, so partial sums stay far under 2^63 for rings up to
+    ~10^2 vertices at the default quant; for planet-spanning rings with
+    10^4+ vertices, pass a smaller ``quant`` (or pre-shift coordinates
+    to a local origin) to keep the same exactness contract.
     """
     if a_id == b_id:
         raise ValueError("a_id and b_id must be distinct column names")
