@@ -112,6 +112,7 @@ REGISTERED_ROUND = {
     "dup_spans_20": 4,
     "dup_coverage_20": 4,
     "zone_interp": 4,
+    "cost_distance_grid": 4,
 }
 
 

@@ -563,6 +563,103 @@ FROM (VALUES {vals}) AS s(zone_id, n_hexes, mass_q, mass)
 """
 
 
+# ------------------------------------------- cost-distance surface
+
+_CD_W, _CD_H = 24, 16
+_CD_HOLE = 9  # cells with (gx*7 + gy*13) % 9 == 0 are obstacles
+
+
+def _cd_cells_sql() -> str:
+    return f"""
+SELECT (event_id * 2654435761 % 1048576) * {_CD_W} // 1048576 AS gx,
+       (event_id * 1597334677 % 1048576) * {_CD_H} // 1048576 AS gy
+FROM events
+"""
+
+
+def q_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-cost-path distance surface (operators/costdist.py): event
+    density builds an integer cost raster over a {_CD_W}×{_CD_H} hash
+    grid, ~1/{_CD_HOLE} of the cells knocked out as obstacles, sources
+    = supplier cells; exact integer distances, oracle = independent
+    scalar Dijkstra."""
+    _utc(spark)
+    from xutil_spark.entry_queries import _read
+    from xutil_spark.operators.costdist import cost_distance
+
+    ev = _read(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            F.expr(f"(event_id * 2654435761 % 1048576) * {_CD_W}"
+                   " div 1048576").alias("gx"),
+            F.expr(f"(event_id * 1597334677 % 1048576) * {_CD_H}"
+                   " div 1048576").alias("gy"))
+        .groupBy("gx", "gy").agg(F.count(F.lit(1)).alias("_n"))
+        .filter((F.col("gx") * 7 + F.col("gy") * 13) % _CD_HOLE != 0)
+        .select("gx", "gy", (F.lit(1000) + F.col("_n")).alias("cost"))
+    )
+    sup = _read(spark, sf_dir, "supplier").select(
+        F.expr(f"(s_suppkey * {{h1}} % 1048576) * {_CD_W} div 1048576"
+               .format(h1=2654435761)).alias("gx"),
+        F.expr(f"(s_suppkey * {{h2}} % 1048576) * {_CD_H} div 1048576"
+               .format(h2=1597334677)).alias("gy"))
+    return cost_distance(cells, sup, x="gx", y="gy", cost="cost")
+
+
+def o_cost_distance() -> str:
+    import heapq
+
+    import duckdb as _dd
+
+    con = _dd.connect()
+    ev = con.execute(
+        "SELECT event_id FROM "
+        "read_parquet('/root/testdata/sf0.01/events.parquet')").fetchall()
+    sup = con.execute(
+        "SELECT s_suppkey FROM "
+        "read_parquet('/root/testdata/sf0.01/supplier.parquet')").fetchall()
+    con.close()
+    counts: dict = {}
+    for (eid,) in ev:
+        gx = (eid * 2654435761 % 1048576) * _CD_W // 1048576
+        gy = (eid * 1597334677 % 1048576) * _CD_H // 1048576
+        counts[(gx, gy)] = counts.get((gx, gy), 0) + 1
+    cost = {c: 1000 + n for c, n in counts.items()
+            if (c[0] * 7 + c[1] * 13) % _CD_HOLE != 0}
+    srcs = set()
+    for (k,) in sup:
+        gx = (k * 2654435761 % 1048576) * _CD_W // 1048576
+        gy = (k * 1597334677 % 1048576) * _CD_H // 1048576
+        if (gx, gy) in cost:
+            srcs.add((gx, gy))
+    dist = {c: 0 for c in srcs}
+    pq = [(0, c) for c in sorted(srcs)]
+    heapq.heapify(pq)
+    while pq:
+        d, (cx, cy) = heapq.heappop(pq)
+        if d > dist.get((cx, cy), 1 << 62):
+            continue
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                nb = (cx + dx, cy + dy)
+                if nb not in cost:
+                    continue
+                mult = 1414 if dx != 0 and dy != 0 else 1000
+                nd = d + (cost[(cx, cy)] + cost[nb]) * mult
+                if nd < dist.get(nb, 1 << 62):
+                    dist[nb] = nd
+                    heapq.heappush(pq, (nd, nb))
+    rows = [f"({c[0]},{c[1]},{cost[c]},{d})" for c, d in sorted(dist.items())]
+    vals = ",".join(rows)
+    return f"""
+SELECT CAST(gx AS BIGINT) AS gx, CAST(gy AS BIGINT) AS gy,
+       CAST(cost AS BIGINT) AS cost, CAST(dist AS BIGINT) AS dist
+FROM (VALUES {vals}) AS s(gx, gy, cost, dist)
+"""
+
+
 QUERIES21 = {
     "poly_overlay_z6": q_poly_overlay_z6,
     "fp_containment": q_fp_containment,
@@ -570,6 +667,7 @@ QUERIES21 = {
     "dup_spans_20": q_dup_spans_20,
     "dup_coverage_20": q_dup_coverage_20,
     "zone_interp": q_zone_interp,
+    "cost_distance_grid": q_cost_distance,
 }
 
 ORACLES21 = {
@@ -579,4 +677,5 @@ ORACLES21 = {
     "dup_spans_20": o_dup_spans_20(),
     "dup_coverage_20": o_dup_coverage_20(),
     "zone_interp": o_zone_interp(),
+    "cost_distance_grid": o_cost_distance(),
 }
