@@ -113,6 +113,7 @@ REGISTERED_ROUND = {
     "dup_coverage_20": 4,
     "zone_interp": 4,
     "cost_distance_grid": 4,
+    "audio_match_fp": 4,
 }
 
 

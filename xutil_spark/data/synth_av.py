@@ -113,3 +113,70 @@ def video_scene_table(spark: SparkSession, n: int, w: int = 16, h: int = 12,
             yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_SCHEMA])
 
     return base.mapInPandas(gen, schema=VIDEO_SCHEMA)
+
+
+def melody_samples_for(i: int, n_samples: int) -> np.ndarray:
+    """Deterministic NON-STATIONARY int16 PCM: the sine frequency steps
+    to a new id-derived note every 512 samples (so spectral frames
+    differ over time — constellation fingerprints need time structure;
+    ``audio_samples_for``'s stationary tone makes every frame's peaks
+    identical).  Same splitmix noise floor."""
+    blocks = []
+    for b in range((n_samples + 511) // 512):
+        ln = min(512, n_samples - b * 512)
+        freq = 55.0 * (1 + ((i * 31 + b * 17) % 32))
+        t = (np.arange(ln, dtype=np.float64) + b * 512) / 8000.0
+        blocks.append(0.5 * np.sin(2 * np.pi * freq * t))
+    base = np.concatenate(blocks)
+    noise = (
+        splitmix64(np.arange(n_samples, dtype=np.int64) + i * 1_000_003)
+        .astype(np.float64) / 2**63 - 1.0
+    ) * 0.05
+    mono = np.clip(base + noise, -0.999, 0.999)
+    return (mono[:, None] * 32768.0).astype("<i2")
+
+
+def melody_table(spark: SparkSession, n: int, n_samples: int = 4000) -> DataFrame:
+    """audio_table's schema over the non-stationary melody signal."""
+    base = spark.range(n).toDF("i")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for i in b["i"]:
+                i = int(i)
+                pcm = melody_samples_for(i, n_samples)
+                rows.append((
+                    f"clip{i:06d}", pcm.tobytes(), 8000, n_samples, 1,
+                    "pcm16", f"melody clip {i}",
+                ))
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_SCHEMA])
+
+    return base.mapInPandas(gen, schema=AUDIO_SCHEMA)
+
+
+def snippet_table(spark: SparkSession, n: int, n_refs: int,
+                  ref_samples: int = 4000, length: int = 2048,
+                  hop: int = 128) -> DataFrame:
+    """Deterministic query snippets: snippet i is a byte-exact excerpt
+    of MELODY clip ``i*7 % n_refs`` starting at a hop-aligned,
+    id-derived offset — so its frames align with the reference's and a
+    correct fingerprint matcher recovers (ref, offset) exactly."""
+    base = spark.range(n).toDF("i")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for i in b["i"]:
+                i = int(i)
+                ref = (i * 7) % n_refs
+                off = hop * 2 * (i % 8)
+                pcm = melody_samples_for(ref, ref_samples)[off:off + length]
+                rows.append((
+                    f"snip{i:06d}", pcm.tobytes(), 8000, len(pcm), 1,
+                    "pcm16", f"snippet {i} of clip {ref}",
+                ))
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_SCHEMA])
+
+    return base.mapInPandas(gen, schema=AUDIO_SCHEMA).withColumnRenamed(
+        "clip_id", "snippet_id")

@@ -563,6 +563,97 @@ FROM (VALUES {vals}) AS s(zone_id, n_hexes, mass_q, mass)
 """
 
 
+# ------------------------------------------ audio constellation
+
+_AFP_REFS = 300
+_AFP_SNIPS = 60
+
+
+def q_audio_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shazam-style snippet→track matching (raster/audiofp.py): integer
+    constellation landmarks (fixed-point spectral DCT, per-band peaks,
+    offset-consistent votes) over the synthetic melody corpus; every
+    snippet must recover its source clip AND the exact frame offset."""
+    _utc(spark)
+    from xutil_spark.data.synth_av import melody_table, snippet_table
+    from xutil_spark.raster.audiofp import audio_fingerprints, audio_match
+
+    refs = melody_table(spark, _AFP_REFS)
+    snips = snippet_table(spark, _AFP_SNIPS, _AFP_REFS)
+    return audio_match(
+        audio_fingerprints(snips, id_col="snippet_id"),
+        audio_fingerprints(refs))
+
+
+def o_audio_match() -> str:
+    """Independent replay: signals from the shared melody generator,
+    landmarks re-derived from the documented integer pipeline (numpy
+    int64 matmul — exact integers, so any correct implementation
+    agrees), votes counted with dict arithmetic."""
+    from collections import Counter, defaultdict
+
+    import numpy as np
+
+    from xutil_spark.data.synth_av import melody_samples_for
+
+    frame, hop, fan = 256, 128, 3
+    C = np.empty((127, frame), dtype=np.int64)
+    for k in range(1, 128):
+        for m in range(frame):
+            v = math.cos(math.pi * (2 * m + 1) * k / (2 * frame)) * 16384
+            C[k - 1, m] = int(math.floor(v + 0.5)) if v >= 0 \
+                else int(math.ceil(v - 0.5))
+    edges = [(1, 2), (2, 4), (4, 8), (8, 16), (16, 32), (32, 64),
+             (64, 128)]
+
+    def lms(x):
+        x = np.asarray(x, dtype=np.int64)
+        nf = (len(x) - frame) // hop + 1
+        out = []
+        specs = []
+        for t in range(nf):
+            specs.append(np.abs(C @ x[t * hop:t * hop + frame]))
+        pk = [[int(np.argmax(s[lo - 1:hi - 1])) + lo for lo, hi in edges]
+              for s in specs]
+        for dt in range(1, fan + 1):
+            for t in range(nf - dt):
+                for b in range(len(edges)):
+                    out.append((t, (pk[t][b] * 128 + pk[t + dt][b]) * 8 + dt))
+        return out
+
+    ref_lms = {}
+    for i in range(_AFP_REFS):
+        ref_lms[i] = lms(melody_samples_for(i, 4000)[:, 0])
+    rows = []
+    for s in range(_AFP_SNIPS):
+        ref = (s * 7) % _AFP_REFS
+        off = hop * 2 * (s % 8)
+        x = melody_samples_for(ref, 4000)[off:off + 2048, 0]
+        snip = lms(x)
+        best = None
+        for rid in range(_AFP_REFS):
+            by = defaultdict(list)
+            for t, f in ref_lms[rid]:
+                by[f].append(t)
+            votes: Counter = Counter()
+            for ts_, f in snip:
+                for tr in by.get(f, ()):
+                    votes[tr - ts_] += 1
+            for dt_off, v in votes.items():
+                cand = (-v, rid, dt_off)
+                if best is None or cand < best:
+                    best = cand
+        if best is not None and -best[0] >= 4:
+            rows.append(f"('snip{s:06d}','clip{best[1]:06d}',"
+                        f"{best[2]},{-best[0]})")
+    vals = ",".join(rows)
+    return f"""
+SELECT snippet_id, clip_id, CAST(dt_off AS INTEGER) AS dt_off,
+       CAST(votes AS BIGINT) AS votes
+FROM (VALUES {vals}) AS s(snippet_id, clip_id, dt_off, votes)
+"""
+
+
 # ------------------------------------------- cost-distance surface
 
 _CD_W, _CD_H = 24, 16
@@ -668,6 +759,7 @@ QUERIES21 = {
     "dup_coverage_20": q_dup_coverage_20,
     "zone_interp": q_zone_interp,
     "cost_distance_grid": q_cost_distance,
+    "audio_match_fp": q_audio_match,
 }
 
 ORACLES21 = {
@@ -678,4 +770,5 @@ ORACLES21 = {
     "dup_coverage_20": o_dup_coverage_20(),
     "zone_interp": o_zone_interp(),
     "cost_distance_grid": o_cost_distance(),
+    "audio_match_fp": o_audio_match(),
 }
