@@ -114,6 +114,7 @@ REGISTERED_ROUND = {
     "zone_interp": 4,
     "cost_distance_grid": 4,
     "audio_match_fp": 4,
+    "pagerank_od_z5": 4,
 }
 
 

@@ -563,6 +563,83 @@ FROM (VALUES {vals}) AS s(zone_id, n_hexes, mass_q, mass)
 """
 
 
+# ---------------------------------------------- PageRank (OD graph)
+
+_PR_ZOOM = 5
+_PR_ITERS = 10
+_PR_SCALE = 10**9
+
+
+def q_pagerank_od(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-quantized PageRank (operators/graph.py) over the z5 OD
+    mobility graph (od_flows edges, n_moves weights): cell centrality
+    after 10 exact integer iterations — classic iterative-join Spark
+    workload, digit-for-digit oracle-able."""
+    _utc(spark)
+    from xutil_spark.entry_queries12 import _located_events
+    from xutil_spark.operators.flows import od_flows
+    from xutil_spark.operators.graph import pagerank_q
+
+    ev = _located_events(spark, sf_dir)
+    edges = od_flows(ev, _PR_ZOOM, entity="user_id", ts="ts",
+                     tiebreak="event_id", self_loops=False, min_count=1)
+    pr = pagerank_q(edges, src="from_cell", dst="to_cell",
+                    weight="n_moves", iters=_PR_ITERS, scale=_PR_SCALE)
+    return pr.select(
+        F.col("node").alias("cell"), "rq",
+        (F.col("rq").cast("double") / F.lit(float(_PR_SCALE)))
+        .alias("rank"))
+
+
+def o_pagerank_od() -> str:
+    """Edges from the proven od_flows SQL (DuckDB), then an independent
+    pure-Python integer replay of the documented update rule."""
+    import duckdb as _dd
+
+    from xutil_spark.entry_queries3 import _EV_LAT, _EV_LON
+    from xutil_spark.entry_queries12 import _cell_sql
+
+    cell = _cell_sql("lon", "lat", _PR_ZOOM)
+    con = _dd.connect()
+    edges = con.execute(f"""
+WITH ev AS (
+  SELECT event_id, user_id, ts, {_EV_LON} AS lon, {_EV_LAT} AS lat
+  FROM read_parquet('/root/testdata/sf0.01/events.parquet')
+),
+located AS (SELECT event_id, user_id, ts, {cell} AS cell FROM ev),
+moved AS (
+  SELECT user_id, cell AS to_cell,
+         lag(cell) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS from_cell
+  FROM located
+)
+SELECT from_cell, to_cell, COUNT(*) AS w FROM moved
+WHERE from_cell IS NOT NULL AND from_cell <> to_cell
+GROUP BY 1, 2""").fetchall()
+    con.close()
+    nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    n = len(nodes)
+    W: dict = {}
+    for u, _, w in edges:
+        W[u] = W.get(u, 0) + w
+    base = (_PR_SCALE * 15) // 100
+    rank = {v: _PR_SCALE for v in nodes}
+    for _ in range(_PR_ITERS):
+        inc = dict.fromkeys(nodes, 0)
+        for u, v, w in edges:
+            inc[v] += rank[u] * w // W[u]
+        dang = sum(rank[v] for v in nodes if v not in W)
+        rank = {v: base + 85 * (inc[v] + dang // n) // 100 for v in nodes}
+    rows = ",".join(
+        f"({v},{rank[v]},{_fmt_f(rank[v] / float(_PR_SCALE))})"
+        for v in nodes)
+    return f"""
+SELECT CAST(cell AS BIGINT) AS cell, CAST(rq AS BIGINT) AS rq,
+       CAST(rank AS DOUBLE) AS rank
+FROM (VALUES {rows}) AS s(cell, rq, rank)
+"""
+
+
 # ------------------------------------------ audio constellation
 
 _AFP_REFS = 300
@@ -760,6 +837,7 @@ QUERIES21 = {
     "zone_interp": q_zone_interp,
     "cost_distance_grid": q_cost_distance,
     "audio_match_fp": q_audio_match,
+    "pagerank_od_z5": q_pagerank_od,
 }
 
 ORACLES21 = {
@@ -771,4 +849,5 @@ ORACLES21 = {
     "zone_interp": o_zone_interp(),
     "cost_distance_grid": o_cost_distance(),
     "audio_match_fp": o_audio_match(),
+    "pagerank_od_z5": o_pagerank_od(),
 }
