@@ -66,3 +66,47 @@ def test_distributed_path_matches_gated(spark):
     gated = _solve(spark, rows, srcs)
     dist = _solve(spark, rows, srcs, gate_cells=0, budget=4)
     assert gated == dist and len(gated) > 10
+
+
+def _paths(spark, rows, srcs, tgts, **kw):
+    from xutil_spark.operators.costdist import least_cost_paths
+
+    out = least_cost_paths(_cells(spark, rows), _src(spark, srcs),
+                           _src(spark, tgts), **kw)
+    paths = {}
+    for r in sorted(out.collect(), key=lambda r: (r.target_x, r.target_y,
+                                                  r.step)):
+        paths.setdefault((r.target_x, r.target_y), []).append(
+            (r.cx, r.cy, r.dist))
+    return paths
+
+
+def test_path_connected_and_descends_to_source(spark):
+    rows = [(x, y, 1 + (x + 2 * y) % 3) for x in range(6) for y in range(4)]
+    p = _paths(spark, rows, [(0, 0)], [(5, 3)])
+    steps = p[(5, 3)]
+    assert steps[0][:2] == (5, 3) and steps[-1][:2] == (0, 0)
+    assert steps[-1][2] == 0
+    ds = [s[2] for s in steps]
+    assert ds == sorted(ds, reverse=True)  # strictly descending chainage
+    for (x1, y1, _), (x2, y2, _) in zip(steps, steps[1:]):
+        assert max(abs(x1 - x2), abs(y1 - y2)) == 1  # 8-connected
+
+
+def test_path_routes_around_wall(spark):
+    rows = [(x, y, 1) for x in range(3) for y in range(3)
+            if not (x == 1 and y in (1, 2))]
+    p = _paths(spark, rows, [(0, 2)], [(2, 2)])
+    cells = [(c[0], c[1]) for c in p[(2, 2)]]
+    assert (1, 1) not in cells and (1, 2) not in cells
+    assert len(cells) >= 4  # forced detour through the open row
+
+
+def test_unreachable_target_silent_and_gate_raises(spark):
+    import pytest as _pt
+
+    rows = [(0, 0, 1), (9, 9, 1)]
+    p = _paths(spark, rows, [(0, 0)], [(9, 9)])
+    assert p == {}
+    with _pt.raises(ValueError):
+        _paths(spark, rows, [(0, 0)], [(9, 9)], gate_cells=1)

@@ -115,6 +115,7 @@ REGISTERED_ROUND = {
     "cost_distance_grid": 4,
     "audio_match_fp": 4,
     "pagerank_od_z5": 4,
+    "least_cost_paths": 4,
 }
 
 

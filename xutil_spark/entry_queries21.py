@@ -828,6 +828,130 @@ FROM (VALUES {vals}) AS s(gx, gy, cost, dist)
 """
 
 
+# ------------------------------------------- least-cost corridors
+
+_LCP_MOD = 250  # targets: customer keys ≡ 0 (mod 250)
+
+
+def q_least_cost_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corridor extraction behind the cost surface
+    (operators/costdist.py least_cost_paths): the ordered optimal cell
+    route from sampled customer cells back to the nearest supplier
+    source, exact-integer backtracking over the same raster as
+    `cost_distance_grid`."""
+    _utc(spark)
+    from xutil_spark.entry_queries import _read
+    from xutil_spark.operators.costdist import least_cost_paths
+
+    ev = _read(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            F.expr(f"(event_id * 2654435761 % 1048576) * {_CD_W}"
+                   " div 1048576").alias("gx"),
+            F.expr(f"(event_id * 1597334677 % 1048576) * {_CD_H}"
+                   " div 1048576").alias("gy"))
+        .groupBy("gx", "gy").agg(F.count(F.lit(1)).alias("_n"))
+        .filter((F.col("gx") * 7 + F.col("gy") * 13) % _CD_HOLE != 0)
+        .select("gx", "gy", (F.lit(1000) + F.col("_n")).alias("cost"))
+    )
+    sup = (_read(spark, sf_dir, "supplier")
+           .filter(F.col("s_suppkey") % 17 == 0)
+           .select(
+               F.expr(f"(s_suppkey * 2654435761 % 1048576) * {_CD_W}"
+                      " div 1048576").alias("gx"),
+               F.expr(f"(s_suppkey * 1597334677 % 1048576) * {_CD_H}"
+                      " div 1048576").alias("gy")))
+    tgt = (_read(spark, sf_dir, "customer")
+           .filter(F.col("c_custkey") % _LCP_MOD == 0)
+           .select(
+               F.expr(f"(c_custkey * 2654435761 % 1048576) * {_CD_W}"
+                      " div 1048576").alias("gx"),
+               F.expr(f"(c_custkey * 1597334677 % 1048576) * {_CD_H}"
+                      " div 1048576").alias("gy")))
+    return least_cost_paths(cells, sup, tgt, x="gx", y="gy", cost="cost")
+
+
+def o_least_cost_paths() -> str:
+    import heapq
+
+    import duckdb as _dd
+
+    con = _dd.connect()
+    ev = con.execute(
+        "SELECT event_id FROM "
+        "read_parquet('/root/testdata/sf0.01/events.parquet')").fetchall()
+    sup = con.execute(
+        "SELECT s_suppkey FROM "
+        "read_parquet('/root/testdata/sf0.01/supplier.parquet')").fetchall()
+    cus = con.execute(
+        "SELECT c_custkey FROM "
+        "read_parquet('/root/testdata/sf0.01/customer.parquet') "
+        f"WHERE c_custkey % {_LCP_MOD} = 0").fetchall()
+    con.close()
+    sup = [(k,) for (k,) in sup if k % 17 == 0]
+
+    def cell_of(k):
+        return ((k * 2654435761 % 1048576) * _CD_W // 1048576,
+                (k * 1597334677 % 1048576) * _CD_H // 1048576)
+
+    counts: dict = {}
+    for (eid,) in ev:
+        c = cell_of(eid)
+        counts[c] = counts.get(c, 0) + 1
+    cost = {c: 1000 + n for c, n in counts.items()
+            if (c[0] * 7 + c[1] * 13) % _CD_HOLE != 0}
+    srcs = {cell_of(k) for (k,) in sup if cell_of(k) in cost}
+    dist = {c: 0 for c in srcs}
+    pq = [(0, c) for c in sorted(srcs)]
+    heapq.heapify(pq)
+    offs = [(-1, -1, 1414), (-1, 0, 1000), (-1, 1, 1414), (0, -1, 1000),
+            (0, 1, 1000), (1, -1, 1414), (1, 0, 1000), (1, 1, 1414)]
+    while pq:
+        d, (cx, cy) = heapq.heappop(pq)
+        if d > dist.get((cx, cy), 1 << 62):
+            continue
+        for dy, dx, mult in offs:
+            nb = (cx + dx, cy + dy)
+            if nb not in cost:
+                continue
+            nd = d + (cost[(cx, cy)] + cost[nb]) * mult
+            if nd < dist.get(nb, 1 << 62):
+                dist[nb] = nd
+                heapq.heappush(pq, (nd, nb))
+    rows = []
+    for tx, ty in sorted({cell_of(k) for (k,) in cus}):
+        if (tx, ty) not in dist:
+            continue
+        cx, cy = tx, ty
+        step = 0
+        rows.append(f"({tx},{ty},{step},{cx},{cy},{dist[(cx, cy)]})")
+        while dist[(cx, cy)] > 0:
+            best = None
+            for dy, dx, mult in offs:
+                nb = (cx - dx, cy - dy)
+                if nb not in dist:
+                    continue
+                w = (cost[nb] + cost[(cx, cy)]) * mult
+                if dist[nb] + w == dist[(cx, cy)]:
+                    key = (dist[nb], nb[1], nb[0])
+                    if best is None or key < best:
+                        best = key
+            if best is None:
+                break
+            cy, cx = best[1], best[2]
+            step += 1
+            rows.append(f"({tx},{ty},{step},{cx},{cy},{dist[(cx, cy)]})")
+    vals = ",".join(rows)
+    return f"""
+SELECT CAST(target_x AS BIGINT) AS target_x,
+       CAST(target_y AS BIGINT) AS target_y,
+       CAST(step AS INTEGER) AS step,
+       CAST(gx AS BIGINT) AS gx, CAST(gy AS BIGINT) AS gy,
+       CAST(dist AS BIGINT) AS dist
+FROM (VALUES {vals}) AS s(target_x, target_y, step, gx, gy, dist)
+"""
+
+
 QUERIES21 = {
     "poly_overlay_z6": q_poly_overlay_z6,
     "fp_containment": q_fp_containment,
@@ -838,6 +962,7 @@ QUERIES21 = {
     "cost_distance_grid": q_cost_distance,
     "audio_match_fp": q_audio_match,
     "pagerank_od_z5": q_pagerank_od,
+    "least_cost_paths": q_least_cost_paths,
 }
 
 ORACLES21 = {
@@ -850,4 +975,5 @@ ORACLES21 = {
     "cost_distance_grid": o_cost_distance(),
     "audio_match_fp": o_audio_match(),
     "pagerank_od_z5": o_pagerank_od(),
+    "least_cost_paths": o_least_cost_paths(),
 }

@@ -177,3 +177,100 @@ def cost_distance(
         base, ["_x", "_y"],
     ).select(F.col("_x").alias(x), F.col("_y").alias(y),
              F.col("_c").alias(cost), F.col("_d").alias("dist"))
+
+
+def _backtrack_dense(cg: np.ndarray, dist: np.ndarray,
+                     ty: int, tx: int) -> list[tuple[int, int]]:
+    """Greedy descent from a reached target to a source: the optimal
+    predecessor satisfies dist[nb] + w(nb→cur) == dist[cur] exactly
+    (integer arithmetic); ties break on smallest (dist, y, x)."""
+    path = [(tx, ty)]
+    cy, cx = ty, tx
+    while dist[cy, cx] > 0:
+        best = None
+        for dy, dx, mult in _OFFS:
+            ny, nx = cy - dy, cx - dx
+            if not (0 <= ny < dist.shape[0] and 0 <= nx < dist.shape[1]):
+                continue
+            if cg[ny, nx] < 0 or dist[ny, nx] >= _INF:
+                continue
+            w = (cg[ny, nx] + cg[cy, cx]) * mult
+            if dist[ny, nx] + w == dist[cy, cx]:
+                key = (int(dist[ny, nx]), ny, nx)
+                if best is None or key < best:
+                    best = key
+        if best is None:           # numerically impossible; be safe
+            break
+        _, cy, cx = best
+        path.append((cx, cy))
+    return path
+
+
+def least_cost_paths(
+    cells: DataFrame,
+    sources: DataFrame,
+    targets: DataFrame,
+    x: str = "cx",
+    y: str = "cy",
+    cost: str = "cost",
+    gate_cells: int = 4_000_000,
+) -> DataFrame:
+    """The optimal route behind ``cost_distance``: for each reachable
+    target cell, the ordered cell sequence back to the nearest source
+    (corridor extraction / siting).  Exact-integer backtracking — a
+    predecessor is any neighbor with ``dist[nb] + w == dist[cur]``,
+    smallest ``(dist, y, x)`` wins — so the path is deterministic and
+    replayable.  Returns (target_x, target_y, step, x, y, dist) rows,
+    step 0 at the target, ending at a source with dist 0; unreachable
+    targets emit nothing.
+
+    Scale: the surface solve is ``cost_distance``'s (gated dense /
+    distributed rounds); the backtrack here is the gated dense walk —
+    for beyond-gate extents run the distributed surface first and
+    restrict ``cells`` to a corridor bbox around each target (the
+    standard two-pass corridor-analysis recipe), which brings the walk
+    under the gate.
+    """
+    spark = cells.sparkSession
+    ext = cells.agg(
+        F.min(x).alias("x0"), F.max(x).alias("x1"),
+        F.min(y).alias("y0"), F.max(y).alias("y1"),
+        F.count(F.lit(1)).alias("n")).first()
+    schema = (f"target_x long, target_y long, step int, {x} long, "
+              f"{y} long, dist long")
+    if ext["n"] == 0:
+        return spark.createDataFrame([], schema)
+    w = int(ext["x1"]) - int(ext["x0"]) + 1
+    h = int(ext["y1"]) - int(ext["y0"]) + 1
+    if w * h > gate_cells:
+        raise ValueError(
+            f"extent {w}x{h} exceeds gate_cells={gate_cells}: solve the "
+            "surface with cost_distance and re-run per-target on a "
+            "corridor bbox (see docstring)")
+    x0, y0 = int(ext["x0"]), int(ext["y0"])
+    cp = cells.select(x, y, cost).toPandas()
+    sp = sources.select(x, y).toPandas()
+    tp = targets.select(x, y).toPandas()
+    cg = np.full((h, w), -1, dtype=np.int64)
+    cg[cp[y].to_numpy() - y0, cp[x].to_numpy() - x0] = cp[cost].to_numpy()
+    dist = np.full((h, w), _INF, dtype=np.int64)
+    sy = sp[y].to_numpy() - y0
+    sx = sp[x].to_numpy() - x0
+    ok = (sy >= 0) & (sy < h) & (sx >= 0) & (sx < w)
+    sy, sx = sy[ok], sx[ok]
+    live = cg[sy, sx] >= 0
+    dist[sy[live], sx[live]] = 0
+    dist = _solve_dense(cg, dist)
+    rows = []
+    for txx, tyy in sorted({(int(a), int(b))
+                            for a, b in zip(tp[x], tp[y])}):
+        gy, gx = tyy - y0, txx - x0
+        if not (0 <= gy < h and 0 <= gx < w) or dist[gy, gx] >= _INF:
+            continue
+        for step, (pxx, pyy) in enumerate(_backtrack_dense(cg, dist, gy, gx)):
+            rows.append((txx, tyy, step, pxx + x0, pyy + y0,
+                         int(dist[pyy, pxx])))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["target_x", "target_y", "step",
+                                    x, y, "dist"]).astype("int64")
+        if rows else [], schema)
