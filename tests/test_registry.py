@@ -116,6 +116,7 @@ REGISTERED_ROUND = {
     "audio_match_fp": 4,
     "pagerank_od_z5": 4,
     "least_cost_paths": 4,
+    "hll_users_z6": 4,
 }
 
 

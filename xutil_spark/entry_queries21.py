@@ -828,6 +828,91 @@ FROM (VALUES {vals}) AS s(gx, gy, cost, dist)
 """
 
 
+# --------------------------------------------- HyperLogLog sketch
+
+_HLL_ZOOM = 6
+_HLL_P = 8
+
+
+def q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch HyperLogLog distinct-user sketch per z6 cell
+    (operators/sketches.py hll_distinct) next to the exact count —
+    register table exact integers, harmonic fold order pinned; the
+    exact column doubles as the accuracy exhibit."""
+    _utc(spark)
+    from xutil_spark.entry_queries12 import _located_events
+    from xutil_spark.functions import native
+    from xutil_spark.operators.sketches import hll_distinct
+
+    ev = _located_events(spark, sf_dir).select(
+        native.cell("lon", "lat", _HLL_ZOOM).alias("cell"), "user_id")
+    h = hll_distinct(ev, group="cell", key="user_id", p=_HLL_P)
+    exact = ev.groupBy("cell").agg(
+        F.countDistinct("user_id").alias("exact"))
+    return h.join(exact, "cell").select(
+        "cell", "n_regs", "reg_chk", "est", "est_hll", "exact")
+
+
+def o_hll_users() -> str:
+    """Cells from the proven tile SQL (DuckDB); registers, folds and
+    corrections replayed in pure Python with the pinned _xxh64."""
+    import struct
+
+    import duckdb as _dd
+
+    from xutil_spark.entry_queries import _cell_sql, _xxh64
+    from xutil_spark.entry_queries3 import _EV_LAT, _EV_LON
+
+    cell = _cell_sql("lon", "lat", _HLL_ZOOM)
+    con = _dd.connect()
+    rows = con.execute(f"""
+WITH ev AS (
+  SELECT user_id, {_EV_LON} AS lon, {_EV_LAT} AS lat
+  FROM read_parquet('/root/testdata/sf0.01/events.parquet')
+)
+SELECT DISTINCT {cell} AS cell, user_id FROM ev""").fetchall()
+    con.close()
+    p, m = _HLL_P, 1 << _HLL_P
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    per: dict = {}
+    exact: dict = {}
+    for c, u in rows:
+        h = _xxh64(struct.pack("<q", u), 42)
+        reg = h >> (64 - p)
+        w = (h << p) & ((1 << 64) - 1)
+        if w == 0:
+            rank = 64 - p + 1
+        else:
+            rank = 65 - w.bit_length()
+        d = per.setdefault(c, {})
+        d[reg] = max(d.get(reg, 0), rank)
+        exact[c] = exact.get(c, 0) + 1
+    out = []
+    for c in sorted(per):
+        regs = sorted(per[c].items())
+        acc = 0.0
+        for _, rank in regs:
+            acc += 2.0 ** (-float(rank))
+        hsum = (float(m) - len(regs)) + acc
+        raw = (alpha * m * m) / hsum
+        zeros = float(m - len(regs))
+        if raw <= 2.5 * m and zeros > 0:
+            est = float(m) * math.log(float(m) / zeros)
+        else:
+            est = raw
+        chk = sum(reg * 128 + rank for reg, rank in regs)
+        out.append(f"({c},{len(regs)},{chk},{_fmt_f(round(est, 3))},"
+                   f"{_fmt_f(round(raw, 3))},{exact[c]})")
+    vals = ",".join(out)
+    return f"""
+SELECT CAST(cell AS BIGINT) AS cell, CAST(n_regs AS INTEGER) AS n_regs,
+       CAST(reg_chk AS BIGINT) AS reg_chk, CAST(est AS DOUBLE) AS est,
+       CAST(est_hll AS DOUBLE) AS est_hll,
+       CAST(exact AS BIGINT) AS exact
+FROM (VALUES {vals}) AS s(cell, n_regs, reg_chk, est, est_hll, exact)
+"""
+
+
 # ------------------------------------------- least-cost corridors
 
 _LCP_MOD = 250  # targets: customer keys ≡ 0 (mod 250)
@@ -963,6 +1048,7 @@ QUERIES21 = {
     "audio_match_fp": q_audio_match,
     "pagerank_od_z5": q_pagerank_od,
     "least_cost_paths": q_least_cost_paths,
+    "hll_users_z6": q_hll_users,
 }
 
 ORACLES21 = {
@@ -976,4 +1062,5 @@ ORACLES21 = {
     "audio_match_fp": o_audio_match(),
     "pagerank_od_z5": o_pagerank_od(),
     "least_cost_paths": o_least_cost_paths(),
+    "hll_users_z6": o_hll_users(),
 }

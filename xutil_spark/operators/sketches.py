@@ -137,3 +137,78 @@ def heavy_hitters(
         merged.orderBy(F.col("count_ub").desc(), F.col("key").asc())
         .limit(k)
     )
+
+
+def hll_distinct(
+    df: DataFrame,
+    group: str,
+    key: str,
+    p: int = 8,
+) -> DataFrame:
+    """From-scratch HyperLogLog distinct-count sketch per group
+    (Flajolet et al. 2007) — the mergeable cardinality estimator next
+    to the space-saving frequency sketch.  Spark ships approx_count_
+    distinct (HLL++); this one exists so the REGISTERS are a first-
+    class mergeable table (cross-partition, cross-day, cross-source
+    unions are register-max joins) and the estimate is exactly
+    replayable.
+
+    Determinism contract: the hash is ``xxhash64`` (pinned, replayed
+    in pure Python elsewhere in the contract); register index = top
+    ``p`` bits (unsigned), rank = leading-zero count of the remaining
+    bits + 1 (via the ``bin()`` string-length trick — all JVM); the
+    register table is exact integers (MAX is order-independent), and
+    the final harmonic sum folds over registers in ASCENDING REGISTER
+    ORDER (sort_array + aggregate), so even the float estimate is
+    bit-reproducible.  Standard small-range correction (linear
+    counting) included.
+
+    Scale shape (10^12 rows): one map-side-combined MAX shuffle at
+    (group, register ≤ 2^p) cardinality, then one per-group fold —
+    the fact table is read once, nothing else is fact-sized.
+
+    Returns (group, n_regs, est, est_hll) — ``est`` applies the
+    small-range correction, ``est_hll`` is the raw HLL estimate; both
+    rounded to 3 dp.
+    """
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    h = F.xxhash64(F.col(key))
+    reg = F.shiftrightunsigned(h, 64 - p)
+    w = F.shiftleft(h, p)
+    # leading zeros of the 64-bit two's-complement pattern: bin() drops
+    # leading zeros (64 chars only when bit63 set); w == 0 → max rank
+    rank = F.when(w == 0, F.lit(64 - p + 1)).otherwise(
+        F.lit(65) - F.length(F.bin(w)))
+    regs = (
+        df.select(F.col(group).alias("g"), reg.alias("reg"),
+                  rank.alias("rank"))
+        .groupBy("g", "reg").agg(F.max("rank").alias("rank"))
+    )
+    per = regs.groupBy("g").agg(
+        F.sort_array(F.collect_list(F.struct("reg", "rank"))).alias("_r"))
+    # harmonic sum: absent registers contribute 2^0 = 1 each; present
+    # ones fold in ascending register order
+    n_regs = F.size("_r")
+    hsum = (F.lit(float(m)) - n_regs.cast("double")
+            + F.aggregate(
+                "_r", F.lit(0.0),
+                lambda acc, s: acc + F.pow(F.lit(2.0),
+                                           -s["rank"].cast("double"))))
+    raw = F.lit(alpha * m * m) / hsum
+    zeros = (F.lit(m) - n_regs).cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    # exact-integer register checksum: the strong (float-free) anchor
+    chk = F.aggregate(
+        "_r", F.lit(0).cast("long"),
+        lambda acc, s: acc + s["reg"].cast("long") * 128 + s["rank"])
+    return per.select(
+        F.col("g").alias(group),
+        n_regs.alias("n_regs"),
+        chk.alias("reg_chk"),
+        F.round(est, 3).alias("est"),
+        F.round(raw, 3).alias("est_hll"),
+    )
