@@ -117,6 +117,7 @@ REGISTERED_ROUND = {
     "pagerank_od_z5": 4,
     "least_cost_paths": 4,
     "hll_users_z6": 4,
+    "clean_docs": 4,
 }
 
 

@@ -828,6 +828,75 @@ FROM (VALUES {vals}) AS s(gx, gy, cost, dist)
 """
 
 
+# ----------------------------------------------- text cleaning
+
+
+def q_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style pre-dedup cleaning (operators/textops.py clean_text)
+    over the documents table with deterministically injected markup
+    (tags/entities keyed off doc_id%4, built identically in the oracle
+    SQL) — tags stripped, entities neutralized, whitespace collapsed,
+    markup accounting per doc."""
+    _utc(spark)
+    from xutil_spark.entry_queries import _read
+    from xutil_spark.operators.textops import clean_text
+
+    d = _read(spark, sf_dir, "documents")
+    marked = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit('<div class="x">'), F.col("text"),
+                        F.lit("</div>&nbsp;")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.col("text"), F.lit("<br/> \t end")))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit("&amp; intro &#8212; "), F.col("text")))
+        .otherwise(F.col("text")).alias("text"))
+    return clean_text(marked)
+
+
+def o_clean_docs() -> str:
+    from xutil_spark.operators.textops import (
+        CLEAN_CTRL,
+        CLEAN_ENTITY,
+        CLEAN_TAG,
+        CLEAN_WS,
+    )
+
+    return f"""
+WITH marked AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN '<div class="x">' || text || '</div>&nbsp;'
+           WHEN 1 THEN text || '<br/> ' || chr(9) || ' end'
+           WHEN 2 THEN '&amp; intro &#8212; ' || text
+           ELSE text END AS text
+  FROM documents
+),
+cleaned AS (
+  SELECT doc_id, text,
+         length(regexp_extract_all(text, '{CLEAN_TAG}')) AS n_tags,
+         length(regexp_extract_all(text, '{CLEAN_ENTITY}')) AS n_entities,
+         trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{CLEAN_TAG}', ' ', 'g'),
+               '{CLEAN_ENTITY}', ' ', 'g'),
+             '{CLEAN_CTRL}', '', 'g'),
+           '{CLEAN_WS}', ' ', 'g')) AS clean
+  FROM marked
+)
+SELECT doc_id, CAST(length(text) AS INTEGER) AS raw_len,
+       CAST(n_tags AS BIGINT) AS n_tags,
+       CAST(n_entities AS BIGINT) AS n_entities,
+       clean, CAST(length(clean) AS INTEGER) AS clean_len,
+       ROUND(CASE WHEN length(text) > 0
+                  THEN CAST(length(text) - length(clean) AS DOUBLE)
+                       / length(text) ELSE 0.0 END, 9) AS markup_ratio
+FROM cleaned
+"""
+
+
 # --------------------------------------------- HyperLogLog sketch
 
 _HLL_ZOOM = 6
@@ -1049,6 +1118,7 @@ QUERIES21 = {
     "pagerank_od_z5": q_pagerank_od,
     "least_cost_paths": q_least_cost_paths,
     "hll_users_z6": q_hll_users,
+    "clean_docs": q_clean_docs,
 }
 
 ORACLES21 = {
@@ -1063,4 +1133,5 @@ ORACLES21 = {
     "pagerank_od_z5": o_pagerank_od(),
     "least_cost_paths": o_least_cost_paths(),
     "hll_users_z6": o_hll_users(),
+    "clean_docs": o_clean_docs(),
 }

@@ -790,3 +790,49 @@ def dup_span_coverage(
                        .cast("double") / F.col("n_tokens"), 9) + F.lit(0.0))
         .otherwise(F.lit(0.0)).alias("coverage"),
     )
+
+
+# cleaning patterns: the Java∩RE2 subset (no backrefs, no lookaround),
+# so Spark (java.util.regex) and DuckDB (RE2) agree byte-for-byte —
+# the PII_PATTERNS convention
+CLEAN_TAG = r"<[a-zA-Z/][^>]*>"                      # HTML/XML tags
+CLEAN_ENTITY = r"&(amp|lt|gt|quot|nbsp|#[0-9]{1,6});"  # common entities
+CLEAN_CTRL = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"     # control chars
+CLEAN_WS = r"[ \t\r\n]+"                             # whitespace runs
+
+
+def clean_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """C4/CCNet-style pre-dedup text normalization: strip HTML/XML
+    tags, decode the frequent entities to spaces (a placeholder
+    neutralization, not full entity decoding — the corpus-stats
+    downstream only need the markup GONE), drop control characters,
+    collapse whitespace runs and trim.  One codegen'd projection, zero
+    shuffles, zero Python; every pattern is in the Java∩RE2 subset so
+    a DuckDB oracle replays the exact pipeline.
+
+    Emits per-doc accounting (raw/clean lengths, tag + entity counts)
+    alongside ``clean`` — curation filters typically threshold on the
+    markup ratio before spending any downstream compute.
+    """
+    c = F.col(text_col)
+    tags = F.size(F.regexp_extract_all(c, F.lit(CLEAN_TAG), F.lit(0)))
+    ents = F.size(F.regexp_extract_all(c, F.lit(CLEAN_ENTITY), F.lit(0)))
+    cleaned = F.regexp_replace(c, CLEAN_TAG, " ")
+    cleaned = F.regexp_replace(cleaned, CLEAN_ENTITY, " ")
+    cleaned = F.regexp_replace(cleaned, CLEAN_CTRL, "")
+    cleaned = F.trim(F.regexp_replace(cleaned, CLEAN_WS, " "))
+    return df.select(
+        F.col(id_col),
+        F.length(c).alias("raw_len"),
+        tags.cast("long").alias("n_tags"),
+        ents.cast("long").alias("n_entities"),
+        cleaned.alias("clean"),
+        F.length(cleaned).alias("clean_len"),
+        F.round(
+            F.when(F.length(c) > 0,
+                   (F.length(c) - F.length(cleaned)).cast("double")
+                   / F.length(c)).otherwise(F.lit(0.0)), 9,
+        ).alias("markup_ratio"),
+    )
