@@ -118,6 +118,7 @@ REGISTERED_ROUND = {
     "least_cost_paths": 4,
     "hll_users_z6": 4,
     "clean_docs": 4,
+    "pq_top5": 4,
 }
 
 

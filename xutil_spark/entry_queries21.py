@@ -828,6 +828,90 @@ FROM (VALUES {vals}) AS s(gx, gy, cost, dist)
 """
 
 
+# ---------------------------------------- product quantization ANN
+
+_PQ_M, _PQ_K, _PQ_IT, _PQ_QS = 16, 64, 5, 1024
+_PQ_QMOD = 25
+
+
+def q_pq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq.py): integer-exact
+    codebook training (deterministic k-means over quantized
+    subvectors), 8-byte codes, ADC top-5 per sampled query — the
+    compression path of the similarity stack, digit-for-digit
+    replayable."""
+    _utc(spark)
+    from xutil_spark.entry_queries import _read
+    from xutil_spark.operators.pq import pq_topk, pq_train
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cent = pq_train(emb, m=_PQ_M, k=_PQ_K, iters=_PQ_IT, qscale=_PQ_QS)
+    qs = emb.filter(F.col("vec_id") % _PQ_QMOD == 0)
+    return pq_topk(emb, qs, cent, topk=5, qscale=_PQ_QS)
+
+
+def o_pq_top5() -> str:
+    """Independent flat-numpy replay of the documented integer PQ spec
+    (quantize → seeded k-means → codes → ADC → (dist, id) top-5)."""
+    import duckdb as _dd
+    import numpy as np
+
+    con = _dd.connect()
+    rows = con.execute(
+        "SELECT vec_id, embedding FROM "
+        "read_parquet('/root/testdata/sf0.01/embeddings.parquet') "
+        "ORDER BY vec_id").fetchall()
+    con.close()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    x = np.floor(np.stack([np.asarray(r[1], dtype=np.float64)
+                           for r in rows]) * float(_PQ_QS) + 0.5
+                 ).astype(np.int64)
+    n, dim = x.shape
+    sub = dim // _PQ_M
+    xs = x.reshape(n, _PQ_M, sub)
+    stride = max(1, n // _PQ_K)
+    seed_rows = list(range(n))[::stride][:_PQ_K]
+    cent = np.transpose(xs[seed_rows], (1, 0, 2)).copy()
+
+    def assign(v, c):
+        d = ((v[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return np.argmin(d, axis=1)
+
+    for _ in range(_PQ_IT):
+        new = cent.copy()
+        for mi in range(_PQ_M):
+            a = assign(xs[:, mi, :], cent[mi])
+            for ki in range(_PQ_K):
+                sel = xs[a == ki, mi, :]
+                if len(sel):
+                    s = sel.sum(axis=0)
+                    new[mi, ki] = (2 * s + len(sel)) // (2 * len(sel))
+        cent = new
+    codes = np.stack([assign(xs[:, mi, :], cent[mi])
+                      for mi in range(_PQ_M)], axis=1)
+    out = []
+    for qi in np.nonzero(ids % _PQ_QMOD == 0)[0]:
+        tab = ((xs[qi][:, None, :] - cent) ** 2).sum(axis=2)  # (m, k)
+        dist = np.zeros(n, dtype=np.int64)
+        for mi in range(_PQ_M):
+            dist += tab[mi][codes[:, mi]]
+        order = sorted(range(n), key=lambda j: (int(dist[j]), int(ids[j])))
+        rank = 0
+        for j in order:
+            if ids[j] == ids[qi]:
+                continue
+            rank += 1
+            out.append(f"({ids[qi]},{ids[j]},{rank},{int(dist[j])})")
+            if rank == 5:
+                break
+    vals = ",".join(out)
+    return f"""
+SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(rank AS INTEGER) AS rank, CAST(adc_dist AS BIGINT) AS adc_dist
+FROM (VALUES {vals}) AS s(qid, vec_id, rank, adc_dist)
+"""
+
+
 # ----------------------------------------------- text cleaning
 
 
@@ -1119,6 +1203,7 @@ QUERIES21 = {
     "least_cost_paths": q_least_cost_paths,
     "hll_users_z6": q_hll_users,
     "clean_docs": q_clean_docs,
+    "pq_top5": q_pq_top5,
 }
 
 ORACLES21 = {
@@ -1134,4 +1219,5 @@ ORACLES21 = {
     "least_cost_paths": o_least_cost_paths(),
     "hll_users_z6": o_hll_users(),
     "clean_docs": o_clean_docs(),
+    "pq_top5": o_pq_top5(),
 }
