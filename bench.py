@@ -120,7 +120,8 @@ HEADLINE = [
     "traj_frechet", "seg_crossings", "traj_dtw", "poly_overlay_z6",
     "fp_containment", "route_points_500km", "dup_spans_20", "dup_coverage_20",
     "zone_interp", "cost_distance_grid", "audio_match_fp",
-    "pagerank_od_z5", "least_cost_paths", "hll_users_z6",
+    "pagerank_od_z5", "least_cost_paths", "hll_users_z6", "clean_docs",
+    "pq_top5",
 ]
 
 
