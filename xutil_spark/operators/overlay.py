@@ -265,6 +265,8 @@ def _batch_side_sum(px: np.ndarray, py: np.ndarray,
     d4 = dqxe * (p2ye - qye) - dqye * (p2xe - qxe)
     proper = (d1 * d2 < 0.0) & (d3 * d4 < 0.0)
     with np.errstate(divide="ignore", invalid="ignore"):
+        # np.where evaluates both branches: d3 == d4 on non-proper
+        # slots divides by zero harmlessly (masked), hence the errstate
         ts = np.where(proper, d3 / (d3 - d4), 1.0)
     ts = np.sort(ts, axis=2)                       # (P, n, m)
     shape = (P, n, 1)
