@@ -63,7 +63,19 @@ def main() -> int:
         print(f"unknown touched queries: {sorted(unknown)}", file=sys.stderr)
         return 2
 
+    # two-tier policy (tests/test_registry.py): never-DRIVER-green
+    # queries with a green row in the committed LOCAL ledger
+    # (CORRECTNESS_LOCAL_r04.json) may wait outside the window; those
+    # without any evidence must fit
+    local_path = os.path.join(_REPO, "CORRECTNESS_LOCAL_r04.json")
+    local: set = set()
+    if os.path.exists(local_path):
+        with open(local_path) as fh:
+            local = {q for q, rec in json.load(fh).items()
+                     if rec.get("rows_match") and rec.get("schema_match")
+                     and rec.get("hash_match") and not rec.get("err")}
     never = [q for q in names if last.get(q, 0) == 0]
+    never_bare = [q for q in never if q not in local]
     window: list = []
 
     def take(qs):
@@ -71,19 +83,16 @@ def main() -> int:
             if q not in window and len(window) < WINDOW:
                 window.append(q)
 
-    take(never)
-    if len(never) > WINDOW:
-        from xutil_spark.entry_queries import _DRIVER_WINDOW
-
-        in_window = [q for q in never if q in _DRIVER_WINDOW]
-        print(f"INFEASIBLE: {len(never)} never-green queries exceed the "
-              f"{WINDOW}-row window; they cannot use the overflow budget.\n"
-              f"{len(in_window)} of them sit in the CURRENT window "
-              f"({in_window}) — if this round's CORRECTNESS_r*.json has "
-              "not landed yet, wait for it (they will go green) and "
-              "re-run.", file=sys.stderr)
+    take(never_bare)
+    if len(never_bare) > WINDOW:
+        print(f"INFEASIBLE: {len(never_bare)} never-green queries with "
+              f"no local-ledger evidence exceed the {WINDOW}-row window; "
+              "run tools/check_oracle.py --ledger over them first.",
+              file=sys.stderr)
         return 1
     take(sorted(touched, key=names.index))
+    # never-driver-evaluated but locally-green: registration order
+    take([q for q in never if q in local])
     # stale greens, oldest evidence first, registry order on ties
     stale = [q for q in names
              if q not in window and last.get(q, 0) < latest]
