@@ -102,12 +102,18 @@ def main() -> int:
     fresh = [q for q in names if q not in window]
     take(fresh)
 
-    out = [q for q in names if q not in window and last.get(q, 0) < latest]
+    # never-green-with-local-evidence queries are tier-2 covered — the
+    # overflow invariants apply only to once-driver-green stale queries
+    out = [q for q in names
+           if q not in window and 0 < last.get(q, 0) < latest]
     budget = max(0, len(names) - 2 * WINDOW)
     too_stale = [q for q in out if last.get(q, 0) < latest - 1]
+    waiting = [q for q in names
+               if q not in window and last.get(q, 0) == 0]
     print(f"# next-round window ({len(window)} rows); ledger latest=r"
           f"{latest:02d}; {len(out)} stale-green overflow "
-          f"(budget {budget}); too-stale overflow: {too_stale or 'none'}")
+          f"(budget {budget}); too-stale overflow: {too_stale or 'none'}; "
+          f"{len(waiting)} locally-green queries waiting for a slot")
     if len(out) > budget or too_stale:
         print("# WARNING: overflow violates the registry invariants — "
               "trim additions or accept staleness", file=sys.stderr)
