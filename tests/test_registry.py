@@ -119,6 +119,7 @@ REGISTERED_ROUND = {
     "hll_users_z6": 4,
     "clean_docs": 4,
     "pq_top5": 4,
+    "streaming_hll_z6": 4,
 }
 
 

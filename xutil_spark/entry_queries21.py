@@ -1006,9 +1006,11 @@ def q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell", "n_regs", "reg_chk", "est", "est_hll", "exact")
 
 
-def o_hll_users() -> str:
-    """Cells from the proven tile SQL (DuckDB); registers, folds and
-    corrections replayed in pure Python with the pinned _xxh64."""
+def _hll_replay() -> dict:
+    """cell → (n_regs, reg_chk, est, est_hll, exact): cells from the
+    proven tile SQL (DuckDB); registers, folds and corrections replayed
+    in pure Python with the pinned _xxh64.  Shared by the batch AND
+    streaming HLL oracles — the sketch is batch≡stream by design."""
     import struct
 
     import duckdb as _dd
@@ -1040,7 +1042,7 @@ SELECT DISTINCT {cell} AS cell, user_id FROM ev""").fetchall()
         d = per.setdefault(c, {})
         d[reg] = max(d.get(reg, 0), rank)
         exact[c] = exact.get(c, 0) + 1
-    out = []
+    out = {}
     for c in sorted(per):
         regs = sorted(per[c].items())
         acc = 0.0
@@ -1054,15 +1056,72 @@ SELECT DISTINCT {cell} AS cell, user_id FROM ev""").fetchall()
         else:
             est = raw
         chk = sum(reg * 128 + rank for reg, rank in regs)
-        out.append(f"({c},{len(regs)},{chk},{_fmt_f(round(est, 3))},"
-                   f"{_fmt_f(round(raw, 3))},{exact[c]})")
-    vals = ",".join(out)
+        out[c] = (len(regs), chk, round(est, 3), round(raw, 3), exact[c])
+    return out
+
+
+def o_hll_users() -> str:
+    rep = _hll_replay()
+    vals = ",".join(
+        f"({c},{n},{chk},{_fmt_f(est)},{_fmt_f(raw)},{ex})"
+        for c, (n, chk, est, raw, ex) in rep.items())
     return f"""
 SELECT CAST(cell AS BIGINT) AS cell, CAST(n_regs AS INTEGER) AS n_regs,
        CAST(reg_chk AS BIGINT) AS reg_chk, CAST(est AS DOUBLE) AS est,
        CAST(est_hll AS DOUBLE) AS est_hll,
        CAST(exact AS BIGINT) AS exact
 FROM (VALUES {vals}) AS s(cell, n_regs, reg_chk, est, est_hll, exact)
+"""
+
+
+def q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HyperLogLog (streaming/stateful.py streaming_hll):
+    the events table replayed as a file stream → JVM register/rank
+    columns → per-cell stateful register-max → estimates.  Register
+    maxima make the state monotone and replay-idempotent, so one
+    availableNow pass equals the batch sketch exactly — the oracle IS
+    the batch oracle's replay (minus the exact column)."""
+    _utc(spark)
+    import shutil
+    import tempfile
+    import uuid
+
+    from xutil_spark.entry_queries import _await_stream
+    from xutil_spark.functions import native
+    from xutil_spark.streaming.stateful import streaming_hll
+
+    path = f"{sf_dir}/events.parquet"
+    land = tempfile.mkdtemp(prefix="xutil_stream_land_")
+    shutil.copy(path, f"{land}/events.parquet")
+    schema = spark.read.parquet(path).schema
+    src = spark.readStream.schema(schema).parquet(land)
+    located = src.select(
+        "user_id",
+        (F.lit(73.5) + (F.col("event_id") * 2654435761 % 1048576)
+         .cast("double") / 1048576.0 * 61.0).alias("lon"),
+        (F.lit(18.2) + (F.col("event_id") * 1597334677 % 1048576)
+         .cast("double") / 1048576.0 * 35.3).alias("lat"),
+    ).select(native.cell("lon", "lat", _HLL_ZOOM).alias("cell"),
+             "user_id")
+    out = streaming_hll(located, group="cell", key="user_id", p=_HLL_P)
+    name = f"stream_hll_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("update").trigger(availableNow=True).start())
+    _await_stream(q)
+    return spark.table(name).select(
+        "cell", "n_regs", "reg_chk", "est", "est_hll")
+
+
+def o_streaming_hll() -> str:
+    rep = _hll_replay()
+    vals = ",".join(
+        f"({c},{n},{chk},{_fmt_f(est)},{_fmt_f(raw)})"
+        for c, (n, chk, est, raw, _ex) in rep.items())
+    return f"""
+SELECT CAST(cell AS BIGINT) AS cell, CAST(n_regs AS INTEGER) AS n_regs,
+       CAST(reg_chk AS BIGINT) AS reg_chk, CAST(est AS DOUBLE) AS est,
+       CAST(est_hll AS DOUBLE) AS est_hll
+FROM (VALUES {vals}) AS s(cell, n_regs, reg_chk, est, est_hll)
 """
 
 
@@ -1204,6 +1263,7 @@ QUERIES21 = {
     "hll_users_z6": q_hll_users,
     "clean_docs": q_clean_docs,
     "pq_top5": q_pq_top5,
+    "streaming_hll_z6": q_streaming_hll,
 }
 
 ORACLES21 = {
@@ -1220,4 +1280,5 @@ ORACLES21 = {
     "hll_users_z6": o_hll_users(),
     "clean_docs": o_clean_docs(),
     "pq_top5": o_pq_top5(),
+    "streaming_hll_z6": o_streaming_hll(),
 }

@@ -139,6 +139,21 @@ def heavy_hitters(
     )
 
 
+def hll_reg_rank(key, p: int):
+    """(register index, rank) columns for one key — the JVM half of the
+    HLL sketch, shared by the batch and streaming variants.  Register =
+    top ``p`` bits of xxhash64 (unsigned); rank = leading-zero count of
+    the remaining bits + 1 via the ``bin()`` string-length trick."""
+    h = F.xxhash64(F.col(key))
+    reg = F.shiftrightunsigned(h, 64 - p)
+    w = F.shiftleft(h, p)
+    # bin() drops leading zeros (64 chars only when bit63 set);
+    # w == 0 → max rank
+    rank = F.when(w == 0, F.lit(64 - p + 1)).otherwise(
+        F.lit(65) - F.length(F.bin(w)))
+    return reg, rank
+
+
 def hll_distinct(
     df: DataFrame,
     group: str,
@@ -173,13 +188,7 @@ def hll_distinct(
     """
     m = 1 << p
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    h = F.xxhash64(F.col(key))
-    reg = F.shiftrightunsigned(h, 64 - p)
-    w = F.shiftleft(h, p)
-    # leading zeros of the 64-bit two's-complement pattern: bin() drops
-    # leading zeros (64 chars only when bit63 set); w == 0 → max rank
-    rank = F.when(w == 0, F.lit(64 - p + 1)).otherwise(
-        F.lit(65) - F.length(F.bin(w)))
+    reg, rank = hll_reg_rank(key, p)
     regs = (
         df.select(F.col(group).alias("g"), reg.alias("reg"),
                   rank.alias("rank"))

@@ -30,7 +30,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    LongType, StringType, StructField, StructType, TimestampType,
+    ArrayType, DoubleType, IntegerType, LongType, StringType,
+    StructField, StructType, TimestampType,
 )
 
 _DEDUP_OUT = StructType([
@@ -280,3 +281,76 @@ def streaming_geofence(
         fence, _GEOFENCE_OUT, _GEOFENCE_STATE, "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+_HLL_OUT = StructType([
+    StructField("cell", LongType(), False),
+    StructField("n_regs", IntegerType(), False),
+    StructField("reg_chk", LongType(), False),
+    StructField("est", DoubleType(), False),
+    StructField("est_hll", DoubleType(), False),
+])
+_HLL_STATE = StructType([
+    StructField("regs", ArrayType(LongType()), True),
+])
+
+
+def streaming_hll(
+    events: DataFrame, group: str = "cell", key: str = "user_id",
+    p: int = 8,
+) -> DataFrame:
+    """Streaming HyperLogLog per group — the sketch whose state update
+    IS a streaming-native operation: registers only ever take maxima,
+    so the per-key state (2^p small ints) is bounded, idempotent under
+    replay, and merges across micro-batches exactly like the batch
+    operator's shuffle combine.  After each batch the group emits its
+    current (n_regs, reg_chk, est) — identical to
+    ``operators.sketches.hll_distinct`` on the same prefix of the
+    stream (the batch≡stream parity a sketch must have; pinned by the
+    contract query's shared oracle replay).
+
+    The xxhash64 register/rank math runs JVM-side BEFORE the stateful
+    exchange (``hll_reg_rank`` — same expressions as batch); the
+    Python side only folds maxima and evaluates the pinned-order
+    harmonic sum."""
+    import math as _math
+
+    from xutil_spark.operators.sketches import hll_reg_rank
+
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+
+    def upd(key_, pdfs, state: GroupState):
+        regs = [0] * m
+        if state.exists:
+            (prev,) = state.get
+            regs = list(prev)
+        for pdf in pdfs:
+            for r, k in zip(pdf["reg"], pdf["rank"]):
+                r = int(r)
+                if int(k) > regs[r]:
+                    regs[r] = int(k)
+        state.update((regs,))
+        present = [(i, v) for i, v in enumerate(regs) if v > 0]
+        acc = 0.0
+        for _, v in present:
+            acc += 2.0 ** (-float(v))
+        hsum = (float(m) - len(present)) + acc
+        raw = (alpha * m * m) / hsum
+        zeros = float(m - len(present))
+        if raw <= 2.5 * m and zeros > 0:
+            est = float(m) * _math.log(float(m) / zeros)
+        else:
+            est = raw
+        chk = sum(i * 128 + v for i, v in present)
+        yield pd.DataFrame({
+            "cell": [int(key_[0])], "n_regs": [len(present)],
+            "reg_chk": [chk], "est": [round(est, 3)],
+            "est_hll": [round(raw, 3)],
+        })
+
+    reg, rank = hll_reg_rank(key, p)
+    keyed = events.select(F.col(group).alias("cell"),
+                          reg.alias("reg"), rank.alias("rank"))
+    return keyed.groupBy("cell").applyInPandasWithState(
+        upd, _HLL_OUT, _HLL_STATE, "update", GroupStateTimeout.NoTimeout)
