@@ -120,6 +120,7 @@ REGISTERED_ROUND = {
     "clean_docs": 4,
     "pq_top5": 4,
     "streaming_hll_z6": 4,
+    "image_blobs": 4,
 }
 
 

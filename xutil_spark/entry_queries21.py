@@ -828,6 +828,104 @@ FROM (VALUES {vals}) AS s(gx, gy, cost, dist)
 """
 
 
+# ------------------------------------------------ image blobs
+
+_BL_N = 500
+_BL_T = 128
+
+
+def q_image_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component blob statistics per image (raster/images.py
+    blob_stats): integer gray → mask ≥ 128 → 4-connected labeling —
+    exact integer outputs, oracle = independent scanline union-find
+    replay over the shared pixel generator."""
+    _utc(spark)
+    from xutil_spark.data.synth import images_table
+    from xutil_spark.raster.images import blob_stats
+
+    return blob_stats(images_table(spark, _BL_N), thresh=_BL_T)
+
+
+def o_image_blobs() -> str:
+    import numpy as np
+
+    from xutil_spark.data.synth import pixels_for
+
+    def label_scanline(mask):
+        """Independent two-pass union-find labeling."""
+        h, w = mask.shape
+        parent: dict = {}
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+
+        lab = -np.ones((h, w), dtype=np.int64)
+        nxt = 0
+        for y in range(h):
+            for x in range(w):
+                if not mask[y, x]:
+                    continue
+                up = lab[y - 1, x] if y > 0 and mask[y - 1, x] else -1
+                lf = lab[y, x - 1] if x > 0 and mask[y, x - 1] else -1
+                if up < 0 and lf < 0:
+                    parent[nxt] = nxt
+                    lab[y, x] = nxt
+                    nxt += 1
+                elif up >= 0 and lf >= 0:
+                    lab[y, x] = up
+                    union(int(up), int(lf))
+                else:
+                    lab[y, x] = max(up, lf)
+        blobs: dict = {}
+        for y in range(h):
+            for x in range(w):
+                if lab[y, x] >= 0:
+                    root = find(int(lab[y, x]))
+                    s = blobs.setdefault(root, [0, None, 0, 0])
+                    s[0] += 1
+                    if s[1] is None or (y, x) < s[1]:
+                        s[1] = (y, x)
+                    s[2] += x
+                    s[3] += y
+        return list(blobs.values())
+
+    stats: dict = {}
+    for i in range(_BL_N):
+        kd = (i % 3, i % 256)
+        if kd in stats:
+            continue
+        px = pixels_for(i)
+        g = (px.astype(np.int64) @ np.array([299, 587, 114])) // 1000
+        mask = g >= _BL_T
+        blobs = label_scanline(mask)
+        if blobs:
+            best = max(blobs, key=lambda s: (s[0], (-s[1][0], -s[1][1])))
+            n, _, sx, sy = best[0], best[1], best[2], best[3]
+            stats[kd] = (len(blobs), n, sx * 10000 // n, sy * 10000 // n,
+                         int(mask.sum()))
+        else:
+            stats[kd] = (0, 0, -1, -1, 0)
+    rows = ",".join(
+        "('img{:012d}',{},{},{},{},{})".format(i, *stats[(i % 3, i % 256)])
+        for i in range(_BL_N))
+    return f"""
+SELECT image_id, CAST(n_blobs AS INTEGER) AS n_blobs,
+       CAST(max_blob_px AS INTEGER) AS max_blob_px,
+       CAST(cx_q AS BIGINT) AS cx_q, CAST(cy_q AS BIGINT) AS cy_q,
+       CAST(mask_px AS BIGINT) AS mask_px
+FROM (VALUES {rows})
+  AS s(image_id, n_blobs, max_blob_px, cx_q, cy_q, mask_px)
+"""
+
+
 # ---------------------------------------- product quantization ANN
 
 _PQ_M, _PQ_K, _PQ_IT, _PQ_QS = 16, 64, 5, 1024
@@ -1264,6 +1362,7 @@ QUERIES21 = {
     "clean_docs": q_clean_docs,
     "pq_top5": q_pq_top5,
     "streaming_hll_z6": q_streaming_hll,
+    "image_blobs": q_image_blobs,
 }
 
 ORACLES21 = {
@@ -1281,4 +1380,5 @@ ORACLES21 = {
     "clean_docs": o_clean_docs(),
     "pq_top5": o_pq_top5(),
     "streaming_hll_z6": o_streaming_hll(),
+    "image_blobs": o_image_blobs(),
 }

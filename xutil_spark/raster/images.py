@@ -343,3 +343,83 @@ def _fnv1a64(s: str) -> int:
         h ^= c
         h = (h * 0x100000001B3) & ((1 << 64) - 1)
     return h
+
+
+def blob_label(mask: np.ndarray) -> list[tuple[int, int, int, int, int]]:
+    """4-connected components of a boolean mask — one (n_px, min_y,
+    min_x, sum_x, sum_y) tuple per blob.  Integer-only, so any correct
+    labeling algorithm (this BFS, the oracle's scanline union-find)
+    produces identical statistics."""
+    h, w = mask.shape
+    seen = np.zeros_like(mask, dtype=bool)
+    out = []
+    for y0 in range(h):
+        for x0 in range(w):
+            if not mask[y0, x0] or seen[y0, x0]:
+                continue
+            stack = [(y0, x0)]
+            seen[y0, x0] = True
+            n = sx = sy = 0
+            my, mx = y0, x0
+            while stack:
+                y, x = stack.pop()
+                n += 1
+                sx += x
+                sy += y
+                if (y, x) < (my, mx):
+                    my, mx = y, x
+                for ny, nx in ((y - 1, x), (y + 1, x), (y, x - 1),
+                               (y, x + 1)):
+                    if 0 <= ny < h and 0 <= nx < w and mask[ny, nx] \
+                            and not seen[ny, nx]:
+                        seen[ny, nx] = True
+                        stack.append((ny, nx))
+            out.append((n, my, mx, sx, sy))
+    return out
+
+
+def blob_stats(images: DataFrame, thresh: int = 128,
+               id_col: str = "image_id") -> DataFrame:
+    """Connected-component blob statistics per image — the classic
+    object-counting / mask-analysis raster primitive (the image-side
+    twin of the graph CC stack): decode → integer grayscale → binary
+    mask at ``thresh`` → 4-connected labeling.
+
+    Per image: ``n_blobs``, ``max_blob_px``, and the LARGEST blob's
+    integer centroid ``(Σx·10000 div n, Σy·10000 div n)`` — ties on
+    size break on the smallest raster-order anchor pixel, so every
+    output is exact integer arithmetic and a scanline union-find
+    replay agrees digit-for-digit.
+
+    The decode is per row (inherent for variable-size blobs); labeling
+    is per image over ≤ a few thousand pixels — one mapInPandas, no
+    shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {k: [] for k in (id_col, "n_blobs", "max_blob_px",
+                                    "cx_q", "cy_q", "mask_px")}
+            for r in b.itertuples(index=False):
+                px = K_codec.decode_image(bytes(r.bytes), int(r.w),
+                                          int(r.h), r.fmt)
+                g = (px.astype(np.int64) @ np.array([299, 587, 114])) // 1000
+                mask = g >= thresh
+                blobs = blob_label(mask)
+                rows[id_col].append(getattr(r, id_col))
+                rows["mask_px"].append(int(mask.sum()))
+                rows["n_blobs"].append(len(blobs))
+                if blobs:
+                    best = max(blobs, key=lambda t: (t[0], (-t[1], -t[2])))
+                    n, _, _, sx, sy = best
+                    rows["max_blob_px"].append(n)
+                    rows["cx_q"].append(sx * 10000 // n)
+                    rows["cy_q"].append(sy * 10000 // n)
+                else:
+                    rows["max_blob_px"].append(0)
+                    rows["cx_q"].append(-1)
+                    rows["cy_q"].append(-1)
+            yield pd.DataFrame(rows)
+
+    return images.mapInPandas(
+        run, f"{id_col} string, n_blobs int, max_blob_px int, "
+             "cx_q long, cy_q long, mask_px long")
