@@ -121,7 +121,7 @@ HEADLINE = [
     "fp_containment", "route_points_500km", "dup_spans_20", "dup_coverage_20",
     "zone_interp", "cost_distance_grid", "audio_match_fp",
     "pagerank_od_z5", "least_cost_paths", "hll_users_z6", "clean_docs",
-    "pq_top5", "streaming_hll_z6", "image_blobs",
+    "pq_top5", "streaming_hll_z6", "image_blobs", "route_points_gc_500km",
 ]
 
 

@@ -121,6 +121,7 @@ REGISTERED_ROUND = {
     "pq_top5": 4,
     "streaming_hll_z6": 4,
     "image_blobs": 4,
+    "route_points_gc_500km": 4,
 }
 
 

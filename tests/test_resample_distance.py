@@ -92,3 +92,27 @@ def test_multi_track_independence(spark):
     assert set(per) == {1, 2}
     for ks in per.values():
         assert sorted(ks) == list(range(len(ks)))
+
+
+def test_geodesic_bows_poleward_and_agrees_at_fixes(spark):
+    import pandas as pd
+
+    from xutil_spark.operators.trajectory import resample_by_distance
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "traj_id": [1, 1],
+        "ts": pd.to_datetime([0, 600], unit="s"),
+        "lon": [0.0, 60.0],
+        "lat": [50.0, 50.0],
+    }))
+    flat = {r.k: r for r in resample_by_distance(df, 500_000.0).collect()}
+    gc = {r.k: r for r in resample_by_distance(
+        df, 500_000.0, geodesic=True).collect()}
+    assert set(flat) == set(gc)
+    # both start exactly at the first fix
+    assert (flat[0].lon, flat[0].lat) == (0.0, 50.0)
+    assert (gc[0].lon, gc[0].lat) == (0.0, 50.0)
+    # the great circle between two 50°N points runs NORTH of 50°
+    mid = max(gc) // 2
+    assert gc[mid].lat > 50.5
+    assert flat[mid].lat == 50.0

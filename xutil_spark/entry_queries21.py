@@ -391,6 +391,110 @@ FROM calc
 """
 
 
+def q_route_points_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle linear referencing: the geodesic twin of
+    `route_points_500km` — same integer-mm chainage brackets, but each
+    sample position comes from spherical linear interpolation along
+    the great circle (flight/shipping routes, where plate-carrée
+    bends long segments)."""
+    _utc(spark)
+    from xutil_spark.entry_queries12 import _located_events
+    from xutil_spark.operators.trajectory import resample_by_distance
+
+    ev = _located_events(spark, sf_dir).filter(
+        F.col("user_id") % _RD_MOD == 0)
+    return resample_by_distance(ev, step_m=_RD_STEP_M, traj_col="user_id",
+                                ts="ts", tiebreak="event_id",
+                                geodesic=True)
+
+
+def o_route_points_gc() -> str:
+    from xutil_spark.entry_queries import _HAV_SQL
+    from xutil_spark.entry_queries3 import _EV_LAT, _EV_LON
+
+    step = int(round(_RD_STEP_M * 1000.0))
+    hav = _HAV_SQL.format(lon1="lon", lat1="lat", lon2="lon2", lat2="lat2")
+    hav_c = _HAV_SQL.format(lon1="lon", lat1="lat",
+                            lon2="COALESCE(lon2, lon)",
+                            lat2="COALESCE(lat2, lat)")
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id, ts, {_EV_LON} AS lon, {_EV_LAT} AS lat
+  FROM events WHERE user_id % {_RD_MOD} = 0
+),
+w AS (
+  SELECT user_id, lon, lat,
+         LEAD(lon) OVER win AS lon2, LEAD(lat) OVER win AS lat2,
+         ts, event_id
+  FROM ev WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+seg AS (
+  SELECT *, CASE WHEN lon2 IS NOT NULL
+                 THEN CAST(ROUND(({hav}) * 1000.0, 0) AS BIGINT)
+                 ELSE 0 END AS dmm
+  FROM w
+),
+c AS (
+  SELECT *, CAST(SUM(dmm) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cend
+  FROM seg
+),
+b AS (
+  SELECT *, cend - dmm AS c0,
+         (cend - dmm + {step} - 1) // {step} AS klo,
+         CASE WHEN lon2 IS NOT NULL THEN
+                CASE WHEN dmm > 0 THEN (cend - 1) // {step}
+                     ELSE (cend - dmm + {step} - 1) // {step} - 1 END
+              WHEN (cend - dmm) % {step} = 0
+                THEN (cend - dmm + {step} - 1) // {step}
+              ELSE (cend - dmm + {step} - 1) // {step} - 1 END AS khi
+  FROM c
+),
+f AS (
+  SELECT *, UNNEST(generate_series(klo, khi)) AS k
+  FROM b WHERE khi >= klo
+),
+calc AS (
+  SELECT user_id, k, k * {step} AS s_mm, lon, lat, lon2, lat2,
+         cend, c0,
+         CASE WHEN lon2 IS NOT NULL AND cend > c0
+              THEN CAST(k * {step} - c0 AS DOUBLE)
+                   / CAST(cend - c0 AS DOUBLE)
+              ELSE 0.0 END AS frac,
+         (lon2 IS NOT NULL AND cend > c0) AS live
+  FROM f
+),
+sl AS (
+  SELECT user_id, k, s_mm, frac, live, lon, lat,
+         radians(lat) AS p1, radians(lon) AS l1,
+         radians(COALESCE(lat2, lat)) AS p2,
+         radians(COALESCE(lon2, lon)) AS l2,
+         ({hav_c}) / 6371000.0 AS d
+  FROM calc
+),
+uv AS (
+  SELECT user_id, k, s_mm, live, lon, lat,
+         sin((1.0 - frac) * d) / sin(d) AS a,
+         sin(frac * d) / sin(d) AS bb,
+         p1, l1, p2, l2
+  FROM sl
+),
+xyz AS (
+  SELECT user_id, k, s_mm, live, lon, lat,
+         a * cos(p1) * cos(l1) + bb * cos(p2) * cos(l2) AS xx,
+         a * cos(p1) * sin(l1) + bb * cos(p2) * sin(l2) AS yy,
+         a * sin(p1) + bb * sin(p2) AS zz
+  FROM uv
+)
+SELECT user_id, k, s_mm,
+       ROUND(CASE WHEN live THEN degrees(atan2(yy, xx)) ELSE lon END, 6)
+         + 0.0 AS lon,
+       ROUND(CASE WHEN live THEN degrees(atan2(zz, sqrt(xx * xx + yy * yy)))
+                  ELSE lat END, 6) + 0.0 AS lat
+FROM xyz
+"""
+
+
 # ------------------------------------------ exact duplicate spans
 
 _DS_N = 20
@@ -1363,6 +1467,7 @@ QUERIES21 = {
     "pq_top5": q_pq_top5,
     "streaming_hll_z6": q_streaming_hll,
     "image_blobs": q_image_blobs,
+    "route_points_gc_500km": q_route_points_gc,
 }
 
 ORACLES21 = {
@@ -1381,4 +1486,5 @@ ORACLES21 = {
     "pq_top5": o_pq_top5(),
     "streaming_hll_z6": o_streaming_hll(),
     "image_blobs": o_image_blobs(),
+    "route_points_gc_500km": o_route_points_gc(),
 }

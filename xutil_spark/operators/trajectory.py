@@ -611,6 +611,7 @@ def resample_by_distance(
     lon: str = "lon",
     lat: str = "lat",
     tiebreak: str | None = None,
+    geodesic: bool = False,
 ) -> DataFrame:
     """Linear referencing: one interpolated position per track every
     ``step_m`` meters ALONG the route — the distance-domain twin of
@@ -676,11 +677,43 @@ def resample_by_distance(
         .withColumn("_k", F.explode(F.sequence(F.col("_klo"), F.col("_khi"))))
         .withColumn("_smm", F.col("_k") * step_mm)
     )
+    live = F.col("_lon2").isNotNull() & (F.col("_cend") > F.col("_c0"))
     frac = F.when(
-        F.col("_lon2").isNotNull() & (F.col("_cend") > F.col("_c0")),
+        live,
         (F.col("_smm") - F.col("_c0")).cast("double")
         / (F.col("_cend") - F.col("_c0")).cast("double"),
     ).otherwise(F.lit(0.0))
+    if geodesic:
+        # great-circle slerp between the fixes (the geodesic twin of
+        # the plate-carrée default — flight/shipping routes): unit
+        # vectors weighted sin((1-f)d)/sin d and sin(f d)/sin d, d the
+        # central angle.  Live rows have dmm ≥ 1 ⇒ d > 0 ⇒ sin d > 0;
+        # non-live rows keep the fix itself (mirrored in the oracle).
+        p1, l1 = F.radians(F.col(lat)), F.radians(F.col(lon))
+        p2 = F.radians(F.coalesce(F.col("_lat2"), F.col(lat)))
+        l2 = F.radians(F.coalesce(F.col("_lon2"), F.col(lon)))
+        from xutil_spark.functions import native
+
+        d = native.haversine_m(F.col(lon), F.col(lat),
+                               F.coalesce(F.col("_lon2"), F.col(lon)),
+                               F.coalesce(F.col("_lat2"), F.col(lat))
+                               ) / F.lit(6371000.0)
+        a = F.sin((F.lit(1.0) - frac) * d) / F.sin(d)
+        bb = F.sin(frac * d) / F.sin(d)
+        xx = a * F.cos(p1) * F.cos(l1) + bb * F.cos(p2) * F.cos(l2)
+        yy = a * F.cos(p1) * F.sin(l1) + bb * F.cos(p2) * F.sin(l2)
+        zz = a * F.sin(p1) + bb * F.sin(p2)
+        ilon = F.when(live, F.degrees(F.atan2(yy, xx))).otherwise(
+            F.col(lon))
+        ilat = F.when(live, F.degrees(
+            F.atan2(zz, F.sqrt(xx * xx + yy * yy)))).otherwise(F.col(lat))
+        return fanned.select(
+            F.col(traj_col),
+            F.col("_k").alias("k"),
+            F.col("_smm").alias("s_mm"),
+            (F.round(ilon, 6) + F.lit(0.0)).alias(lon),
+            (F.round(ilat, 6) + F.lit(0.0)).alias(lat),
+        )
     ilon = F.col(lon) + (F.coalesce(F.col("_lon2"), F.col(lon))
                          - F.col(lon)) * frac
     ilat = F.col(lat) + (F.coalesce(F.col("_lat2"), F.col(lat))
