@@ -126,22 +126,21 @@ REGISTERED_ROUND = {
 
 
 def _local_ledger_green() -> set:
-    """Queries with a fully-green row in the committed LOCAL evidence
-    ledger (CORRECTNESS_LOCAL_r04.json — the driver-gate stand-in run
-    by tools/check_oracle.py at the recorded HEAD).  Round 4 registered
-    103 new queries — more than two 50-row driver windows can ever
-    hold — so never-driver-evaluated queries are covered by this
-    ledger until their driver slot arrives; the window prioritizes
-    (1) driver-stale previously-green queries, then (2) never-evaluated
-    ones in registration order."""
-    path = os.path.join(_REPO, "CORRECTNESS_LOCAL_r04.json")
-    if not os.path.exists(path):
-        return set()
-    with open(path) as fh:
-        d = json.load(fh)
-    return {q for q, rec in d.items()
-            if rec.get("rows_match") and rec.get("schema_match")
-            and rec.get("hash_match") and not rec.get("err")}
+    """Queries with a fully-green row in the NEWEST committed LOCAL
+    evidence ledger (CORRECTNESS_LOCAL_r*.json — the driver-gate
+    stand-in run by tools/check_oracle.py at the recorded HEAD).
+    Round 4 registered 103 new queries — more than two 50-row driver
+    windows can ever hold — so never-driver-evaluated queries are
+    covered by this ledger until their driver slot arrives.  Window
+    priority (tools/build_window.py implements it): (1) never-green
+    queries without local evidence, (2) code-touched queries, (3)
+    locally-green never-DRIVER-green queries in registration order —
+    a first-ever driver row beats refreshing an untouched long-green
+    query — then (4) stale once-green queries, oldest evidence
+    first."""
+    from tools.build_window import local_green
+
+    return local_green(_REPO)
 
 
 def test_no_query_evidence_stale_beyond_last_round():

@@ -7,15 +7,21 @@ Reads CORRECTNESS_r*.json (the committed ledger), the registry order
 and REGISTERED_ROUND, then emits the recommended ``_DRIVER_WINDOW``
 literal for the NEXT round, built as:
 
-1. never-green queries (no fully-green row in any recorded round) —
-   these cannot ride the overflow budget, so they must all fit;
+1. never-green queries with NO local-ledger evidence (these cannot
+   ride either safety net, so they must all fit);
 2. queries whose code was touched this round (command-line args);
-3. red rows from the latest round (they are also never/stale green);
+3. never-DRIVER-green queries that ARE green in the newest committed
+   local ledger, in registration order — a first-ever driver row is
+   worth more than refreshing an untouched long-green query, so these
+   come BEFORE stale greens (tests/test_registry.py states the same
+   priority);
 4. remaining slots filled by stale greens, OLDEST last-green first —
-   ties broken by registry order;
-5. overflow check: everything left out must have been green in the
-   latest round or the round before (the three-round cap), and the
-   leftover count must fit ``len(QUERIES) - 100``.
+   ties broken by registry order (red rows from the latest round sort
+   first automatically: their last green is older);
+5. overflow check: every once-driver-green query left out must have
+   been green in the latest round or the round before (the three-round
+   cap), and the leftover count must fit ``len(QUERIES) - 100``;
+   locally-green never-driver queries may wait under tier-2 coverage.
 
 Exits non-zero with a diagnosis when the window is infeasible (more
 never-greens + touched than 50 slots).
@@ -33,6 +39,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WINDOW = 50
+
+
+def local_green(repo: str = _REPO) -> set:
+    """Queries fully green in the NEWEST committed local evidence
+    ledger (``CORRECTNESS_LOCAL_r*.json``, highest round number wins).
+
+    Shared by this tool and tests/test_registry.py so a new round's
+    ledger is picked up by both without hand-editing filenames."""
+    paths = sorted(
+        glob.glob(os.path.join(repo, "CORRECTNESS_LOCAL_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)),
+    )
+    if not paths:
+        return set()
+    with open(paths[-1]) as fh:
+        d = json.load(fh)
+    return {q for q, rec in d.items()
+            if rec.get("rows_match") and rec.get("schema_match")
+            and rec.get("hash_match") and not rec.get("err")}
 
 
 def last_green() -> tuple[dict, int]:
@@ -64,16 +89,9 @@ def main() -> int:
         return 2
 
     # two-tier policy (tests/test_registry.py): never-DRIVER-green
-    # queries with a green row in the committed LOCAL ledger
-    # (CORRECTNESS_LOCAL_r04.json) may wait outside the window; those
-    # without any evidence must fit
-    local_path = os.path.join(_REPO, "CORRECTNESS_LOCAL_r04.json")
-    local: set = set()
-    if os.path.exists(local_path):
-        with open(local_path) as fh:
-            local = {q for q, rec in json.load(fh).items()
-                     if rec.get("rows_match") and rec.get("schema_match")
-                     and rec.get("hash_match") and not rec.get("err")}
+    # queries with a green row in the newest committed LOCAL ledger
+    # may wait outside the window; those without any evidence must fit
+    local = local_green()
     never = [q for q in names if last.get(q, 0) == 0]
     never_bare = [q for q in never if q not in local]
     window: list = []

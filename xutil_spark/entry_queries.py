@@ -1073,76 +1073,59 @@ ORACLES.update(ORACLES21)
 # media goldens + dhash/geohash — all r01+r02 green, code untouched
 # since they last went green).
 #
-# r05 WINDOW CONSTRUCTION (for the session that sees CORRECTNESS_r04):
-# the must-include set is (a) the 48 REGISTERED_ROUND=4 additions
-# (never driver-evaluated — see tests/test_registry.py), (b) any r04
-# window row that did NOT come back green, (c) queries whose code
-# changes in r05.  With 140 contract queries the arithmetic is exact:
-# if r04 comes back all-green, the r05 window = the 48 never-greens +
-# 2 of the 42 r03-green rotated-out queries, and the remaining 40 ride
-# the overflow budget (len(QUERIES)-100 = 40, all r03-green as the
-# three-round cap requires) — so do NOT register new queries in r05
-# before CORRECTNESS_r04 lands, and front-load any r04 red rows by
-# swapping them against the 3 discretionary slots.  Spare-slot
-# priority if r04 is all-green: (1) file_list_pattern — its operator
-# gained a default-preserving emit_col parameter late in r04 (the
-# existing query's plan and values are bit-identical, locally
-# re-verified vs the oracle, but fresh driver evidence is cheap);
-# (2) ngram_jaccard — its verify path's partition handling changed
-# late in r04 (locally re-verified green).
+# r05 WINDOW (built by `python tools/build_window.py` against the
+# r01-r04 ledger; CORRECTNESS_r04.json came back 50/50 green): all 50
+# slots go to REGISTERED_ROUND=4 queries that have never had a driver
+# row — 64 exist, 50 fit, so the 14 listed below wait under tier-2
+# local-ledger coverage (CORRECTNESS_LOCAL_r05.json, regenerated at
+# this HEAD).  Overflow arithmetic at build time: 42 stale-green
+# queries ride the bounded overflow (budget len(QUERIES)-100 = 56),
+# every one green in r04 or r03 (none beyond the three-round cap).
+# Newcomers-first is the deliberate final-round choice: a first-ever
+# driver row is strictly more evidence than a refresh of a query whose
+# code hasn't changed since it last went green (tests/test_registry.py
+# and tools/build_window.py encode this same priority).
 #
-# LATE-r04 CODE-TOUCHED (self-review fix batch; every one locally
-# re-verified green vs its oracle after the change, ledger refreshed
-# in CORRECTNESS_LOCAL_r04.json): the ring-guarantee bounds moved to
-# the exact cross-track form (touches knn_k3*, knn_images_refs,
-# range_count_50km, snap_nearest_segment, encounters_z6,
-# traj_hausdorff/frechet/dtw, seg_crossings, hmm_match_tracks),
-# gravity_flows_z5 + hotspot_gistar gained try_divide degenerate-input
-# guards (values unchanged on contract data), nn_index_z8's
-# CE_SE_CONST was corrected to the textbook 0.26136 (VALUES CHANGED —
-# engine and oracle together), image_augment's crop2x is odd-dim safe
-# (even-dim values unchanged), idcard_pipeline* keys its /tmp dim
-# cache by content hash (values unchanged).  Queries marked * are in
-# the r04 window and were re-verified green under the new code; the
-# rest are REGISTERED_ROUND=4 and get their first driver row in r05
-# with this code already in place.  test_registry.py
-# enforces all of this mechanically; build the window, run pytest,
-# fix what it names.  `python tools/build_window.py [touched ...]`
-# constructs the window from the ledger (validated against a simulated
-# all-green r04: 50 rows, 39 overflow = budget, none too-stale).
+# r06 WINDOW PLAN (for whoever sees CORRECTNESS_r05): front-load the
+# 14 still-never-driver-green queries — route_points_500km,
+# dup_spans_20, dup_coverage_20, zone_interp, cost_distance_grid,
+# audio_match_fp, pagerank_od_z5, least_cost_paths, hll_users_z6,
+# clean_docs, pq_top5, streaming_hll_z6, image_blobs,
+# route_points_gc_500km — then fill the remaining 36 slots with the
+# stale greens whose last green row is r03 (build_window.py orders
+# them oldest-first automatically).  Do not register new queries
+# before that window lands.
+#
+# r05 CODE-TOUCHED note: streaming_hll_z6 (HALF_UP rounding parity
+# with batch), pq_top5 (exact evenly-spaced seed ids over ALL rows +
+# gated query collect), and audio_match_fp (fan_out>7 guard) changed
+# this round; all three are in the 14-waiting set above and were
+# re-verified green in CORRECTNESS_LOCAL_r05.json at the new HEAD, so
+# they still meet tier-2 coverage and get driver rows first in r06.
 _DRIVER_WINDOW = [
-    # --- round 4: never driver-green — the 4 formerly rows-only/
-    #     no-oracle entries (now computed-VALUES-oracled) + the new
-    #     DES/stream-mode query ---
-    "embedding_near_dup_lsh", "cosine_top5_lsh", "snapshot_resume",
-    "bmap_mocator", "des_roundtrip",
-    # --- code touched this round (CC union-find gate + budget rounds:
-    #     dup_clusters/image_dedup/grid_clusters; heap eviction:
-    #     heavy_hitters_users; crypto routing: aes_roundtrip; stream
-    #     await guard: 4 streaming queries; full-cardinality region
-    #     dim through load_region_dim: idcard_pipeline) ---
-    "dup_clusters", "image_dedup", "grid_clusters", "heavy_hitters_users",
-    "aes_roundtrip", "streaming_geofence", "idcard_pipeline",
-    # --- new round-4 sampling/mixture operators ---
-    "sample_stratified", "sample_mixture", "sample_fraction",
-    # (streaming_dedup/_sessions/_cell_counts rotate out r03-green:
-    #  their only round-4 change is the error-path timeout guard; the
-    #  staleness rule pulls them back next round)
-    # --- evidence refresh: every query whose last green row is r02
-    #     (the staleness rule in tests/test_registry.py enforces this
-    #     rotation automatically from the CORRECTNESS_r*.json ledger) ---
-    "tile_pixel_z12", "wgs2gcj", "pricing_summary", "top3_orders_per_cust",
-    "events_weekly_sunday", "set_minus_users", "ip_roundtrip",
-    "time_parse_ladder", "dedup_exact", "minhash_sigs", "lsh_dup_pairs",
-    "lang_id", "token_counts", "quality", "cosine_top5", "col_float64",
-    "string_funcs", "base_conv", "time_rule", "set_intersect_users",
-    "rollup_pricing", "azimuth_mid", "dist_compare", "minus_arrays",
-    "knn_category_pivot", "embedding_near_dup", "baidu_mercator",
-    "time_split_hourly", "union_names", "uniq_first_event",
-    "day_last_range", "time_trunc_units", "salted_tile_join",
-    "point_at_dest",
-    # --- flagship (r03-green, untouched; keeps one headline fresh) ---
-    "knn_k3",
+    # --- text/IR stack (decontamination, BM25, PMI, KL, bigram LM) ---
+    "decontaminate_13gram", "bm25_search", "bigram_pmi",
+    "pricing_percentiles", "token_kl_drift", "caption_bigram_lm",
+    # --- spatial-stats / raster suite ---
+    "tile_hull_z8", "zonal_stats", "tile_pyramid_sums", "kde_heatmap",
+    "hotspot_gistar", "morans_i_z6", "local_moran_z6", "focal_stats_z7",
+    "bilinear_up_z6", "terrain_horn_z7", "contour_segments_z7",
+    "idw_surface_z6", "flow_watershed_z8",
+    # --- trajectory / mobility suite ---
+    "snap_nearest_segment", "od_flows_z5", "emerging_cells_mk",
+    "track_resample_4h", "track_speed_stats", "trip_segments",
+    "stay_points", "track_bearing_stats", "dev_ellipse_users",
+    "hmm_match_tracks", "traj_hausdorff", "traj_frechet", "traj_dtw",
+    "seg_crossings", "encounters_z6", "st_clusters_z7",
+    # --- layout / navigation / flows ---
+    "quadkey_cells_z9", "hilbert_layout_z8", "rhumb_nav",
+    "gravity_flows_z5", "nn_index_z8",
+    # --- image / video / cross-modal ---
+    "image_augment", "image_patches", "image_sharpness",
+    "image_color_hist", "image_entropy", "video_scene_cuts",
+    "crossmodal_dups",
+    # --- packing / overlay / containment ---
+    "seq_packing", "poly_overlay_z6", "fp_containment",
 ]
 assert len(_DRIVER_WINDOW) == 50 and len(set(_DRIVER_WINDOW)) == 50
 QUERIES = {
