@@ -61,3 +61,14 @@ def test_foreign_snippet_scores_far_below_true_match(spark):
     out = audio_match(audio_fingerprints(foreign, id_col="snippet_id"),
                       audio_fingerprints(refs), min_votes=1).collect()
     assert all(r.votes < 100 for r in out)  # true matches score 273
+
+
+def test_fan_out_beyond_dt_field_raises():
+    import pytest
+
+    C = spec_basis(256)
+    bands = _band_edges(256)
+    samples = np.arange(4096, dtype=np.int64) % 997
+    assert clip_landmarks(samples, C, bands, 256, 128, 7)  # max OK
+    with pytest.raises(ValueError, match="3-bit"):
+        clip_landmarks(samples, C, bands, 256, 128, 8)

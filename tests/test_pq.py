@@ -57,3 +57,29 @@ def test_dim_not_divisible_raises(spark):
         {"vec_id": [1], "embedding": [[0.1] * 10]}))
     with pytest.raises(ValueError):
         pq_train(df, m=8)
+
+
+def test_topk_query_gate_and_chunked_fallback(spark):
+    """The driver-collect gate (max_query_rows) and its distributed
+    slice-broadcast fallback: strategy='broadcast' above the gate must
+    raise naming the fallback; 'chunked' (and 'auto' above the gate)
+    must reproduce the broadcast path bit-exactly."""
+    import pytest
+
+    emb = _emb(spark)
+    cent = pq_train(emb, iters=2)
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    nq = qs.count()
+    assert nq > 3  # the tiny gate below must actually force slicing
+
+    base = sorted(map(tuple, pq_topk(emb, qs, cent, topk=3).collect()))
+    chunk = sorted(map(tuple, pq_topk(
+        emb, qs, cent, topk=3, max_query_rows=3,
+        strategy="chunked").collect()))
+    auto = sorted(map(tuple, pq_topk(
+        emb, qs, cent, topk=3, max_query_rows=3).collect()))
+    assert base == chunk == auto
+
+    with pytest.raises(ValueError, match="chunked"):
+        pq_topk(emb, qs, cent, topk=3, max_query_rows=3,
+                strategy="broadcast")

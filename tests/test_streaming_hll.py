@@ -50,3 +50,23 @@ def test_state_merges_across_micro_batches(spark, tmp_path):
     for cell in (1, 2):
         assert final[cell]["reg_chk"] == batch[cell]["reg_chk"]
         assert final[cell]["est"] == batch[cell]["est"]
+
+
+def test_round3_half_up_matches_spark_round(spark):
+    """The streaming side's _r3 must agree with batch F.round(x, 3)
+    (BigDecimal HALF_UP on the shortest decimal repr) on the values
+    where Python round() diverges — decimal-halfway estimates."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _r3(x):  # mirror of the closure inside streaming_hll
+        return float(Decimal(repr(float(x))).quantize(
+            Decimal("0.001"), rounding=ROUND_HALF_UP))
+
+    vals = [2.0005, 1.1235, 0.0625, 0.0015, 123.4565, 3.0004999,
+            41.2125, 7.9995, 0.001, 256.0]
+    # Python banker's rounding disagrees on at least one of these
+    assert any(round(v, 3) != _r3(v) for v in vals)
+    sdf = spark.createDataFrame(pd.DataFrame({"x": vals}))
+    got = [r["r"] for r in
+           sdf.select(F.round("x", 3).alias("r")).collect()]
+    assert got == [_r3(v) for v in vals]

@@ -1071,8 +1071,12 @@ def o_pq_top5() -> str:
     n, dim = x.shape
     sub = dim // _PQ_M
     xs = x.reshape(n, _PQ_M, sub)
-    stride = max(1, n // _PQ_K)
-    seed_rows = list(range(n))[::stride][:_PQ_K]
+    # pinned seed-pool cap (pq.py module doc): K evenly-spaced
+    # positions within the FIRST min(n, k*1000) ids — mirrors the
+    # engine's orderBy+limit seed pool exactly at any n
+    pool = min(n, _PQ_K * 1000)
+    stride = max(1, pool // _PQ_K)
+    seed_rows = list(range(pool))[::stride][:_PQ_K]
     cent = np.transpose(xs[seed_rows], (1, 0, 2)).copy()
 
     def assign(v, c):

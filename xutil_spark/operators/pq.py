@@ -14,8 +14,12 @@ EXACT integer arithmetic:
 * centroid update: elementwise round-half-up integer mean
   ``(2·s + c) div (2c)`` (floor division; exact for either sign);
   empty clusters keep their previous centroid;
-* init: the quantized subvectors of K evenly-spaced vectors in
-  ``vec_id`` order (deterministic, data-dependent);
+* init: the quantized subvectors of K evenly-spaced vectors (by
+  position) within the SEED POOL = the first ``min(n, k*1000)`` rows
+  in ``vec_id`` order.  The pool cap is pinned semantics, not an
+  implementation accident: it keeps seeding a distributed
+  orderBy+limit (top-k scan) instead of a global row_number over
+  10^12 rows, and the oracle replay mirrors the same cap;
 * ADC: distance table entries are integer L2²; a vector's approximate
   distance is an integer sum of M table entries; top-k orders by
   ``(dist, vec_id)``.
@@ -61,7 +65,10 @@ def pq_train(
 ) -> np.ndarray:
     """(m, k, dim/m) int64 codebooks via deterministic integer k-means
     (see module doc).  Each iteration is one distributed pass emitting
-    per-partition integer partials; the driver reduces (m·k) rows."""
+    per-partition integer partials; the driver reduces (m·k) rows.
+
+    Seeds: K evenly-spaced positions within the first ``min(n,
+    k*1000)`` ids (the pinned seed-pool cap — see module doc)."""
     dim = len(df.select(vec).first()[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -142,24 +149,21 @@ def pq_encode(
         enc, f"{id_col} long, code array<int>")
 
 
-def pq_topk(
-    df: DataFrame, queries: DataFrame, cent: np.ndarray, topk: int = 5,
-    vec: str = "embedding", id_col: str = "vec_id", qscale: int = 1024,
+def _adc_candidates(
+    codes: DataFrame, qrows: list, cent: np.ndarray, topk: int,
+    id_col: str, qscale: int,
 ) -> DataFrame:
-    """ADC top-k: for each query row, the ``topk`` nearest codes by
-    integer asymmetric distance (self-matches excluded).  Queries are
-    dim-scale by contract (they broadcast as ADC tables)."""
+    """Scan ``codes`` against one collected+broadcast query slice
+    (list of (id, vector) rows) — per-partition integer ADC with a
+    batch-local (dist, vec_id) top-(k+1) cut."""
     m, k, sub = cent.shape
-    q = queries.select(id_col, vec).orderBy(id_col).collect()
-    qids = np.array([r[0] for r in q], dtype=np.int64)
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qx = _quant(np.stack(
-        [np.asarray(r[1], dtype=np.float64) for r in q]),
-        qscale).reshape(len(q), m, sub)
+        [np.asarray(r[1], dtype=np.float64) for r in qrows]),
+        qscale).reshape(len(qrows), m, sub)
     # tables[qi, mi, ki] = integer L2² between query subvector and centroid
     tables = ((qx[:, :, None, :] - cent[None, :, :, :]) ** 2).sum(axis=3)
-    spark = df.sparkSession
-    bc = spark.sparkContext.broadcast((qids, tables))
-    codes = pq_encode(df, cent, vec, id_col, qscale)
+    bc = codes.sparkSession.sparkContext.broadcast((qids, tables))
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         qi, tab = bc.value
@@ -190,7 +194,65 @@ def pq_topk(
                     rows["adc_dist"].append(int(d[bi]))
             yield pd.DataFrame(rows)
 
-    cand = codes.mapInPandas(scan, "qid long, vec_id long, adc_dist long")
+    return codes.mapInPandas(scan, "qid long, vec_id long, adc_dist long")
+
+
+def pq_topk(
+    df: DataFrame, queries: DataFrame, cent: np.ndarray, topk: int = 5,
+    vec: str = "embedding", id_col: str = "vec_id", qscale: int = 1024,
+    max_query_rows: int = 65536, strategy: str = "auto",
+) -> DataFrame:
+    """ADC top-k: for each query row, the ``topk`` nearest codes by
+    integer asymmetric distance (self-matches excluded).
+
+    Strategies (the knn ``strategy="auto"`` convention):
+
+    * ``"broadcast"`` — collect the whole query set to the driver and
+      broadcast its ADC tables; raises ``ValueError`` when the query
+      set exceeds ``max_query_rows`` (the gate that used to be only a
+      docstring assumption — a 10^8-row query table would OOM the
+      driver silently).
+    * ``"chunked"`` — the scale fallback: queries are ntile-split into
+      ``ceil(n/max_query_rows)`` slices; each slice is collected
+      (bounded by the gate), broadcast, and scanned against the
+      once-encoded, persisted codes; results union before the global
+      top-k window.  Exact same output — the per-slice candidate cut
+      uses the identical (dist, vec_id) tie-break, and the final
+      window reduces across slices.
+    * ``"auto"`` — ``broadcast`` iff the query count fits the gate,
+      else ``chunked``.
+    """
+    n_q = queries.count()
+    if strategy not in ("auto", "broadcast", "chunked"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "broadcast" and n_q > max_query_rows:
+        raise ValueError(
+            f"{n_q} query rows exceed max_query_rows={max_query_rows}; "
+            "use strategy='chunked' (or 'auto') — the distributed "
+            "slice-broadcast fallback")
+    if strategy == "auto":
+        strategy = "broadcast" if n_q <= max_query_rows else "chunked"
+
+    codes = pq_encode(df, cent, vec, id_col, qscale)
+    if strategy == "broadcast":
+        q = queries.select(id_col, vec).orderBy(id_col).collect()
+        cand = _adc_candidates(codes, q, cent, topk, id_col, qscale)
+    else:
+        n_slices = -(-n_q // max_query_rows)
+        codes = codes.persist()
+        sliced = queries.select(
+            id_col, vec,
+            F.ntile(n_slices).over(Window.orderBy(id_col)).alias("_sl"))
+        parts = []
+        for sl in range(1, n_slices + 1):
+            q = (sliced.filter(F.col("_sl") == sl)
+                 .select(id_col, vec).orderBy(id_col).collect())
+            if q:
+                parts.append(
+                    _adc_candidates(codes, q, cent, topk, id_col, qscale))
+        cand = parts[0]
+        for p in parts[1:]:
+            cand = cand.unionByName(p)
     w = Window.partitionBy("qid").orderBy("adc_dist", "vec_id")
     return (cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= topk)

@@ -75,6 +75,13 @@ def clip_landmarks(samples: np.ndarray, C: np.ndarray,
     """(t, fp) landmarks of one mono int64 sample array — shared by the
     engine kernel and usable by an independent replay (all-integer, so
     any correct implementation agrees exactly)."""
+    if fan_out > 7:
+        # fp = (p1*half + p2)*8 + dt reserves exactly 3 bits for dt:
+        # a larger fan-out would silently alias (p2, dt) pairs and
+        # corrupt offset votes downstream
+        raise ValueError(
+            f"fan_out={fan_out} exceeds the 3-bit dt field of the "
+            "landmark packing (max 7)")
     n = len(samples)
     if n < frame:
         return []

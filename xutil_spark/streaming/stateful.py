@@ -314,11 +314,20 @@ def streaming_hll(
     Python side only folds maxima and evaluates the pinned-order
     harmonic sum."""
     import math as _math
+    from decimal import ROUND_HALF_UP, Decimal
 
     from xutil_spark.operators.sketches import hll_reg_rank
 
     m = 1 << p
     alpha = 0.7213 / (1.0 + 1.079 / m)
+
+    def _r3(x: float) -> float:
+        # Match batch hll_distinct's F.round(col, 3) exactly: Spark
+        # rounds the SHORTEST decimal repr of the double HALF_UP
+        # (BigDecimal.valueOf), not the binary value — Python round()
+        # is half-even and diverges on decimal-halfway estimates.
+        return float(Decimal(repr(float(x))).quantize(
+            Decimal("0.001"), rounding=ROUND_HALF_UP))
 
     def upd(key_, pdfs, state: GroupState):
         regs = [0] * m
@@ -345,8 +354,8 @@ def streaming_hll(
         chk = sum(i * 128 + v for i, v in present)
         yield pd.DataFrame({
             "cell": [int(key_[0])], "n_regs": [len(present)],
-            "reg_chk": [chk], "est": [round(est, 3)],
-            "est_hll": [round(raw, 3)],
+            "reg_chk": [chk], "est": [_r3(est)],
+            "est_hll": [_r3(raw)],
         })
 
     reg, rank = hll_reg_rank(key, p)
