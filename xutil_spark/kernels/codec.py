@@ -7,6 +7,12 @@ Formats (the ``fmt`` column of the images table, FIXTURES.md §1):
   every scanline (encoder); the decoder handles all five standard
   filters so externally-produced PNGs decode too.
 
+* ``bmp`` — real Windows BMP, BI_RGB 24-bit (bottom-up or top-down,
+  BGR, 4-byte row padding, V3/V4/V5 headers) — interop with external
+  encoders is pinned by a PIL-gated test (tests/test_codec.py) that
+  roundtrips Pillow-encoded BMP/PNG through these decoders when
+  Pillow is installed.
+
 * ``q6`` — LOSSY: uniform 6-bit/channel quantization, 4 codes packed
   into 3 bytes (25% smaller than raw).  Mid-rise reconstruction
   (code*4+2) bounds the per-sample error at 2, so PSNR ≥
@@ -192,26 +198,69 @@ def decode_q6(data: bytes, w: int, h: int) -> np.ndarray:
     return ((codes << 2) + 2).astype(np.uint8).reshape(h, w, 3)
 
 
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → Windows BMP (BITMAPINFOHEADER, BI_RGB 24-bit:
+    bottom-up rows, BGR byte order, rows padded to 4 bytes) — the
+    plainest *interchange* format real tools emit, proving the codec
+    registry extends beyond this repo's own formats."""
+    if pixels.dtype != np.uint8 or pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("expect (h, w, 3) uint8")
+    h, w = pixels.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    data = rows.tobytes()
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                       2835, 2835, 0, 0)
+    return header + info + data
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """BMP bytes → (h, w, 3) uint8.  Supports the common case real
+    encoders produce: BITMAPINFOHEADER (or larger V4/V5 headers),
+    24-bit BI_RGB, top-down or bottom-up."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (off,) = struct.unpack("<I", data[10:14])
+    (hsize,) = struct.unpack("<I", data[14:18])
+    if hsize < 40:
+        raise ValueError(f"unsupported BMP header size {hsize}")
+    w, h, planes, bpp, comp = struct.unpack("<iiHHI", data[18:34])
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={comp}")
+    flip = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    raw = np.frombuffer(data, dtype=np.uint8,
+                        count=h * stride, offset=off).reshape(h, stride)
+    img = raw[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    return (img[::-1] if flip else img).copy()
+
+
+# fmt → (encode(pixels)->bytes, decode(data, w, h)->pixels); any format
+# can be registered here — decode_image/encode_image dispatch through it
+CODECS: dict = {
+    "raw": (encode_raw, decode_raw),
+    "png": (encode_png, lambda d, w, h: decode_png(bytes(d))),
+    "bmp": (encode_bmp, lambda d, w, h: decode_bmp(bytes(d))),
+    "q6": (encode_q6, decode_q6),
+}
+
+
 def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
-    if fmt == "raw":
-        return encode_raw(pixels)
-    if fmt == "png":
-        return encode_png(pixels)
-    if fmt == "q6":
-        return encode_q6(pixels)
+    if fmt in CODECS:
+        return CODECS[fmt][0](pixels)
     raise NotImplementedError(
         f"codec {fmt!r} not available in this environment (no PIL/ffmpeg); "
-        "plumbing supports any fmt whose codec is registered here"
+        "plumbing supports any fmt registered in CODECS"
     )
 
 
 def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
-    if fmt == "raw":
-        return decode_raw(data, w, h)
-    if fmt == "png":
-        return decode_png(bytes(data))
-    if fmt == "q6":
-        return decode_q6(data, w, h)
+    if fmt in CODECS:
+        return CODECS[fmt][1](data, w, h)
     raise NotImplementedError(f"codec {fmt!r} not available")
 
 
