@@ -776,23 +776,31 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = f"{work}/src"
     os.makedirs(src)
     os.symlink(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
-    import pandas as pd
+    # sentinel injection is itself a Spark job (no driver collect —
+    # at real cardinality the distinct user set is a fact table):
+    # every column cast to the exact source schema type, written as
+    # parquet, and the part files linked into the stream directory
+    # (the file-stream source lists files, it does not recurse into
+    # subdirectories, so the Spark output dir can't be dropped in
+    # whole)
+    import glob as _glob
 
-    users = [r["user_id"] for r in ev.select("user_id").distinct().collect()]
-    sent = pd.DataFrame({
-        "event_id": [-1] * len(users),
-        # µs unit, tz-naive — matches the table's timestamp_ntz(us)
-        "ts": pd.to_datetime(
-            ["2099-01-01 00:00:00"] * len(users)
-        ).astype("datetime64[us]"),
-        "user_id": users,
-        "event_type": ["sentinel"] * len(users),
-        "value": [0.0] * len(users),
-        "props": [""] * len(users),
-    })
-    # one plain FILE (not a Spark output directory — the file-stream
-    # source lists files, it does not recurse into subdirectories)
-    sent.to_parquet(f"{src}/sentinels.parquet", index=False)
+    vals = {
+        "event_id": F.lit(-1),
+        "ts": F.lit("2099-01-01 00:00:00"),
+        "user_id": F.col("user_id"),
+        "event_type": F.lit("sentinel"),
+        "value": F.lit(0.0),
+        "props": F.lit(""),
+    }
+    sent_dir = f"{work}/sent_out"
+    (ev.select("user_id").distinct()
+     .select(*[vals[f.name].cast(f.dataType).alias(f.name)
+               for f in schema.fields])
+     .write.parquet(sent_dir))
+    for i, part in enumerate(
+            sorted(_glob.glob(f"{sent_dir}/part-*.parquet"))):
+        os.symlink(part, f"{src}/sentinels-{i:05d}.parquet")
     stream = spark.readStream.schema(schema).parquet(src)
     out = streaming_sessionize(stream, gap_seconds=1800, flush="none")
     sink, chk = f"{work}/sink", f"{work}/chk"
