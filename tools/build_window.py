@@ -20,8 +20,10 @@ literal for the NEXT round, built as:
    first automatically: their last green is older);
 5. overflow check: every once-driver-green query left out must have
    been green in the latest round or the round before (the three-round
-   cap), and the leftover count must fit ``len(QUERIES) - 100``;
-   locally-green never-driver queries may wait under tier-2 coverage.
+   cap), and the leftover count must fit ``len(QUERIES) - 100`` —
+   except queries green in the newest committed local ledger, whose
+   tier-2 coverage substitutes for driver freshness (stale or
+   never-evaluated alike; see test_registry.py for the rationale).
 
 Exits non-zero with a diagnosis when the window is infeasible (more
 never-greens + touched than 50 slots).
@@ -120,16 +122,18 @@ def main() -> int:
     fresh = [q for q in names if q not in window]
     take(fresh)
 
-    # never-green-with-local-evidence queries are tier-2 covered — the
-    # overflow invariants apply only to once-driver-green stale queries
+    # locally-green queries are tier-2 covered (stale or never-
+    # evaluated alike) — the hard overflow invariants apply only to
+    # stale once-driver-green queries WITHOUT a local-ledger row
     out = [q for q in names
-           if q not in window and 0 < last.get(q, 0) < latest]
+           if q not in window and 0 < last.get(q, 0) < latest
+           and q not in local]
     budget = max(0, len(names) - 2 * WINDOW)
     too_stale = [q for q in out if last.get(q, 0) < latest - 1]
     waiting = [q for q in names
                if q not in window and last.get(q, 0) == 0]
     print(f"# next-round window ({len(window)} rows); ledger latest=r"
-          f"{latest:02d}; {len(out)} stale-green overflow "
+          f"{latest:02d}; {len(out)} stale-green no-local-row overflow "
           f"(budget {budget}); too-stale overflow: {too_stale or 'none'}; "
           f"{len(waiting)} locally-green queries waiting for a slot")
     if len(out) > budget or too_stale:
