@@ -212,13 +212,15 @@ def pq_topk(
       set exceeds ``max_query_rows`` (the gate that used to be only a
       docstring assumption — a 10^8-row query table would OOM the
       driver silently).
-    * ``"chunked"`` — the scale fallback: queries are ntile-split into
-      ``ceil(n/max_query_rows)`` slices; each slice is collected
-      (bounded by the gate), broadcast, and scanned against the
-      once-encoded, persisted codes; results union before the global
-      top-k window.  Exact same output — the per-slice candidate cut
-      uses the identical (dist, vec_id) tie-break, and the final
-      window reduces across slices.
+    * ``"chunked"`` — the scale fallback: queries hash-split
+      (xxhash64 mod, NO global sort — an ntile window would pull the
+      whole query table through one task) into enough slices that the
+      expected slice size is 80% of the gate; each slice is collected
+      (bounded), broadcast, and scanned against the once-encoded,
+      persisted codes; results union before the global top-k window.
+      Exact same output — the per-slice candidate cut uses the
+      identical (dist, vec_id) tie-break, and the final window
+      reduces across slices.
     * ``"auto"`` — ``broadcast`` iff the query count fits the gate,
       else ``chunked``.
     """
@@ -238,13 +240,17 @@ def pq_topk(
         q = queries.select(id_col, vec).orderBy(id_col).collect()
         cand = _adc_candidates(codes, q, cent, topk, id_col, qscale)
     else:
-        n_slices = -(-n_q // max_query_rows)
+        # hash-sliced, not ntile: a partitionBy-less window is itself
+        # a one-task bottleneck at 10^8 queries.  Slice count targets
+        # 80% of the gate per slice in expectation; xxhash64 keys are
+        # deterministic, so re-runs slice identically.
+        n_slices = max(2, -(-n_q // int(max_query_rows * 0.8)))
         codes = codes.persist()
         sliced = queries.select(
             id_col, vec,
-            F.ntile(n_slices).over(Window.orderBy(id_col)).alias("_sl"))
+            F.pmod(F.xxhash64(id_col), F.lit(n_slices)).alias("_sl"))
         parts = []
-        for sl in range(1, n_slices + 1):
+        for sl in range(n_slices):
             q = (sliced.filter(F.col("_sl") == sl)
                  .select(id_col, vec).orderBy(id_col).collect())
             if q:
