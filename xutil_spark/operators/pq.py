@@ -224,16 +224,19 @@ def pq_topk(
     * ``"auto"`` — ``broadcast`` iff the query count fits the gate,
       else ``chunked``.
     """
-    n_q = queries.count()
     if strategy not in ("auto", "broadcast", "chunked"):
         raise ValueError(f"unknown strategy {strategy!r}")
-    if strategy == "broadcast" and n_q > max_query_rows:
+    # gate probe via limit, not a full count: deciding "over the gate?"
+    # only needs the first gate+1 rows, so the probe job stops early
+    # at 10^8-row query tables instead of scanning them
+    over = queries.limit(max_query_rows + 1).count() > max_query_rows
+    if strategy == "broadcast" and over:
         raise ValueError(
-            f"{n_q} query rows exceed max_query_rows={max_query_rows}; "
+            f"query rows exceed max_query_rows={max_query_rows}; "
             "use strategy='chunked' (or 'auto') — the distributed "
             "slice-broadcast fallback")
     if strategy == "auto":
-        strategy = "broadcast" if n_q <= max_query_rows else "chunked"
+        strategy = "chunked" if over else "broadcast"
 
     codes = pq_encode(df, cent, vec, id_col, qscale)
     if strategy == "broadcast":
@@ -243,7 +246,9 @@ def pq_topk(
         # hash-sliced, not ntile: a partitionBy-less window is itself
         # a one-task bottleneck at 10^8 queries.  Slice count targets
         # 80% of the gate per slice in expectation; xxhash64 keys are
-        # deterministic, so re-runs slice identically.
+        # deterministic, so re-runs slice identically.  The full count
+        # runs only on this path (the gate probe above is limit-bounded).
+        n_q = queries.count()
         n_slices = max(2, -(-n_q // int(max_query_rows * 0.8)))
         codes = codes.persist()
         sliced = queries.select(
