@@ -164,6 +164,23 @@ def _steal_ticks(n_cpus: int) -> int:
     return total
 
 
+def _touch_dir(root: str) -> int:
+    """Drain every file under ``root`` into the OS page cache;
+    returns bytes read.  Single implementation for all stages."""
+    total = 0
+    for name in sorted(os.listdir(root)):
+        p = os.path.join(root, name)
+        if not os.path.isfile(p):
+            continue
+        with open(p, "rb") as fh:
+            while True:
+                chunk = fh.read(1 << 23)
+                if not chunk:
+                    break
+                total += len(chunk)
+    return total
+
+
 def touch_inputs() -> None:
     """Sequentially read every input parquet byte into the OS page
     cache (untimed).  Guarantees identical storage state for every
@@ -172,18 +189,8 @@ def touch_inputs() -> None:
     input, and which trial lands cold is an accident of trial order /
     sandbox restarts, which corrupted the r03 N-vs-4N ratio."""
     t0 = time.perf_counter()
-    total = 0
-    for root in (IMAGES_PATH, TILES_PATH, REFS_PATH):
-        for name in sorted(os.listdir(root)):
-            p = os.path.join(root, name)
-            if not os.path.isfile(p):
-                continue
-            with open(p, "rb") as fh:
-                while True:
-                    chunk = fh.read(1 << 23)
-                    if not chunk:
-                        break
-                    total += len(chunk)
+    total = sum(_touch_dir(root)
+                for root in (IMAGES_PATH, TILES_PATH, REFS_PATH))
     log(f"touched {total / 1e9:.2f} GB of input into page cache "
         f"in {time.perf_counter() - t0:.2f}s")
 
@@ -299,23 +306,18 @@ def ensure_skew_inputs():
     spark.stop()
 
 
-def _touch_dir(root: str) -> None:
-    for name in sorted(os.listdir(root)):
-        p = os.path.join(root, name)
-        if os.path.isfile(p):
-            with open(p, "rb") as fh:
-                while fh.read(1 << 23):
-                    pass
-
-
 def run_skew(master: str) -> dict:
     """Skew-stress evidence (VERDICT r4 item 7): the engine's skew
     machinery (salted hot-cell spatial join, fingerprint-collapsed
     dedup) is argued from plan shape everywhere else — here the SAME
     two jobs run on equal-row uniform vs deliberately-skewed inputs
     (3 hot cells holding ~30% of points + one 10^4-row identical-print
-    clique) back-to-back in ONE JVM, so the host's speed epochs cancel
-    out of the ratio.  Target: skewed within ~2x of uniform."""
+    clique) in ONE JVM, TWO rounds with the variant order ALTERNATED
+    (uniform-first, then skewed-first) and min wall per variant — a
+    fixed single-sample order would credit residual JVM warmth to
+    whichever variant runs second, and a speed-epoch boundary between
+    the two samples would land entirely in the published ratio.
+    Target: skewed within ~2x of uniform."""
     from pyspark.sql import functions as F
 
     from xutil_spark.operators.dedup import dedup_by_fingerprint
@@ -342,25 +344,32 @@ def run_skew(master: str) -> dict:
                              id_col="image_id", max_hamming=3,
                              bands=4).count()
 
+        variants = {"uniform": SKEW_UNIFORM_PATH,
+                    "skewed": SKEW_SKEWED_PATH}
         out: dict = {"master": master, "rows": SKEW_ROWS}
-        for label, path in (("uniform", SKEW_UNIFORM_PATH),
-                            ("skewed", SKEW_SKEWED_PATH)):
-            images = spark.read.parquet(path)
-            images.count()
-            t0 = time.perf_counter()
-            nn = fused_image_tile_knn(images, tiles10, refs, k=3)
-            (nn.filter(F.col("rank") == 1).groupBy("tile_id")
-             .agg(F.count(F.lit(1)).alias("n_images"),
-                  F.round(F.avg("dist_m"), 3).alias("avg_nn_dist"))
-             .count())
-            out[f"{label}_pipeline_sec"] = round(
-                time.perf_counter() - t0, 3)
-            t0 = time.perf_counter()
-            n_surv = dedup_by_fingerprint(
-                dhash(images), "dhash", id_col="image_id",
-                max_hamming=3, bands=4).count()
-            out[f"{label}_dedup_sec"] = round(time.perf_counter() - t0, 3)
-            out[f"{label}_dedup_survivors"] = n_surv
+        walls: dict = {}
+        for order in (("uniform", "skewed"), ("skewed", "uniform")):
+            for label in order:
+                images = spark.read.parquet(variants[label])
+                images.count()
+                t0 = time.perf_counter()
+                nn = fused_image_tile_knn(images, tiles10, refs, k=3)
+                (nn.filter(F.col("rank") == 1).groupBy("tile_id")
+                 .agg(F.count(F.lit(1)).alias("n_images"),
+                      F.round(F.avg("dist_m"), 3).alias("avg_nn_dist"))
+                 .count())
+                walls.setdefault((label, "pipeline"), []).append(
+                    time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                n_surv = dedup_by_fingerprint(
+                    dhash(images), "dhash", id_col="image_id",
+                    max_hamming=3, bands=4).count()
+                walls.setdefault((label, "dedup"), []).append(
+                    time.perf_counter() - t0)
+                out[f"{label}_dedup_survivors"] = n_surv
+        for (label, job), ws in walls.items():
+            out[f"{label}_{job}_sec"] = round(min(ws), 3)
+            out[f"{label}_{job}_walls"] = [round(w, 3) for w in ws]
         out["pipeline_skew_ratio"] = round(
             out["skewed_pipeline_sec"] / out["uniform_pipeline_sec"], 3)
         out["dedup_skew_ratio"] = round(
@@ -547,9 +556,12 @@ def write_bench_md(timings, p2, p8, p32, eff, pooled_eff, pooled_n, pooled,
             "",
             "## Skew stress (uniform vs skewed input, equal rows)",
             "",
-            f"Same two jobs ({SKEW_ROWS} rows each variant) back-to-back",
-            "in ONE pinned JVM per level, so the host's speed epochs",
-            "cancel out of the ratio.  Skewed input = ~30% of points in",
+            f"Same two jobs ({SKEW_ROWS} rows each variant) in ONE",
+            "pinned JVM per level, TWO rounds with the variant order",
+            "alternated and min wall per variant (a fixed single-sample",
+            "order would credit residual JVM warmth to whichever",
+            "variant runs second; all walls in BENCH_HISTORY.jsonl).",
+            "Skewed input = ~30% of points in",
             "3 hot z15 cells + one 10^4-row byte-identical print clique;",
             "jobs = the fused decode→tile-join→kNN pipeline (salted hot",
             "cells) and the dHash fingerprint-collapsed dedup (the",
@@ -562,7 +574,11 @@ def write_bench_md(timings, p2, p8, p32, eff, pooled_eff, pooled_n, pooled,
         ]
         for m, r in skew_stress.items():
             if "error" in r:
-                skew_lines.append(f"| {m} | skew stage failed: {r['error']} |")
+                # pad to the full column count so the row stays a
+                # valid markdown table row
+                skew_lines.append(
+                    f"| {m} | skew stage failed: {r['error']} |"
+                    + " — |" * 5)
                 continue
             skew_lines.append(
                 f"| {m} | {r['uniform_pipeline_sec']} |"

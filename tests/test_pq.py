@@ -83,3 +83,27 @@ def test_topk_query_gate_and_chunked_fallback(spark):
     with pytest.raises(ValueError, match="chunked"):
         pq_topk(emb, qs, cent, topk=3, max_query_rows=3,
                 strategy="broadcast")
+
+
+def test_topk_empty_queries_and_duplicate_id_guard(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark)
+    cent = pq_train(emb, iters=1)
+    # empty query set: empty result with the output schema, both paths
+    none = emb.filter(F.col("vec_id") < 0)
+    for strat in ("auto", "chunked"):
+        out = pq_topk(emb, none, cent, topk=3, strategy=strat)
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields] == [
+            "qid", "vec_id", "rank", "adc_dist"]
+    # duplicate ids pile into one hash slice past the 2x hard bound:
+    # the chunked path must refuse before collecting it
+    one = emb.limit(1)
+    dups = one
+    for _ in range(7):
+        dups = dups.unionByName(one)
+    with pytest.raises(ValueError, match="non-distinct"):
+        pq_topk(emb, dups, cent, topk=3, max_query_rows=3,
+                strategy="chunked")

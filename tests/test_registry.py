@@ -125,22 +125,16 @@ REGISTERED_ROUND = {
 }
 
 
-def _local_ledger_green() -> set:
-    """Queries with a fully-green row in the NEWEST committed LOCAL
-    evidence ledger (CORRECTNESS_LOCAL_r*.json — the driver-gate
-    stand-in run by tools/check_oracle.py at the recorded HEAD).
-    Round 4 registered 103 new queries — more than two 50-row driver
-    windows can ever hold — so never-driver-evaluated queries are
-    covered by this ledger until their driver slot arrives.  Window
-    priority (tools/build_window.py implements it): (1) never-green
-    queries without local evidence, (2) code-touched queries, (3)
-    locally-green never-DRIVER-green queries in registration order —
-    a first-ever driver row beats refreshing an untouched long-green
-    query — then (4) stale once-green queries, oldest evidence
-    first."""
-    from tools.build_window import local_green
-
-    return local_green(_REPO)
+# The local evidence ledger (CORRECTNESS_LOCAL_r*.json) is the
+# driver-gate stand-in run by tools/check_oracle.py at the recorded
+# HEAD.  Round 4 registered 103 new queries — more than two 50-row
+# driver windows can ever hold — so never-driver-evaluated queries
+# are covered by this ledger until their driver slot arrives.  Window
+# priority (tools/build_window.py implements it): (1) never-green
+# queries without local evidence, (2) code-touched queries, (3)
+# locally-green never-DRIVER-green queries in registration order — a
+# first-ever driver row beats refreshing an untouched long-green
+# query — then (4) stale once-green queries, oldest evidence first.
 
 
 def test_no_query_evidence_stale_beyond_last_round():
@@ -165,9 +159,21 @@ def test_no_query_evidence_stale_beyond_last_round():
     original driver-only cap is unsatisfiable simultaneously with
     giving never-evaluated queries their first driver rows — and a
     first-ever driver row is strictly more information than a refresh
-    of an untouched long-green query (the r4 VERDICT's top ask)."""
+    of an untouched long-green query (the r4 VERDICT's top ask).
+
+    The substitution is NOT unconditional (that would make the cap
+    vacuous): the local ledger only counts while it is at least as
+    fresh as the newest driver round.  The moment a new
+    CORRECTNESS_r*.json lands, this test fails until the session
+    regenerates the full-contract local ledger at its HEAD (or
+    rotates the stale queries back into the window) — so each round
+    is forced to re-prove the whole contract one way or the other."""
+    from tools.build_window import local_ledger
+
     last, latest = _last_green()
-    local = _local_ledger_green()
+    local, local_round = local_ledger(_REPO)
+    if local_round < latest:
+        local = set()  # stale ledger ⇒ strict driver-only invariants
     stale_old = {
         q for q in QUERIES
         if 0 < last.get(q, 0) < latest

@@ -43,23 +43,34 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WINDOW = 50
 
 
-def local_green(repo: str = _REPO) -> set:
-    """Queries fully green in the NEWEST committed local evidence
-    ledger (``CORRECTNESS_LOCAL_r*.json``, highest round number wins).
+def local_ledger(repo: str = _REPO) -> tuple[set, int]:
+    """(green queries, round number) of the NEWEST committed local
+    evidence ledger (``CORRECTNESS_LOCAL_r*.json``, highest round
+    wins); (set(), 0) when none exists.
 
     Shared by this tool and tests/test_registry.py so a new round's
-    ledger is picked up by both without hand-editing filenames."""
+    ledger is picked up by both without hand-editing filenames.  The
+    round number matters: tier-2 coverage only counts while the
+    ledger is at least as fresh as the newest DRIVER round — a stale
+    ledger must be regenerated (tools/check_oracle.py --ledger), or
+    the staleness invariants revert to the strict driver-only form."""
     paths = sorted(
         glob.glob(os.path.join(repo, "CORRECTNESS_LOCAL_r*.json")),
         key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)),
     )
     if not paths:
-        return set()
+        return set(), 0
+    rnd = int(re.search(r"_r(\d+)\.json$", paths[-1]).group(1))
     with open(paths[-1]) as fh:
         d = json.load(fh)
     return {q for q, rec in d.items()
             if rec.get("rows_match") and rec.get("schema_match")
-            and rec.get("hash_match") and not rec.get("err")}
+            and rec.get("hash_match") and not rec.get("err")}, rnd
+
+
+def local_green(repo: str = _REPO) -> set:
+    """Green set of the newest local ledger (see ``local_ledger``)."""
+    return local_ledger(repo)[0]
 
 
 def last_green() -> tuple[dict, int]:

@@ -215,47 +215,76 @@ def pq_topk(
     * ``"chunked"`` — the scale fallback: queries hash-split
       (xxhash64 mod, NO global sort — an ntile window would pull the
       whole query table through one task) into enough slices that the
-      expected slice size is 80% of the gate; each slice is collected
-      (bounded), broadcast, and scanned against the once-encoded,
-      persisted codes; results union before the global top-k window.
-      Exact same output — the per-slice candidate cut uses the
-      identical (dist, vec_id) tie-break, and the final window
-      reduces across slices.
+      expected slice size is 80% of the gate.  Slice sizes are then
+      VERIFIED with one aggregate (hash slicing only bounds them in
+      expectation — duplicate ids all land in one slice) and any
+      slice over 2× the gate raises before a collect can OOM the
+      driver.  Each slice is collected, broadcast, and scanned
+      against the once-encoded, persisted codes; candidates
+      checkpoint eagerly so the code cache can be unpersisted before
+      returning.  Exact same output — the per-slice candidate cut
+      uses the identical (dist, vec_id) tie-break, and the final
+      window reduces across slices.
     * ``"auto"`` — ``broadcast`` iff the query count fits the gate,
       else ``chunked``.
+
+    Query ids must be distinct (duplicate qids would merge their
+    candidate lists in the final per-qid window on ANY strategy).
     """
     if strategy not in ("auto", "broadcast", "chunked"):
         raise ValueError(f"unknown strategy {strategy!r}")
-    # gate probe via limit, not a full count: deciding "over the gate?"
-    # only needs the first gate+1 rows, so the probe job stops early
-    # at 10^8-row query tables instead of scanning them
-    over = queries.limit(max_query_rows + 1).count() > max_query_rows
-    if strategy == "broadcast" and over:
-        raise ValueError(
-            f"query rows exceed max_query_rows={max_query_rows}; "
-            "use strategy='chunked' (or 'auto') — the distributed "
-            "slice-broadcast fallback")
-    if strategy == "auto":
+    if strategy != "chunked":
+        # gate probe via limit, not a full count: deciding "over the
+        # gate?" only needs the first gate+1 rows, so the probe job
+        # stops early at 10^8-row query tables instead of scanning them
+        over = queries.limit(max_query_rows + 1).count() > max_query_rows
+        if strategy == "broadcast" and over:
+            raise ValueError(
+                f"query rows exceed max_query_rows={max_query_rows}; "
+                "use strategy='chunked' (or 'auto') — the distributed "
+                "slice-broadcast fallback")
         strategy = "chunked" if over else "broadcast"
 
+    empty_schema = "qid long, vec_id long, rank int, adc_dist long"
     codes = pq_encode(df, cent, vec, id_col, qscale)
     if strategy == "broadcast":
         q = queries.select(id_col, vec).orderBy(id_col).collect()
+        if not q:
+            return queries.sparkSession.createDataFrame([], empty_schema)
         cand = _adc_candidates(codes, q, cent, topk, id_col, qscale)
     else:
         # hash-sliced, not ntile: a partitionBy-less window is itself
         # a one-task bottleneck at 10^8 queries.  Slice count targets
         # 80% of the gate per slice in expectation; xxhash64 keys are
-        # deterministic, so re-runs slice identically.  The full count
-        # runs only on this path (the gate probe above is limit-bounded).
+        # deterministic, so re-runs slice identically.
         n_q = queries.count()
-        n_slices = max(2, -(-n_q // int(max_query_rows * 0.8)))
-        codes = codes.persist()
+        if n_q == 0:
+            return queries.sparkSession.createDataFrame([], empty_schema)
+        per_slice = max(1, int(max_query_rows * 0.8))
+        n_slices = max(2, -(-n_q // per_slice))
+        # ONE pass over the query table: slice ids computed once and
+        # persisted, so the per-slice collects below filter the cached
+        # slices instead of rescanning the input n_slices times
         sliced = queries.select(
             id_col, vec,
-            F.pmod(F.xxhash64(id_col), F.lit(n_slices)).alias("_sl"))
+            F.pmod(F.xxhash64(id_col), F.lit(n_slices)).alias("_sl"),
+        ).persist()
+        # hard bound check BEFORE any collect: expectation is not a
+        # cap — duplicate ids hash identically and pile into one slice
+        sizes = {r["_sl"]: r["n"] for r in
+                 sliced.groupBy("_sl").agg(F.count("*").alias("n"))
+                 .collect()}
+        oversized = {sl: n for sl, n in sizes.items()
+                     if n > 2 * max_query_rows}
+        if oversized:
+            sliced.unpersist()
+            raise ValueError(
+                f"hash slices exceed 2x max_query_rows={max_query_rows}: "
+                f"{oversized} — query ids are likely non-distinct "
+                "(duplicate qids are unsupported on any strategy)")
+        codes = codes.persist()
         parts = []
-        for sl in range(n_slices):
+        for sl in sorted(sizes):
             q = (sliced.filter(F.col("_sl") == sl)
                  .select(id_col, vec).orderBy(id_col).collect())
             if q:
@@ -264,6 +293,11 @@ def pq_topk(
         cand = parts[0]
         for p in parts[1:]:
             cand = cand.unionByName(p)
+        # materialize candidates (bounded: ≤ (topk+1)·partitions per
+        # query) so the code/slice caches don't leak past the call
+        cand = cand.localCheckpoint()
+        codes.unpersist()
+        sliced.unpersist()
     w = Window.partitionBy("qid").orderBy("adc_dist", "vec_id")
     return (cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= topk)
