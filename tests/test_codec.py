@@ -199,3 +199,193 @@ def test_external_encoder_interop_via_pillow():
         buf = io.BytesIO()
         PIL.fromarray(img, "RGB").save(buf, format=fmt)
         np.testing.assert_array_equal(dec(buf.getvalue()), img)
+
+
+# ----------------------------------------------------------- JPEG
+
+from xutil_spark.kernels import jpeg as J  # noqa: E402
+
+
+@pytest.mark.parametrize("w,h", [(8, 8), (17, 13), (64, 48), (7, 5)])
+def test_jpeg_roundtrip_clears_psnr_gate(w, h):
+    img = _pattern(w, h, 42)
+    data = J.encode_jpeg(img)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    back = J.decode_jpeg(data)
+    assert back.shape == img.shape
+    assert codec.psnr(img, back) >= 40.0
+
+
+def test_jpeg_noise_image_still_clears_gate():
+    """DCT-hostile content: uniform random pixels (worst case for a
+    transform codec) must still clear the input_hint 40 dB gate at the
+    default quantizer."""
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+    assert codec.psnr(img, J.decode_jpeg(J.encode_jpeg(img))) >= 40.0
+
+
+def test_jpeg_via_dispatch():
+    img = _pattern(24, 16, 3)
+    out = codec.decode_image(codec.encode_image(img, "jpg"), 24, 16, "jpg")
+    assert codec.psnr(img, out) >= 40.0
+
+
+def _seg(marker, payload):
+    import struct as s
+
+    return s.pack(">HH", marker, len(payload) + 2) + payload
+
+
+def _headers(h, w, comps, qstep=4):
+    """Minimal baseline headers for hand-crafted scan tests: comps =
+    [(cid, H, V)], one shared quant + Huffman table set."""
+    import struct as s
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xFFDB, bytes([0x00]) + bytes([qstep] * 64))
+    sof = s.pack(">BHHB", 8, h, w, len(comps))
+    for cid, ch, cv in comps:
+        sof += bytes([cid, (ch << 4) | cv, 0])
+    out += _seg(0xFFC0, sof)
+    out += _seg(0xFFC4, bytes([0x00]) + bytes(J._DC_BITS) + bytes(J._DC_VALS))
+    out += _seg(0xFFC4, bytes([0x10]) + bytes(J._AC_BITS) + bytes(J._AC_VALS))
+    return out
+
+
+def _quant_block(block, qstep):
+    f = J._dct2(block.astype(np.float64) - 128.0).reshape(64)
+    return (np.sign(f) * np.floor(np.abs(f) / qstep + 0.5)).astype(
+        np.int64).reshape(8, 8)
+
+
+def test_jpeg_decoder_handles_restart_markers():
+    """DRI/RSTn: 3 MCUs with restart interval 1 — byte-aligned resets
+    and DC-predictor resets between every MCU."""
+    img = _pattern(24, 8, 9)
+    ycc = J._ycbcr_from_rgb(img)
+    out = _headers(8, 24, [(1, 1, 1), (2, 1, 1), (3, 1, 1)])
+    out += _seg(0xFFDD, (1).to_bytes(2, "big"))  # DRI = 1
+    out += _seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    for mcu in range(3):
+        bw = J._BitWriter()
+        for ci in range(3):  # preds reset each restart interval
+            J._encode_block(
+                bw, _quant_block(ycc[:, mcu * 8:mcu * 8 + 8, ci], 4), 0)
+        out += bw.flush()
+        if mcu < 2:
+            out += bytes([0xFF, 0xD0 + mcu])
+    out += b"\xff\xd9"
+    back = J.decode_jpeg(bytes(out))
+    assert back.shape == img.shape
+    assert codec.psnr(img, back) >= 40.0
+
+
+def test_jpeg_decoder_handles_420_subsampling():
+    """4:2:0 (Y at 2x2, chroma at 1x1): one MCU = 4 Y blocks + Cb +
+    Cr, chroma upsampled nearest.  The decoder output is compared
+    BIT-EXACTLY against an independent reconstruction (dequant ->
+    idct -> repeat-upsample -> color transform) of the same quantized
+    blocks -- stronger than any PSNR floor."""
+    yy, xx = np.mgrid[0:16, 0:16]
+    img = np.stack([(xx * 16).clip(0, 255), (yy * 16).clip(0, 255),
+                    ((xx + yy) * 8).clip(0, 255)],
+                   axis=-1).astype(np.uint8)
+    ycc = J._ycbcr_from_rgb(img)
+    sub = ycc[::2, ::2, :]  # chroma decimation
+    out = _headers(16, 16, [(1, 2, 2), (2, 1, 1), (3, 1, 1)])
+    out += _seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    bw = J._BitWriter()
+    preds = [0, 0, 0]
+    blocks = {}
+    for by in range(2):  # 4 Y blocks in raster order within the MCU
+        for bx in range(2):
+            b = _quant_block(
+                ycc[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8, 0], 4)
+            blocks[(0, by, bx)] = b
+            preds[0] = J._encode_block(bw, b, preds[0])
+    for ci in (1, 2):
+        b = _quant_block(sub[:, :, ci], 4)
+        blocks[(ci, 0, 0)] = b
+        preds[ci] = J._encode_block(bw, b, preds[ci])
+    out += bw.flush() + b"\xff\xd9"
+    back = J.decode_jpeg(bytes(out))
+    assert back.shape == img.shape
+
+    yrec = np.zeros((16, 16))
+    for by in range(2):
+        for bx in range(2):
+            yrec[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = J._idct2(
+                blocks[(0, by, bx)] * 4.0) + 128
+    cbrec = np.repeat(np.repeat(
+        J._idct2(blocks[(1, 0, 0)] * 4.0) + 128, 2, 0), 2, 1)
+    crrec = np.repeat(np.repeat(
+        J._idct2(blocks[(2, 0, 0)] * 4.0) + 128, 2, 0), 2, 1)
+    np.testing.assert_array_equal(
+        back, J._rgb_from_ycbcr(yrec, cbrec, crrec))
+    assert codec.psnr(img, back) >= 30.0  # smooth content, mild chroma loss
+
+
+def test_jpeg_decoder_handles_grayscale():
+    img = _pattern(8, 8, 1)
+    y = J._ycbcr_from_rgb(img)[:, :, 0]
+    out = _headers(8, 8, [(1, 1, 1)])
+    out += _seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    bw = J._BitWriter()
+    J._encode_block(bw, _quant_block(y, 4), 0)
+    out += bw.flush() + b"\xff\xd9"
+    back = J.decode_jpeg(bytes(out))
+    assert back.shape == (8, 8, 3)
+    assert np.abs(back[:, :, 0].astype(np.float64) - y).mean() < 3.0
+    np.testing.assert_array_equal(back[:, :, 0], back[:, :, 1])
+
+
+def test_jpeg_rejects_progressive_and_non_jpeg():
+    with pytest.raises(ValueError, match="SOI"):
+        J.decode_jpeg(b"\x00\x01")
+    out = _headers(8, 8, [(1, 1, 1)])
+    prog = bytes(out).replace(b"\xff\xc0", b"\xff\xc2")
+    with pytest.raises(ValueError, match="baseline"):
+        J.decode_jpeg(prog + b"\xff\xd9")
+
+
+def test_jpeg_external_encoder_interop_via_pillow():
+    """When Pillow is installed (not in this sandbox): libjpeg output
+    (including its default chroma subsampling and Annex K tables) must
+    decode through this decoder, and libjpeg must accept this
+    encoder's bytes — the conformance check that matters."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    img = _pattern(40, 24, 77)
+    buf = io.BytesIO()
+    PIL.fromarray(img, "RGB").save(buf, format="JPEG", quality=92)
+    ours = J.decode_jpeg(buf.getvalue())
+    assert codec.psnr(img, ours) >= 30.0
+    theirs = np.asarray(
+        PIL.open(io.BytesIO(J.encode_jpeg(img))).convert("RGB"))
+    assert codec.psnr(img, theirs) >= 40.0
+
+
+def test_jpeg_rows_flow_through_spark_decode(spark):
+    """A jpg-format row in the input_hint schema decodes through the
+    same mapInPandas operators as raw/png — the registry is live in
+    the pipeline, not just the kernel."""
+    import pandas as pd
+
+    from xutil_spark.raster.images import decode_stats, dhash
+
+    img = _pattern(16, 16, 21)
+    rows = pd.DataFrame([
+        ("jpg0", J.encode_jpeg(img), 16, 16, "jpg", "cap", 0),
+        ("raw0", codec.encode_raw(img), 16, 16, "raw", "cap", 1),
+    ], columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"])
+    df = spark.createDataFrame(rows)
+    stats = {r.image_id: r for r in decode_stats(df).collect()}
+    assert set(stats) == {"jpg0", "raw0"}
+    # jpg is lossy-but-gated: per-channel means within 2 of the raw row
+    for c in ("mean_r", "mean_g", "mean_b"):
+        assert abs(stats["jpg0"][c] - stats["raw0"][c]) <= 2.0
+    hashes = {r.image_id: r.dhash for r in dhash(df).collect()}
+    # 42+ dB reconstruction keeps the perceptual hash within a few bits
+    assert bin(hashes["jpg0"] ^ hashes["raw0"]).count("1") <= 4

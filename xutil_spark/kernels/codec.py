@@ -13,6 +13,12 @@ Formats (the ``fmt`` column of the images table, FIXTURES.md §1):
   roundtrips Pillow-encoded BMP/PNG through these decoders when
   Pillow is installed.
 
+* ``jpg`` — real baseline JPEG (kernels/jpeg.py): from-scratch T.81
+  baseline sequential decoder (tables read from the stream, any
+  sampling factors, DRI/RSTn) and 4:4:4 encoder whose default
+  quantizer keeps PSNR ≥ 42 dB — above the input_hint's 40 dB lossy
+  gate; pinned on gradients AND uniform noise (the DCT worst case).
+
 * ``q6`` — LOSSY: uniform 6-bit/channel quantization, 4 codes packed
   into 3 bytes (25% smaller than raw).  Mid-rise reconstruction
   (code*4+2) bounds the per-sample error at 2, so PSNR ≥
@@ -239,12 +245,25 @@ def decode_bmp(data: bytes) -> np.ndarray:
     return (img[::-1] if flip else img).copy()
 
 
+def _encode_jpg(pixels: np.ndarray) -> bytes:
+    from xutil_spark.kernels.jpeg import encode_jpeg
+
+    return encode_jpeg(pixels)
+
+
+def _decode_jpg(data: bytes, w: int, h: int) -> np.ndarray:
+    from xutil_spark.kernels.jpeg import decode_jpeg
+
+    return decode_jpeg(bytes(data))
+
+
 # fmt → (encode(pixels)->bytes, decode(data, w, h)->pixels); any format
 # can be registered here — decode_image/encode_image dispatch through it
 CODECS: dict = {
     "raw": (encode_raw, decode_raw),
     "png": (encode_png, lambda d, w, h: decode_png(bytes(d))),
     "bmp": (encode_bmp, lambda d, w, h: decode_bmp(bytes(d))),
+    "jpg": (_encode_jpg, _decode_jpg),
     "q6": (encode_q6, decode_q6),
 }
 
